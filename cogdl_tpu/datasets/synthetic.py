@@ -1,0 +1,172 @@
+"""Synthetic graph generators — deterministic datasets for tests, benchmarks,
+and offline development (no network egress required).
+
+The reference ships ``generate_random_graph`` for customized data
+(cogdl/datasets/customized_data.py:149); we extend that idea into full dataset
+stand-ins: stochastic block models with informative features (so models can
+actually learn), power-law graphs at OGB scale for SpMM benchmarking, random
+multi-graph sets for graph classification, and random KG triple sets.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..data.graph import Graph, add_self_loops, from_coo, to_undirected
+
+
+def sbm_graph(
+    num_nodes: int = 400,
+    num_classes: int = 4,
+    p_in: float = 0.05,
+    p_out: float = 0.005,
+    feat_dim: int = 32,
+    feat_noise: float = 1.0,
+    train_ratio: float = 0.3,
+    val_ratio: float = 0.2,
+    seed: int = 0,
+    self_loops: bool = True,
+) -> Graph:
+    """Stochastic block model with class-informative Gaussian features.
+
+    A GCN should reach high accuracy here; used as the Cora stand-in when real
+    Planetoid files are unavailable.
+    """
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, num_classes, size=num_nodes)
+    # efficient SBM sampling: sample edge counts per block pair
+    rows, cols = [], []
+    for a in range(num_classes):
+        ia = np.where(y == a)[0]
+        for b in range(num_classes):
+            ib = np.where(y == b)[0]
+            p = p_in if a == b else p_out
+            n_possible = len(ia) * len(ib)
+            k = rng.binomial(n_possible, p)
+            if k == 0:
+                continue
+            r = rng.choice(ia, size=k)
+            c = rng.choice(ib, size=k)
+            rows.append(r)
+            cols.append(c)
+    row = np.concatenate(rows) if rows else np.zeros(0, np.int64)
+    col = np.concatenate(cols) if cols else np.zeros(0, np.int64)
+    keep = row != col
+    row, col = row[keep], col[keep]
+
+    centers = rng.normal(size=(num_classes, feat_dim)) * 2.0
+    x = centers[y] + rng.normal(size=(num_nodes, feat_dim)) * feat_noise
+    x = x.astype(np.float32)
+
+    perm = rng.permutation(num_nodes)
+    n_train = int(train_ratio * num_nodes)
+    n_val = int(val_ratio * num_nodes)
+    train_mask = np.zeros(num_nodes, bool)
+    val_mask = np.zeros(num_nodes, bool)
+    test_mask = np.zeros(num_nodes, bool)
+    train_mask[perm[:n_train]] = True
+    val_mask[perm[n_train: n_train + n_val]] = True
+    test_mask[perm[n_train + n_val:]] = True
+
+    g = from_coo(
+        np.stack([row, col]),
+        num_nodes=num_nodes,
+        x=x,
+        y=y.astype(np.int32),
+        train_mask=train_mask,
+        val_mask=val_mask,
+        test_mask=test_mask,
+        meta={"num_classes": num_classes, "name": f"sbm{num_nodes}"},
+    )
+    g = to_undirected(g)
+    if self_loops:
+        g = add_self_loops(g)
+    return g
+
+
+def powerlaw_graph(
+    num_nodes: int,
+    avg_degree: int = 15,
+    feat_dim: int = 128,
+    num_classes: int = 47,
+    seed: int = 0,
+) -> Graph:
+    """Preferential-attachment-style power-law graph at arbitrary scale —
+    the SpMM benchmark workload (ogbn-products stand-in). Degree distribution
+    is drawn from a Zipf law over destination popularity."""
+    rng = np.random.default_rng(seed)
+    num_edges = num_nodes * avg_degree
+    # popularity-weighted destinations: Zipf ranks
+    ranks = np.arange(1, num_nodes + 1, dtype=np.float64)
+    probs = ranks ** -0.8
+    probs /= probs.sum()
+    col = rng.choice(num_nodes, size=num_edges, p=probs).astype(np.int64)
+    row = rng.integers(0, num_nodes, size=num_edges).astype(np.int64)
+    x = rng.normal(size=(num_nodes, feat_dim)).astype(np.float32)
+    y = rng.integers(0, num_classes, size=num_nodes).astype(np.int32)
+    train_mask = rng.uniform(size=num_nodes) < 0.1
+    g = from_coo(
+        np.stack([row, col]),
+        num_nodes=num_nodes,
+        x=x,
+        y=y,
+        train_mask=train_mask,
+        val_mask=~train_mask,
+        test_mask=~train_mask,
+        meta={"num_classes": num_classes, "name": f"powerlaw{num_nodes}"},
+    )
+    return g
+
+
+def random_graphs_dataset(
+    num_graphs: int = 60,
+    min_nodes: int = 10,
+    max_nodes: int = 30,
+    num_classes: int = 2,
+    feat_dim: int = 8,
+    seed: int = 0,
+) -> Tuple[List[Graph], np.ndarray]:
+    """Multi-graph classification set: class 0 = sparse ER graphs, class 1 =
+    dense ER graphs (learnable from mean degree). MUTAG stand-in."""
+    rng = np.random.default_rng(seed)
+    graphs, labels = [], []
+    for i in range(num_graphs):
+        label = i % num_classes
+        n = int(rng.integers(min_nodes, max_nodes + 1))
+        p = 0.15 + 0.3 * label / max(1, num_classes - 1)
+        mask = rng.uniform(size=(n, n)) < p
+        np.fill_diagonal(mask, False)
+        r, c = np.where(mask | mask.T)
+        x = rng.normal(size=(n, feat_dim)).astype(np.float32)
+        g = from_coo(np.stack([r, c]), num_nodes=n, x=x,
+                     meta={"num_classes": num_classes})
+        g = add_self_loops(g)
+        graphs.append(g.replace(y=np.full(g.n_pad, label, np.int32)))
+        labels.append(label)
+    return graphs, np.asarray(labels, np.int32)
+
+
+def random_triples(
+    num_entities: int = 200,
+    num_relations: int = 12,
+    num_triples: int = 2000,
+    seed: int = 0,
+):
+    """Random KG triple set with train/valid/test split (FB15k stand-in)."""
+    rng = np.random.default_rng(seed)
+    h = rng.integers(0, num_entities, num_triples)
+    r = rng.integers(0, num_relations, num_triples)
+    t = rng.integers(0, num_entities, num_triples)
+    triples = np.stack([h, r, t], 1).astype(np.int32)
+    perm = rng.permutation(num_triples)
+    n_tr = int(0.8 * num_triples)
+    n_va = int(0.1 * num_triples)
+    return {
+        "train": triples[perm[:n_tr]],
+        "valid": triples[perm[n_tr: n_tr + n_va]],
+        "test": triples[perm[n_tr + n_va:]],
+        "num_entities": num_entities,
+        "num_relations": num_relations,
+    }

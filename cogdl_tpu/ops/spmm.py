@@ -1,0 +1,185 @@
+"""SpMM / SDDMM / multi-head aggregation — dispatch layer.
+
+Replaces the reference operator stack (cogdl/operators/spmm.py:43-83 SPMMFunction,
+operators/mhspmm.py, utils/spmm_utils.py:85-251 dispatch) with two tiers:
+
+  * fallback tier (always available, CPU/TPU): gather + sorted segment_sum —
+    the analog of the reference's ``spmm_scatter`` (utils/spmm_utils.py:43-52).
+    JAX autodiff derives the backward (transpose-SpMM for dx, SDDMM for dw)
+    automatically from this formulation.
+  * performance tier: Pallas BCSR kernel on the MXU
+    (cogdl_tpu.ops.pallas.bcsr_spmm), selected on TPU for large graphs when the
+    graph carries a cached block-sparse layout.
+
+Both tiers share the shape contract: features ``[N_pad, F]`` in, ``[N_pad, F]``
+out, pad rows produce zeros (pad edges carry zero weight).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..data.graph import Graph
+from . import segment as seg
+
+__all__ = [
+    "spmm",
+    "spmm_coo",
+    "sddmm",
+    "mh_spmm",
+    "mh_sddmm",
+    "edge_softmax",
+    "s_add_e_sum",
+    "s_mul_e_sum",
+    "s_sub_e_sum",
+    "s_add_e_mean",
+    "s_mul_e_mean",
+    "s_dot_t",
+    "aggregate",
+]
+
+
+def spmm_coo(
+    x: jnp.ndarray,
+    row: jnp.ndarray,
+    col: jnp.ndarray,
+    weight: Optional[jnp.ndarray],
+    num_segments: int,
+    sorted: bool = True,
+) -> jnp.ndarray:
+    """out[r] = sum over edges e with row[e]==r of weight[e] * x[col[e]]."""
+    msg = seg.gather(x, col)
+    if weight is not None:
+        w = weight.reshape((-1,) + (1,) * (msg.ndim - 1))
+        msg = msg * w
+    return seg.segment_sum(msg, row, num_segments, sorted)
+
+
+def spmm(graph: Graph, x: jnp.ndarray, actnn: bool = False, fast_spmm=None) -> jnp.ndarray:
+    """``Y = A @ X`` over the graph's (weighted) adjacency.
+
+    API mirror of reference ``spmm(graph, x)`` (utils/spmm_utils.py:85) —
+    aggregates source features into destination nodes.
+    """
+    from . import pallas as _pl  # local import: keeps CPU-only paths light
+
+    kern = _pl.maybe_bcsr_spmm(graph, x)
+    if kern is not None:
+        return kern
+    return spmm_coo(x, graph.row, graph.col, graph.edge_weight, graph.n_pad)
+
+
+def sddmm(graph: Graph, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Sampled dense-dense matmul: per-edge ``a[row[e]] · b[col[e]]``.
+
+    Reference: cogdl/operators/spmm/sddmm_kernel.cu (used for SpMM backward
+    wrt edge weights); here exposed as a first-class op for attention scores.
+    Returns ``[E]`` for 2-D inputs, ``[E, H]`` for 3-D ``[N, H, D]`` inputs.
+    """
+    ar = seg.gather(a, graph.row)
+    br = seg.gather(b, graph.col)
+    return jnp.sum(ar * br, axis=-1)
+
+
+def edge_softmax(
+    graph: Graph, scores: jnp.ndarray, mask_pad: bool = True
+) -> jnp.ndarray:
+    """Per-destination softmax of edge scores ``[E]`` or ``[E, H]``.
+
+    Reference: cogdl/operators/edge_softmax/edge_softmax.cu.
+    Pad edges are masked out so they contribute zero attention.
+    """
+    mask = graph.edge_mask() if mask_pad else None
+    return seg.segment_softmax(scores, graph.row, graph.n_pad, mask=mask)
+
+
+def mh_spmm(graph: Graph, attention: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """Multi-head SpMM: ``out[v,h,:] = Σ_e att[e,h] · feat[col[e],h,:]``.
+
+    Reference: cogdl/operators/spmm/multiheadSpmm.cu via MHSPMMFunction
+    (operators/mhspmm.py:45). ``attention: [E, H]``, ``h: [N, H, D]``.
+    """
+    msg = seg.gather(h, graph.col) * attention[:, :, None]
+    return seg.segment_sum(msg, graph.row, graph.n_pad)
+
+
+def mh_sddmm(graph: Graph, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Per-edge per-head dots for ``[N, H, D]`` inputs → ``[E, H]``.
+    Reference: multiheadSddmm.cu."""
+    return jnp.sum(seg.gather(a, graph.row) * seg.gather(b, graph.col), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Generic message ops (reference cogdl/operators/ops.py:1-171)
+# ---------------------------------------------------------------------------
+
+def _combine(op: str, src: jnp.ndarray, edge: jnp.ndarray) -> jnp.ndarray:
+    if edge.ndim < src.ndim:
+        edge = edge.reshape(edge.shape + (1,) * (src.ndim - edge.ndim))
+    if op == "add":
+        return src + edge
+    if op == "mul":
+        return src * edge
+    if op == "sub":
+        return src - edge
+    raise ValueError(op)
+
+
+def _s_op_e_agg(op: str, agg: str, graph: Graph, src_feat, edge_feat):
+    msg = _combine(op, seg.gather(src_feat, graph.col), edge_feat)
+    # pad edges must not contribute: zero them (gathered sink features are 0,
+    # but edge_feat on pads may not be)
+    m = graph.edge_mask().reshape((-1,) + (1,) * (msg.ndim - 1))
+    msg = jnp.where(m, msg, 0.0)
+    if agg == "sum":
+        return seg.segment_sum(msg, graph.row, graph.n_pad)
+    if agg == "mean":
+        s = seg.segment_sum(msg, graph.row, graph.n_pad)
+        deg = graph.in_degrees().reshape((-1,) + (1,) * (msg.ndim - 1))
+        return s / jnp.maximum(deg, 1.0)
+    if agg == "max":
+        return seg.segment_max(msg, graph.row, graph.n_pad)
+    raise ValueError(agg)
+
+
+def s_add_e_sum(graph, src, edge):
+    return _s_op_e_agg("add", "sum", graph, src, edge)
+
+
+def s_mul_e_sum(graph, src, edge):
+    return _s_op_e_agg("mul", "sum", graph, src, edge)
+
+
+def s_sub_e_sum(graph, src, edge):
+    return _s_op_e_agg("sub", "sum", graph, src, edge)
+
+
+def s_add_e_mean(graph, src, edge):
+    return _s_op_e_agg("add", "mean", graph, src, edge)
+
+
+def s_mul_e_mean(graph, src, edge):
+    return _s_op_e_agg("mul", "mean", graph, src, edge)
+
+
+def s_dot_t(graph, src, dst):
+    """Per-edge dot of source and destination features → ``[E, 1]``
+    (reference ops.py ``s_dot_t``)."""
+    return sddmm(graph, dst, src)[:, None]
+
+
+def aggregate(graph: Graph, x: jnp.ndarray, how: str = "sum") -> jnp.ndarray:
+    """Neighborhood aggregation of source features into destinations."""
+    if how == "sum":
+        return spmm(graph, x)
+    msg = seg.gather(x, graph.col)
+    if how == "mean":
+        return seg.segment_mean(msg, graph.row, graph.n_pad)
+    if how == "max":
+        m = graph.edge_mask().reshape((-1,) + (1,) * (msg.ndim - 1))
+        msg = jnp.where(m, msg, seg._NEG_INF)
+        return seg.segment_max(msg, graph.row, graph.n_pad)
+    raise ValueError(how)

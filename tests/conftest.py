@@ -1,0 +1,21 @@
+"""Test configuration: run everything on CPU with 8 virtual devices so that
+multi-chip sharding paths are exercised deterministically without TPU hardware
+(the improvement over the reference, which has zero distributed tests —
+SURVEY.md §4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
