@@ -1,0 +1,145 @@
+"""Experiment API — rebuild of reference cogdl/experiments.py:335 ``experiment``.
+
+``experiment(dataset, model, seed=[...], **hyperparams)`` runs the variant grid
+dataset × model × seed, trains each with the task wrapper matched to the model
+(reference wrappers/default_match.py), and returns/prints a results table.
+Typed kwargs replace the reference's argparse/sys.argv machinery
+(options.py:126); BEST_CONFIGS-style per-(model,dataset) overrides live in
+cogdl_tpu.configs.
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections import defaultdict
+from dataclasses import fields as dc_fields
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from .configs import BEST_CONFIGS
+from .datasets import build_dataset
+from .datasets.dataset import Dataset
+from .models import SUPPORTED_MODELS, build_model
+from .trainer.trainer import Trainer, TrainerConfig
+from .wrappers import default_wrapper_for, fetch_wrapper
+
+TRAINER_KEYS = {f.name for f in dc_fields(TrainerConfig)}
+
+
+def _as_list(x) -> List:
+    if isinstance(x, (list, tuple)):
+        return list(x)
+    return [x]
+
+
+def gen_variants(datasets, models, seeds):
+    """Cartesian variant grid (reference experiments.py:233)."""
+    return list(itertools.product(_as_list(datasets), _as_list(models), _as_list(seeds)))
+
+
+def set_best_config(model: str, dataset: str, kwargs: Dict) -> Dict:
+    """Overlay per-(model,dataset) tuned hyper-parameters under user kwargs
+    (reference experiments.py:79 + configs.py). Precedence:
+    defaults < best-config < user kwargs."""
+    merged = {}
+    merged.update(BEST_CONFIGS.get(model, {}).get("general", {}))
+    merged.update(BEST_CONFIGS.get(model, {}).get(dataset, {}))
+    merged.update(kwargs)
+    return merged
+
+
+def train(
+    dataset: Union[str, Dataset],
+    model: str,
+    seed: int = 0,
+    wrapper: Optional[str] = None,
+    use_best_config: bool = False,
+    **kwargs,
+) -> Dict[str, float]:
+    """Train one variant end-to-end (reference experiments.py:92 ``train``)."""
+    ds = build_dataset(dataset) if isinstance(dataset, str) else dataset
+    ds_name = ds.name if isinstance(ds, Dataset) else str(dataset)
+    if use_best_config:
+        kwargs = set_best_config(model, ds_name, kwargs)
+
+    trainer_kwargs = {k: v for k, v in kwargs.items() if k in TRAINER_KEYS}
+    model_kwargs = {k: v for k, v in kwargs.items() if k not in TRAINER_KEYS}
+    trainer_kwargs["seed"] = seed
+
+    wrapper_name = wrapper or default_wrapper_for(model)
+    wrapper_cls = fetch_wrapper(wrapper_name)
+
+    if hasattr(wrapper_cls, "run_embedding"):
+        # embedding-style wrappers own their whole train/eval loop
+        w = wrapper_cls(model_name=model, dataset=ds, seed=seed, **model_kwargs)
+        return w.run_embedding()
+
+    graph = ds.graph
+    mdl = build_model(
+        model,
+        in_features=ds.num_features,
+        out_features=ds.num_classes,
+        **model_kwargs,
+    )
+    w = wrapper_cls(mdl, dataset=ds)
+    trainer = Trainer(TrainerConfig(**trainer_kwargs))
+    result = trainer.run(w, graph)
+    result.pop("_variables", None)
+    return result
+
+
+def raw_experiment(datasets, models, seeds=(1,), **kwargs) -> Dict[str, List[Dict]]:
+    """Run the full variant grid; returns variant → list of per-seed results
+    (reference experiments.py:269)."""
+    variants = gen_variants(datasets, models, seeds)
+    results = defaultdict(list)
+    for ds, mdl, seed in variants:
+        res = train(ds, mdl, seed=seed, **kwargs)
+        key = (ds if isinstance(ds, str) else getattr(ds, "name", "dataset"), mdl)
+        results[key].append(res)
+    return dict(results)
+
+
+def output_results(results: Dict, metrics: Sequence[str] = ("test_acc", "val_acc")):
+    """Tabulated mean±std per variant (reference experiments.py:245)."""
+    col_names = ["Variant"] + [m for m in metrics]
+    rows = []
+    for (ds, mdl), runs in results.items():
+        row = [f"({ds!r}, {mdl!r})"]
+        for m in metrics:
+            vals = [r[m] for r in runs if m in r]
+            if vals:
+                row.append(f"{np.mean(vals):.4f}±{np.std(vals):.4f}")
+            else:
+                row.append("—")
+        rows.append(row)
+    widths = [max(len(str(r[i])) for r in rows + [col_names]) for i in range(len(col_names))]
+    lines = ["  ".join(str(c).ljust(w) for c, w in zip(col_names, widths))]
+    lines += ["  ".join(str(c).ljust(w) for c, w in zip(r, widths)) for r in rows]
+    table = "\n".join(lines)
+    print(table)
+    return table
+
+
+def experiment(
+    dataset,
+    model,
+    seed: Union[int, Sequence[int]] = 1,
+    search_space=None,
+    n_trials: int = 3,
+    **kwargs,
+):
+    """The one-call API (reference experiments.py:335).
+
+    >>> experiment(dataset="sbm", model="gcn", epochs=50)
+    """
+    if search_space is not None:
+        from .automl import auto_experiment
+
+        return auto_experiment(dataset, model, seeds=_as_list(seed),
+                               search_space=search_space, n_trials=n_trials,
+                               **kwargs)
+    results = raw_experiment(dataset, model, seeds=_as_list(seed), **kwargs)
+    output_results(results)
+    return results

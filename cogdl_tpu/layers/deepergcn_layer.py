@@ -1,0 +1,74 @@
+"""DeeperGCN building blocks: GENConv (softmax/power-mean aggregation) and the
+pre-activation residual block ResGNNLayer.
+
+Rebuild of reference cogdl/layers/deepergcn_layer.py (189 LoC).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..data.graph import Graph
+from ..ops import segment as seg
+from .mlp import MLP
+
+
+class GENConv(nn.Module):
+    out_features: int
+    aggr: str = "softmax_sg"   # softmax | softmax_sg | powermean | mean | max
+    beta: float = 1.0
+    p: float = 1.0
+    learn_beta: bool = False
+    learn_p: bool = False
+    eps: float = 1e-7
+
+    @nn.compact
+    def __call__(self, graph: Graph, x: jnp.ndarray, training: bool = False):
+        h = nn.Dense(self.out_features, name="mlp_in")(x)
+        msg = seg.gather(h, graph.col)
+        msg = nn.relu(msg) + self.eps
+        mask = graph.edge_mask()[:, None]
+        if self.aggr in ("softmax", "softmax_sg"):
+            beta = (self.param("beta", nn.initializers.constant(self.beta), ())
+                    if self.learn_beta else self.beta)
+            scores = seg.segment_softmax(msg * beta, graph.row, graph.n_pad,
+                                         mask=jnp.broadcast_to(mask, msg.shape))
+            if self.aggr == "softmax_sg":
+                scores = jax.lax.stop_gradient(scores)
+            out = seg.segment_sum(jnp.where(mask, msg * scores, 0.0),
+                                  graph.row, graph.n_pad)
+        elif self.aggr == "powermean":
+            p = (self.param("p", nn.initializers.constant(self.p), ())
+                 if self.learn_p else self.p)
+            mp = jnp.where(mask, msg ** p, 0.0)
+            mean = seg.segment_mean(mp, graph.row, graph.n_pad)
+            out = jnp.maximum(mean, self.eps) ** (1.0 / p)
+        elif self.aggr == "mean":
+            out = seg.segment_mean(jnp.where(mask, msg, 0.0), graph.row, graph.n_pad)
+        elif self.aggr == "max":
+            out = seg.segment_max(jnp.where(mask, msg, -1e30), graph.row, graph.n_pad)
+        else:
+            raise ValueError(self.aggr)
+        out = h + out
+        return MLP(self.out_features, hidden_features=2 * self.out_features,
+                   num_layers=2, activation="relu", name="mlp_out")(out, training)
+
+
+class ResGNNLayer(nn.Module):
+    """Pre-activation residual wrapper: x + Conv(Act(Norm(x)))."""
+    out_features: int
+    aggr: str = "softmax_sg"
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, graph: Graph, x: jnp.ndarray, training: bool = False):
+        h = nn.BatchNorm(use_running_average=not training, name="norm")(x)
+        h = nn.relu(h)
+        if self.dropout > 0 and training:
+            h = nn.Dropout(rate=self.dropout, deterministic=False)(h)
+        h = GENConv(self.out_features, aggr=self.aggr, name="conv")(graph, h, training)
+        return x + h

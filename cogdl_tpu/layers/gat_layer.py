@@ -1,0 +1,59 @@
+"""GAT layer: multi-head attention over edges via SDDMM-style additive scores,
+edge-softmax, and multi-head SpMM.
+
+TPU-native rebuild of reference ``GATLayer`` (cogdl/layers/gat_layer.py:17-89);
+the fused dgNN branch (:70-72) becomes one jit region — XLA fuses the score
+computation, softmax and aggregation without materialising per-edge tensors
+in HBM beyond the [E, H] attention vector.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..data.graph import Graph
+from ..ops import edge_softmax, gather, mh_spmm
+from .utils import get_activation
+
+
+class GATLayer(nn.Module):
+    out_features: int          # per-head output size
+    nhead: int = 1
+    alpha: float = 0.2         # leaky-relu slope
+    attn_drop: float = 0.5
+    activation: Optional[str] = None
+    residual: bool = False
+    norm: Optional[str] = None
+    concat: bool = True        # concat heads (hidden layers) vs mean (output)
+
+    @nn.compact
+    def __call__(self, graph: Graph, x: jnp.ndarray, training: bool = False):
+        H, D = self.nhead, self.out_features
+        h = nn.Dense(H * D, use_bias=False, name="W")(x).reshape(-1, H, D)
+        # additive attention split into dst and src halves (a^T [Wh_i || Wh_j])
+        a_dst = self.param("a_dst", nn.initializers.glorot_uniform(), (1, H, D))
+        a_src = self.param("a_src", nn.initializers.glorot_uniform(), (1, H, D))
+        score_dst = jnp.sum(h * a_dst, axis=-1)  # [N, H]
+        score_src = jnp.sum(h * a_src, axis=-1)
+        e = gather(score_dst, graph.row) + gather(score_src, graph.col)  # [E, H]
+        e = jax.nn.leaky_relu(e, self.alpha)
+        att = edge_softmax(graph, e)
+        if self.attn_drop > 0 and training:
+            att = nn.Dropout(rate=self.attn_drop, deterministic=False)(att)
+        out = mh_spmm(graph, att, h)  # [N, H, D]
+        out = out.reshape(-1, H * D) if self.concat else out.mean(axis=1)
+        if self.residual:
+            res = x if x.shape[-1] == out.shape[-1] else nn.Dense(
+                out.shape[-1], use_bias=False, name="res_proj")(x)
+            out = out + res
+        if self.norm == "batchnorm":
+            out = nn.BatchNorm(use_running_average=not training, name="norm")(out)
+        elif self.norm == "layernorm":
+            out = nn.LayerNorm(name="norm")(out)
+        if self.activation is not None:
+            out = get_activation(self.activation)(out)
+        return out

@@ -1,0 +1,61 @@
+"""GCN (Kipf & Welling) — rebuild of reference cogdl/models/nn/gcn.py:6.
+
+Forward contract: ``model(graph, x=None, training=False) -> logits[N_pad, C]``.
+Normalisation (sym by default) is applied inside the model like the reference's
+``graph.sym_norm()`` call (models/nn/gcn.py:72) but as a pure transform.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ...data.graph import Graph, sym_norm, row_norm
+from ...layers import GCNLayer
+
+
+class GCN(nn.Module):
+    in_features: int
+    out_features: int
+    hidden_size: int = 64
+    num_layers: int = 2
+    dropout: float = 0.5
+    activation: str = "relu"
+    norm: Optional[str] = None
+    residual: bool = False
+    adj_norm: str = "sym"  # sym | row | none
+
+    @nn.compact
+    def __call__(self, graph: Graph, x: Optional[jnp.ndarray] = None,
+                 training: bool = False):
+        if x is None:
+            x = graph.x
+        if self.adj_norm == "sym":
+            graph = sym_norm(graph)
+        elif self.adj_norm == "row":
+            graph = row_norm(graph)
+        if self.dropout > 0 and training:
+            x = nn.Dropout(rate=self.dropout, deterministic=False)(x)
+        for i in range(self.num_layers - 1):
+            x = GCNLayer(
+                self.hidden_size,
+                dropout=self.dropout,
+                activation=self.activation,
+                residual=self.residual,
+                norm=self.norm,
+                name=f"layer{i}",
+            )(graph, x, training)
+        return GCNLayer(self.out_features, name=f"layer{self.num_layers - 1}")(
+            graph, x, training)
+
+    def embed(self, graph: Graph, x: Optional[jnp.ndarray] = None):
+        """Penultimate-layer embeddings (reference ``predict``-style hook)."""
+        if x is None:
+            x = graph.x
+        g = sym_norm(graph) if self.adj_norm == "sym" else graph
+        for i in range(self.num_layers - 1):
+            x = GCNLayer(self.hidden_size, activation=self.activation,
+                         name=f"layer{i}")(g, x, False)
+        return x

@@ -1,0 +1,150 @@
+"""Training runtime — the TPU-native replacement for the reference Trainer
+(cogdl/trainer/trainer.py:56-562).
+
+Design: ONE jitted ``train_step(state, batch) → (state, loss)`` containing
+loss, grads, optax update and mutable-collection updates; a thin Python epoch
+driver handles early stopping, best-parameter snapshots (device-side copy, not
+the reference's ``deepcopy`` at trainer.py:396), checkpointing, and logging.
+Evaluation is a second jitted function returning exact metric scalars.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+@dataclass
+class TrainerConfig:
+    epochs: int = 200
+    lr: float = 1e-2
+    weight_decay: float = 5e-4
+    patience: int = 100
+    eval_step: int = 1
+    seed: int = 0
+    monitor: str = "val_acc"          # early-stop metric
+    monitor_mode: str = "max"
+    grad_clip: Optional[float] = None
+    optimizer: str = "adam"           # adam | adamw | sgd
+    lr_schedule: Optional[str] = None  # None | "cosine" | "linear" | "noam"
+    warmup_steps: int = 0
+    logger: Optional[Any] = None      # loggers.Logger instance
+    progress: bool = False
+
+
+def build_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
+    """Optimizer + schedule factory (reference: per-wrapper setup_optimizer and
+    utils/optimizer.py Noam/linear schedules)."""
+    lr: Any = cfg.lr
+    if cfg.lr_schedule == "cosine":
+        lr = optax.cosine_decay_schedule(cfg.lr, decay_steps=max(cfg.epochs, 1))
+    elif cfg.lr_schedule == "linear":
+        lr = optax.linear_schedule(cfg.lr, 0.0, transition_steps=max(cfg.epochs, 1))
+    elif cfg.lr_schedule == "noam":
+        warm = max(cfg.warmup_steps, 1)
+        lr = lambda step: cfg.lr * jnp.minimum(
+            (step + 1.0) ** -0.5, (step + 1.0) * warm ** -1.5) * warm ** 0.5
+    if cfg.optimizer == "adamw":
+        tx = optax.adamw(lr, weight_decay=cfg.weight_decay)
+    elif cfg.optimizer == "sgd":
+        tx = optax.sgd(lr, momentum=0.9)
+    else:
+        tx = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay) if cfg.weight_decay
+            else optax.identity(),
+            optax.adam(lr),
+        )
+    if cfg.grad_clip:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    return tx
+
+
+class Trainer:
+    """Task-agnostic epoch driver around a wrapper's jitted loss/evaluate."""
+
+    def __init__(self, cfg: Optional[TrainerConfig] = None, **kw):
+        if cfg is None:
+            cfg = TrainerConfig(**kw)
+        self.cfg = cfg
+
+    def run(self, wrapper, graph) -> Dict[str, float]:
+        cfg = self.cfg
+        if hasattr(wrapper, "prepare_graph"):
+            graph = wrapper.prepare_graph(graph)
+        rng = jax.random.PRNGKey(cfg.seed)
+        rng, init_rng = jax.random.split(rng)
+        variables = wrapper.init(init_rng, graph)
+        params = variables["params"]
+        model_state = {k: v for k, v in variables.items() if k != "params"}
+        tx = build_optimizer(cfg)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def train_step(params, model_state, opt_state, g, step_rng):
+            def loss_fn(p):
+                loss, updates = wrapper.loss(
+                    {"params": p, **model_state}, g, step_rng, training=True)
+                return loss, updates
+
+            (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            upd, opt_state2 = tx.update(grads, opt_state, params)
+            params2 = optax.apply_updates(params, upd)
+            new_model_state = {**model_state, **updates}
+            return params2, new_model_state, opt_state2, loss
+
+        @jax.jit
+        def eval_step(params, model_state, g):
+            return wrapper.evaluate({"params": params, **model_state}, g)
+
+        batches = wrapper.train_batches(graph) if hasattr(wrapper, "train_batches") else [graph]
+
+        monitor = getattr(wrapper, "eval_metric", cfg.monitor)
+        mode = getattr(wrapper, "eval_mode", cfg.monitor_mode)
+        sign = 1.0 if mode == "max" else -1.0
+        best = -np.inf
+        best_params = params
+        best_model_state = model_state
+        best_epoch = 0
+        patience_left = cfg.patience
+        t0 = time.time()
+        logger = cfg.logger
+
+        for epoch in range(cfg.epochs):
+            losses = []
+            for b in batches:
+                rng, step_rng = jax.random.split(rng)
+                params, model_state, opt_state, loss = train_step(
+                    params, model_state, opt_state, b, step_rng)
+                losses.append(loss)
+            if (epoch + 1) % cfg.eval_step == 0:
+                metrics = eval_step(params, model_state, graph)
+                score = float(metrics.get(monitor, jnp.nan)) * sign
+                if logger is not None:
+                    logger.note({**{k: float(v) for k, v in metrics.items()},
+                                 "train_loss": float(jnp.mean(jnp.stack(losses)))},
+                                epoch)
+                if score > best:
+                    best = score
+                    best_params = params
+                    best_model_state = model_state
+                    best_epoch = epoch
+                    patience_left = cfg.patience
+                else:
+                    patience_left -= cfg.eval_step
+                    if patience_left <= 0:
+                        break
+            if cfg.progress and (epoch % 20 == 0):
+                print(f"epoch {epoch}: loss={float(losses[-1]):.4f}")
+
+        final = eval_step(best_params, best_model_state, graph)
+        result = {k: float(v) for k, v in final.items()}
+        result["best_epoch"] = best_epoch
+        result["train_time"] = time.time() - t0
+        result["_variables"] = {"params": best_params, **best_model_state}
+        return result

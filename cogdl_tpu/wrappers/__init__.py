@@ -1,0 +1,63 @@
+"""Task wrappers — the rebuild of the reference's DataWrapper/ModelWrapper
+abstraction (cogdl/wrappers/). A wrapper owns the task-specific pieces:
+loss, evaluation, data preparation; the Trainer stays task-agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+SUPPORTED_WRAPPERS: Dict[str, str] = {
+    "node_classification": "cogdl_tpu.wrappers.node_classification.NodeClfWrapper",
+    "graph_classification": "cogdl_tpu.wrappers.graph_classification.GraphClfWrapper",
+    "link_prediction": "cogdl_tpu.wrappers.link_prediction.LinkPredictionWrapper",
+    "network_embedding": "cogdl_tpu.wrappers.network_embedding.NetworkEmbeddingWrapper",
+    "triple_link_prediction": "cogdl_tpu.wrappers.triple_link_prediction.TripleLinkPredictionWrapper",
+    "dgi": "cogdl_tpu.wrappers.self_supervised.DGIWrapper",
+    "grace": "cogdl_tpu.wrappers.self_supervised.GRACEWrapper",
+    "clustering": "cogdl_tpu.wrappers.clustering.ClusteringWrapper",
+}
+
+# model name → default wrapper (reference cogdl/wrappers/default_match.py:9)
+DEFAULT_WRAPPER = {
+    "gcn": "node_classification", "gat": "node_classification",
+    "graphsage": "node_classification", "sage": "node_classification",
+    "sgc": "node_classification", "sign": "node_classification",
+    "appnp": "node_classification", "ppnp": "node_classification",
+    "gcnii": "node_classification", "mixhop": "node_classification",
+    "grand": "node_classification", "mlp": "node_classification",
+    "deepergcn": "node_classification", "dropedge_gcn": "node_classification",
+    "revgcn": "node_classification", "graphsaint": "node_classification",
+    "pprgo": "node_classification", "sagn": "node_classification",
+    "m3s": "node_classification", "moe_gcn": "node_classification",
+    "correct_smooth_mlp": "node_classification",
+    "gin": "graph_classification", "diffpool": "graph_classification",
+    "sortpool": "graph_classification", "patchy_san": "graph_classification",
+    "infograph": "graph_classification",
+    "dgi": "dgi", "grace": "grace", "mvgrl": "dgi", "graphmae": "dgi",
+    "gae": "clustering", "vgae": "clustering", "agc": "clustering",
+    "daegc": "clustering",
+    "deepwalk": "network_embedding", "node2vec": "network_embedding",
+    "line": "network_embedding", "netmf": "network_embedding",
+    "netsmf": "network_embedding", "prone": "network_embedding",
+    "hope": "network_embedding", "grarep": "network_embedding",
+    "spectral": "network_embedding", "sdne": "network_embedding",
+    "dngr": "network_embedding", "metapath2vec": "network_embedding",
+    "pte": "network_embedding", "hin2vec": "network_embedding",
+    "graph2vec": "network_embedding", "dgk": "network_embedding",
+    "gatne": "network_embedding",
+    "transe": "triple_link_prediction", "distmult": "triple_link_prediction",
+    "rotate": "triple_link_prediction", "complex": "triple_link_prediction",
+}
+
+
+def fetch_wrapper(name: str):
+    import importlib
+
+    path = SUPPORTED_WRAPPERS[name]
+    module_path, cls_name = path.rsplit(".", 1)
+    return getattr(importlib.import_module(module_path), cls_name)
+
+
+def default_wrapper_for(model_name: str) -> str:
+    return DEFAULT_WRAPPER.get(model_name, "node_classification")
