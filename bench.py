@@ -1,0 +1,108 @@
+"""Benchmark: SpMM-bound GCN training throughput in edges/sec (BASELINE.json
+north star — GCN on an ogbn-products-scale power-law graph).
+
+Measures the full jitted train step (forward + backward + Adam) on the default
+platform (the real TPU chip under the driver). One JSON line to stdout:
+{"metric": ..., "value": ..., "unit": "edges/sec", "vs_baseline": ...}
+
+Timing honesty: steps are chained inside one jit via lax.scan and the final
+loss is read back to host — on this remote-device backend,
+``block_until_ready()`` does NOT guarantee execution finished; only a value
+transfer does.
+
+vs_baseline anchor: 1.0e9 edges/sec — GE-SpMM-class throughput of the
+reference's CUDA SpMM on a V100 at feature width ~100 (the reference
+publishes no in-repo throughput numbers; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_EDGES_PER_SEC = 1.0e9
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=1_000_000)
+    ap.add_argument("--avg-degree", type=int, default=30)
+    ap.add_argument("--feat-dim", type=int, default=100)
+    ap.add_argument("--hidden", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--products", action="store_true",
+                    help="full ogbn-products scale (2.45M nodes, ~124M edges)")
+    args = ap.parse_args()
+    if args.products:
+        args.nodes, args.avg_degree = 2_450_000, 50
+
+    import optax
+
+    from cogdl_tpu.datasets.synthetic import powerlaw_graph
+    from cogdl_tpu.models import build_model
+    from cogdl_tpu.utils.evaluator import masked_cross_entropy
+
+    from cogdl_tpu.data.graph import add_self_loops, sym_norm
+
+    graph = powerlaw_graph(args.nodes, avg_degree=args.avg_degree,
+                           feat_dim=args.feat_dim)
+    graph = sym_norm(add_self_loops(graph))
+    model = build_model("gcn", in_features=args.feat_dim,
+                        out_features=graph.num_classes,
+                        hidden_size=args.hidden, dropout=0.0)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, graph, graph.x, training=False)
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(variables["params"])
+
+    def train_step(params, opt_state, g):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, g, g.x, training=True,
+                                 rngs={"dropout": rng})
+            mask = g.train_mask & g.node_mask()
+            return masked_cross_entropy(logits, g.y, mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state2, loss
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def run_steps(params, opt_state, g, n):
+        def body(carry, _):
+            p, o = carry
+            p, o, loss = train_step(p, o, g)
+            return (p, o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=n)
+        return params, opt_state, losses[-1]
+
+    params = variables["params"]
+    params, opt_state, loss = run_steps(params, opt_state, graph, args.warmup)
+    float(loss)  # force completion
+
+    t0 = time.perf_counter()
+    params, opt_state, loss = run_steps(params, opt_state, graph, args.steps)
+    float(loss)  # force completion
+    dt = time.perf_counter() - t0
+
+    edges_per_sec = graph.num_edges * args.steps / dt
+    print(json.dumps({
+        "metric": "GCN train-step edges/sec (1 chip, powerlaw "
+                  f"{args.nodes}n x{args.avg_degree}, F={args.feat_dim})",
+        "value": round(edges_per_sec),
+        "unit": "edges/sec",
+        "vs_baseline": round(edges_per_sec / BASELINE_EDGES_PER_SEC, 4),
+        "step_ms": round(1000 * dt / args.steps, 2),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -326,28 +326,36 @@ def sym_norm(g: Graph, add_self_loops_first: bool = False) -> Graph:
     """GCN symmetric normalisation ``D^-1/2 A D^-1/2`` folded into edge_weight.
 
     Matches reference ``Adjacency.normalize_adj("sym")`` (data.py:220-258)
-    with zero-degree guard.
+    with zero-degree guard. Idempotent: tags the graph (static meta) so models
+    calling it on an already-normalised graph pay nothing — the analog of the
+    reference's cached ``__*_norm__`` vectors, but jit-free-of-charge.
     """
+    if g.meta_get("norm") == "sym":
+        return g
     if add_self_loops_first:
         g = add_self_loops(g)
     deg = g.in_degrees(weighted=True)
     inv_sqrt = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
     w = g.edge_weight * inv_sqrt[g.row] * inv_sqrt[g.col]
-    return g.replace(edge_weight=w)
+    return g.replace(edge_weight=w).with_meta(norm="sym")
 
 
 def row_norm(g: Graph) -> Graph:
     """Random-walk normalisation ``D^-1 A`` (destination-degree)."""
+    if g.meta_get("norm") == "row":
+        return g
     deg = g.in_degrees(weighted=True)
     inv = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1e-12), 0.0)
-    return g.replace(edge_weight=g.edge_weight * inv[g.row])
+    return g.replace(edge_weight=g.edge_weight * inv[g.row]).with_meta(norm="row")
 
 
 def col_norm(g: Graph) -> Graph:
     """``A D^-1`` (source-degree) normalisation."""
+    if g.meta_get("norm") == "col":
+        return g
     deg = g.out_degrees(weighted=True)
     inv = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1e-12), 0.0)
-    return g.replace(edge_weight=g.edge_weight * inv[g.col])
+    return g.replace(edge_weight=g.edge_weight * inv[g.col]).with_meta(norm="col")
 
 
 def add_self_loops(g: Graph, fill_value: float = 1.0) -> Graph:
@@ -395,7 +403,8 @@ def reverse(g: Graph) -> Graph:
 
 
 def _rebuild_structure(g: Graph, row, col, w) -> Graph:
-    """Rebuild adjacency arrays, keeping node data; host-side."""
+    """Rebuild adjacency arrays, keeping node data; host-side.
+    Any cached normalisation tag is dropped (edges changed)."""
     ng = from_coo(
         np.stack([row, col]),
         num_nodes=g.num_nodes,
@@ -410,7 +419,7 @@ def _rebuild_structure(g: Graph, row, col, w) -> Graph:
         val_mask=_repad_nodes(g.val_mask, ng.n_pad),
         test_mask=_repad_nodes(g.test_mask, ng.n_pad),
         extras=g.extras,
-        meta=g.meta,
+        meta=tuple((k, v) for k, v in g.meta if k != "norm"),
     )
 
 

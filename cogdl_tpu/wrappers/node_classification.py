@@ -32,8 +32,20 @@ class NodeClfWrapper:
 
     # -- data ---------------------------------------------------------------
     def prepare_graph(self, graph: Graph) -> Graph:
-        """pre_transform: add self loops (reference node_classification_dw:19)."""
-        return add_self_loops(graph)
+        """pre_transform: add self loops (reference node_classification_dw:19)
+        and pre-apply the model's adjacency normalisation once so the jitted
+        step doesn't recompute [E]-sized norms every call."""
+        graph = add_self_loops(graph)
+        norm = getattr(self.model, "adj_norm", None)
+        if norm == "sym":
+            from ..data.graph import sym_norm
+
+            graph = sym_norm(graph)
+        elif norm == "row":
+            from ..data.graph import row_norm
+
+            graph = row_norm(graph)
+        return graph
 
     def train_batches(self, graph: Graph):
         return [graph]
