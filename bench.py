@@ -53,6 +53,10 @@ def main():
     graph = powerlaw_graph(args.nodes, avg_degree=args.avg_degree,
                            feat_dim=args.feat_dim)
     graph = sym_norm(add_self_loops(graph))
+    from cogdl_tpu.ops.pallas import _is_tpu, prepare_spmm
+
+    if _is_tpu():
+        graph = prepare_spmm(graph)
     model = build_model("gcn", in_features=args.feat_dim,
                         out_features=graph.num_classes,
                         hidden_size=args.hidden, dropout=0.0)

@@ -63,16 +63,25 @@ def train(
     if use_best_config:
         kwargs = set_best_config(model, ds_name, kwargs)
 
-    trainer_kwargs = {k: v for k, v in kwargs.items() if k in TRAINER_KEYS}
-    model_kwargs = {k: v for k, v in kwargs.items() if k not in TRAINER_KEYS}
-    trainer_kwargs["seed"] = seed
-
     wrapper_name = wrapper or default_wrapper_for(model)
     wrapper_cls = fetch_wrapper(wrapper_name)
 
+    import inspect
+
+    wrapper_keys = set(inspect.signature(wrapper_cls.__init__).parameters) - {
+        "self", "model", "dataset", "kwargs"}
+    trainer_kwargs = {k: v for k, v in kwargs.items() if k in TRAINER_KEYS}
+    wrapper_kwargs = {k: v for k, v in kwargs.items()
+                      if k in wrapper_keys and k not in TRAINER_KEYS}
+    model_kwargs = {k: v for k, v in kwargs.items()
+                    if k not in TRAINER_KEYS and k not in wrapper_keys}
+    trainer_kwargs["seed"] = seed
+    wrapper_kwargs.setdefault("seed", seed) if "seed" in wrapper_keys else None
+
     if hasattr(wrapper_cls, "run_embedding"):
         # embedding-style wrappers own their whole train/eval loop
-        w = wrapper_cls(model_name=model, dataset=ds, seed=seed, **model_kwargs)
+        w = wrapper_cls(model_name=model, dataset=ds, **wrapper_kwargs,
+                        **model_kwargs)
         return w.run_embedding()
 
     graph = ds.graph
@@ -82,7 +91,7 @@ def train(
         out_features=ds.num_classes,
         **model_kwargs,
     )
-    w = wrapper_cls(mdl, dataset=ds)
+    w = wrapper_cls(mdl, dataset=ds, **wrapper_kwargs)
     trainer = Trainer(TrainerConfig(**trainer_kwargs))
     result = trainer.run(w, graph)
     result.pop("_variables", None)

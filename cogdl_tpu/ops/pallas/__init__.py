@@ -1,8 +1,8 @@
 """Pallas performance tier for TPU.
 
-Kernels register themselves behind the dispatch hooks used by
-``cogdl_tpu.ops.spmm``; when a graph carries a cached block-sparse (BCSR)
-layout and we are running on TPU, SpMM runs on the MXU as block-sparse matmul
+``prepare_spmm(graph)`` builds the tile-chunk-padded kernel layouts (host,
+once per graph) and stores them in ``graph.extras``; the ``spmm`` dispatcher
+then routes through the Pallas sorted-segment-matmul kernel on TPU
 (the TPU-idiomatic replacement for GE-SpMM, reference
 cogdl/operators/spmm/spmm_kernel.cu).
 """
@@ -13,16 +13,81 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+from .segment_kernels import (
+    R_TILE,
+    build_spmm_layout,
+    sorted_segment_matmul,
+    spmm_pallas,
+)
+
+_LAYOUT_KEYS = [
+    "spmm_fw_col", "spmm_fw_w", "spmm_fw_row", "spmm_fw_ct",
+    "spmm_bw_col", "spmm_bw_w", "spmm_bw_row", "spmm_bw_ct",
+]
 
 
-def maybe_bcsr_spmm(graph, x) -> Optional[jnp.ndarray]:
-    """Return the Pallas BCSR SpMM result if this graph has a prepared BCSR
-    layout and the backend supports it; otherwise None (caller falls back)."""
-    extras = graph.extras
-    if not extras or "bcsr_blocks" not in extras:
-        return None
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def prepare_spmm(graph):
+    """Host-side: attach Pallas SpMM layouts (forward + transposed backward)
+    to the graph. Call after normalisation — the layouts snapshot
+    ``edge_weight``. Returns a new Graph (n_pad rounded to the row tile)."""
+    from ...data.graph import pad_to
+
+    n_pad = _round_up(graph.n_pad, R_TILE)
+    if n_pad != graph.n_pad:
+        graph = pad_to(graph, n_pad, graph.e_pad)
+
+    E = graph.num_edges
+    row = np.asarray(graph.row)[:E]
+    col = np.asarray(graph.col)[:E]
+    w = np.asarray(graph.edge_weight)[:E]
+
+    fwd = build_spmm_layout(row, col, w, n_pad)
+    order = np.argsort(col, kind="stable")
+    bwd = build_spmm_layout(col[order], row[order], w[order], n_pad)
+
+    extras = dict(graph.extras or {})
+    extras.update({
+        "spmm_fw_col": jnp.asarray(fwd["col_k"]),
+        "spmm_fw_w": jnp.asarray(fwd["w_k"]),
+        "spmm_fw_row": jnp.asarray(fwd["row_k"]),
+        "spmm_fw_ct": jnp.asarray(fwd["chunk_tile"]),
+        "spmm_bw_col": jnp.asarray(bwd["col_k"]),
+        "spmm_bw_w": jnp.asarray(bwd["w_k"]),
+        "spmm_bw_row": jnp.asarray(bwd["row_k"]),
+        "spmm_bw_ct": jnp.asarray(bwd["chunk_tile"]),
+    })
+    return graph.replace(extras=extras)
+
+
+def _is_tpu() -> bool:
     try:
-        from .bcsr_spmm import bcsr_spmm_apply
-    except Exception:  # pragma: no cover - pallas unavailable
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def maybe_pallas_spmm(graph, x) -> Optional[jnp.ndarray]:
+    """Route through the Pallas kernel when the graph carries prepared
+    layouts and we're on TPU; None → caller falls back to XLA segment ops."""
+    extras = graph.extras
+    if not extras or "spmm_fw_col" not in extras:
         return None
-    return bcsr_spmm_apply(graph, x)
+    if x.ndim != 2 or not _is_tpu():
+        return None
+    return spmm_pallas(
+        x,
+        extras["spmm_fw_col"], extras["spmm_fw_w"],
+        extras["spmm_fw_row"], extras["spmm_fw_ct"],
+        extras["spmm_bw_col"], extras["spmm_bw_w"],
+        extras["spmm_bw_row"], extras["spmm_bw_ct"],
+    )
+
+
+# legacy alias used by ops.spmm dispatch
+maybe_bcsr_spmm = maybe_pallas_spmm

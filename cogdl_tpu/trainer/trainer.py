@@ -98,9 +98,13 @@ class Trainer:
             new_model_state = {**model_state, **updates}
             return params2, new_model_state, opt_state2, loss
 
-        @jax.jit
-        def eval_step(params, model_state, g):
-            return wrapper.evaluate({"params": params, **model_state}, g)
+        if getattr(wrapper, "jit_eval", True):
+            @jax.jit
+            def eval_step(params, model_state, g):
+                return wrapper.evaluate({"params": params, **model_state}, g)
+        else:
+            def eval_step(params, model_state, g):
+                return wrapper.evaluate({"params": params, **model_state}, g)
 
         batches = wrapper.train_batches(graph) if hasattr(wrapper, "train_batches") else [graph]
 

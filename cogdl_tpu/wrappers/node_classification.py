@@ -45,6 +45,10 @@ class NodeClfWrapper:
             from ..data.graph import row_norm
 
             graph = row_norm(graph)
+        from ..ops.pallas import _is_tpu, prepare_spmm
+
+        if _is_tpu():
+            graph = prepare_spmm(graph)
         return graph
 
     def train_batches(self, graph: Graph):

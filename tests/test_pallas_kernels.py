@@ -1,0 +1,113 @@
+"""Pallas kernel parity vs the XLA fallback tier (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cogdl_tpu import ops
+from cogdl_tpu.data.graph import add_self_loops, sym_norm
+from cogdl_tpu.datasets.synthetic import sbm_graph
+from cogdl_tpu.ops.pallas import prepare_spmm
+from cogdl_tpu.ops.pallas.segment_kernels import (
+    build_spmm_layout,
+    sorted_segment_matmul,
+    spmm_pallas,
+)
+
+
+@pytest.fixture(scope="module")
+def prepped():
+    g = sym_norm(add_self_loops(sbm_graph(num_nodes=300, seed=3)))
+    g = prepare_spmm(g)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(g.n_pad, 32)).astype(np.float32))
+    return g, x
+
+
+def _pallas_args(g):
+    ex = g.extras
+    return (ex["spmm_fw_col"], ex["spmm_fw_w"], ex["spmm_fw_row"],
+            ex["spmm_fw_ct"], ex["spmm_bw_col"], ex["spmm_bw_w"],
+            ex["spmm_bw_row"], ex["spmm_bw_ct"])
+
+
+def test_layout_construction(prepped):
+    g, _ = prepped
+    ex = g.extras
+    E_k = ex["spmm_fw_col"].shape[0]
+    assert E_k % 512 == 0
+    assert ex["spmm_fw_ct"].shape[0] == E_k // 512
+    # pad entries carry zero weight; real weights preserved in total
+    np.testing.assert_allclose(float(ex["spmm_fw_w"].sum()),
+                               float(g.edge_weight.sum()), rtol=1e-5)
+    np.testing.assert_allclose(float(ex["spmm_bw_w"].sum()),
+                               float(g.edge_weight.sum()), rtol=1e-5)
+    # chunk→tile map is monotonic (required for output revisiting)
+    ct = np.asarray(ex["spmm_fw_ct"])
+    assert np.all(np.diff(ct) >= 0)
+
+
+def test_forward_parity(prepped):
+    g, x = prepped
+    ref = ops.spmm_coo(x, g.row, g.col, g.edge_weight, g.n_pad)
+    out = spmm_pallas(x, *_pallas_args(g))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_backward_parity(prepped):
+    g, x = prepped
+    args = _pallas_args(g)
+
+    def loss_p(x):
+        return jnp.sum(spmm_pallas(x, *args) ** 2)
+
+    def loss_r(x):
+        return jnp.sum(ops.spmm_coo(x, g.row, g.col, g.edge_weight, g.n_pad) ** 2)
+
+    gp = np.asarray(jax.grad(loss_p)(x))
+    gr = np.asarray(jax.grad(loss_r)(x))
+    scale = np.maximum(np.abs(gr), 1.0)
+    np.testing.assert_allclose(gp / scale, gr / scale, rtol=1e-4, atol=1e-4)
+
+
+def test_odd_feature_width(prepped):
+    g, _ = prepped
+    x = jnp.asarray(np.random.default_rng(1).normal(
+        size=(g.n_pad, 47)).astype(np.float32))
+    ref = ops.spmm_coo(x, g.row, g.col, g.edge_weight, g.n_pad)
+    out = spmm_pallas(x, *_pallas_args(g))
+    assert out.shape == (g.n_pad, 47)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_spmm_dispatch_uses_layout_only_on_tpu(prepped):
+    g, x = prepped
+    # on CPU the dispatcher must fall back (kernel runs only via explicit call)
+    from cogdl_tpu.ops.pallas import maybe_pallas_spmm
+
+    assert maybe_pallas_spmm(g, x) is None
+    out = ops.spmm(g, x)
+    ref = ops.spmm_coo(x, g.row, g.col, g.edge_weight, g.n_pad)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
+
+
+def test_segment_matmul_direct():
+    # tiny hand-checkable case through the raw kernel
+    n_pad = 128
+    E_k = 512
+    row_k = np.zeros((E_k, 1), np.int32)
+    row_k[:3, 0] = [0, 0, 5]
+    msg = np.zeros((E_k, 8), np.float32)
+    msg[0] = 1.0
+    msg[1] = 2.0
+    msg[2] = 7.0
+    out = sorted_segment_matmul(
+        jnp.asarray(msg), jnp.asarray(row_k), jnp.asarray([0], np.int32),
+        n_pad)
+    out = np.asarray(out)
+    np.testing.assert_allclose(out[0], 3.0)
+    np.testing.assert_allclose(out[5], 7.0)
+    np.testing.assert_allclose(out[1], 0.0)

@@ -1,0 +1,67 @@
+"""Task-level smoke tests — the reference's tests/tasks pattern: run the full
+experiment() stack with shrunk budgets on small synthetic datasets and assert
+sane metric ranges (reference tests/tasks/test_node_classification.py:46-57).
+"""
+
+import numpy as np
+import pytest
+
+from cogdl_tpu import experiment
+from cogdl_tpu.experiments import train
+
+SBM_KW = dict(epochs=20, patience=30)
+
+
+NODE_MODELS = ["gcn", "gat", "graphsage", "sgc", "appnp", "gcnii", "mixhop",
+               "mlp", "sign", "grand"]
+
+
+@pytest.mark.parametrize("model", NODE_MODELS)
+def test_node_classification(model):
+    res = train("sbm", model, seed=0, **SBM_KW)
+    assert 0.0 <= res["test_acc"] <= 1.0
+    assert res["test_acc"] > 0.5  # SBM stand-in is easily learnable
+
+
+def test_gin_graph_classification():
+    res = train("random-graphs", "gin", seed=0, epochs=15, batch_size=16)
+    assert 0.0 <= res["test_acc"] <= 1.0
+
+
+def test_dgi_self_supervised():
+    res = train("sbm", "dgi", seed=0, epochs=10, patience=10, hidden_size=64,
+                eval_step=5)
+    assert res["test_acc"] > 0.5
+
+
+def test_grace_self_supervised():
+    res = train("sbm", "grace", seed=0, epochs=8, patience=10, hidden_size=32,
+                proj_size=32, eval_step=4)
+    assert res["test_acc"] > 0.5
+
+
+def test_gae_clustering():
+    res = train("sbm", "gae", seed=0, epochs=10, patience=10, eval_step=5)
+    assert 0.0 <= res["test_nmi"] <= 1.0
+
+
+def test_gcn_link_prediction():
+    res = train("sbm", "gcn", wrapper="link_prediction", seed=0, epochs=15,
+                patience=20, eval_step=5)
+    assert res["test_auc"] > 0.6
+
+
+def test_experiment_grid_and_table(capsys):
+    results = experiment(dataset="sbm", model="gcn", seed=[0, 1], epochs=5)
+    ((_, runs),) = results.items()
+    assert len(runs) == 2
+    out = capsys.readouterr().out
+    assert "test_acc" in out
+
+
+def test_best_config_overlay():
+    from cogdl_tpu.experiments import set_best_config
+
+    kw = set_best_config("gcn", "cora", {"lr": 0.5})
+    assert kw["lr"] == 0.5           # user kwargs win
+    assert kw["hidden_size"] == 64   # best config fills the rest
