@@ -9,10 +9,17 @@ from typing import Dict, Optional
 import numpy as np
 
 
+def _standardize(emb: np.ndarray) -> np.ndarray:
+    mu = emb.mean(0, keepdims=True)
+    sd = emb.std(0, keepdims=True)
+    return (emb - mu) / np.maximum(sd, 1e-8)
+
+
 def logreg_probe(emb: np.ndarray, graph) -> Dict[str, float]:
     """Fit logreg on train-mask embeddings, report split accuracies."""
     from sklearn.linear_model import LogisticRegression
 
+    emb = _standardize(emb)
     y = np.asarray(graph.y)
     out = {}
     tr = np.asarray(graph.train_mask) & np.asarray(graph.node_mask())
@@ -43,6 +50,7 @@ def f1_label_probe(
     from sklearn.multiclass import OneVsRestClassifier
 
     rng = np.random.default_rng(seed)
+    emb = _standardize(emb)
     multilabel = labels.ndim == 2
     micro, macro = [], []
     for _ in range(n_shuffles):

@@ -98,16 +98,18 @@ def test_segment_matmul_direct():
     # tiny hand-checkable case through the raw kernel
     n_pad = 128
     E_k = 512
-    row_k = np.zeros((E_k, 1), np.int32)
-    row_k[:3, 0] = [0, 0, 5]
-    msg = np.zeros((E_k, 8), np.float32)
+    row_k = np.zeros((1, E_k), np.int32)
+    row_k[0, :3] = [0, 0, 5]
+    w_k = np.zeros((1, E_k), np.float32)
+    w_k[0, :3] = [1.0, 0.5, 2.0]
+    msg = np.zeros((E_k, 128), np.float32)
     msg[0] = 1.0
     msg[1] = 2.0
     msg[2] = 7.0
     out = sorted_segment_matmul(
-        jnp.asarray(msg), jnp.asarray(row_k), jnp.asarray([0], np.int32),
-        n_pad)
+        jnp.asarray(msg), jnp.asarray(row_k), jnp.asarray(w_k),
+        jnp.asarray([0], np.int32), n_pad)
     out = np.asarray(out)
-    np.testing.assert_allclose(out[0], 3.0)
-    np.testing.assert_allclose(out[5], 7.0)
+    np.testing.assert_allclose(out[0], 2.0)   # 1*1 + 0.5*2
+    np.testing.assert_allclose(out[5], 14.0)  # 2*7
     np.testing.assert_allclose(out[1], 0.0)
