@@ -30,7 +30,7 @@ BASELINE_EDGES_PER_SEC = 1.0e9
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--nodes", type=int, default=1_000_000)
+    ap.add_argument("--nodes", type=int, default=250_000)
     ap.add_argument("--avg-degree", type=int, default=30)
     ap.add_argument("--feat-dim", type=int, default=100)
     ap.add_argument("--hidden", type=int, default=128)
@@ -51,7 +51,7 @@ def main():
     from cogdl_tpu.data.graph import add_self_loops, sym_norm
 
     graph = powerlaw_graph(args.nodes, avg_degree=args.avg_degree,
-                           feat_dim=args.feat_dim)
+                           feat_dim=args.feat_dim, device_features=True)
     graph = sym_norm(add_self_loops(graph))
     from cogdl_tpu.ops.pallas import _is_tpu, prepare_spmm
 

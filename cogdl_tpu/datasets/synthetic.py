@@ -92,10 +92,15 @@ def powerlaw_graph(
     feat_dim: int = 128,
     num_classes: int = 47,
     seed: int = 0,
+    device_features: bool = False,
 ) -> Graph:
     """Preferential-attachment-style power-law graph at arbitrary scale —
     the SpMM benchmark workload (ogbn-products stand-in). Degree distribution
-    is drawn from a Zipf law over destination popularity."""
+    is drawn from a Zipf law over destination popularity.
+
+    ``device_features=True`` generates x/y/masks directly on the default
+    device (skips the host→device transfer of the feature matrix — this
+    environment's device link is slow)."""
     rng = np.random.default_rng(seed)
     num_edges = num_nodes * avg_degree
     # popularity-weighted destinations: Zipf ranks
@@ -104,6 +109,22 @@ def powerlaw_graph(
     probs /= probs.sum()
     col = rng.choice(num_nodes, size=num_edges, p=probs).astype(np.int64)
     row = rng.integers(0, num_nodes, size=num_edges).astype(np.int64)
+    if device_features:
+        g = from_coo(
+            np.stack([row, col]), num_nodes=num_nodes,
+            meta={"num_classes": num_classes, "name": f"powerlaw{num_nodes}"},
+        )
+        import jax
+        import jax.numpy as jnp
+
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        x = jax.random.normal(k1, (g.n_pad, feat_dim), jnp.float32)
+        y = jax.random.randint(k2, (g.n_pad,), 0, num_classes, jnp.int32)
+        train_mask = (jax.random.uniform(k3, (g.n_pad,)) < 0.1) & g.node_mask()
+        return g.replace(x=x, y=y, train_mask=train_mask,
+                         val_mask=~train_mask & g.node_mask(),
+                         test_mask=~train_mask & g.node_mask())
     x = rng.normal(size=(num_nodes, feat_dim)).astype(np.float32)
     y = rng.integers(0, num_classes, size=num_nodes).astype(np.int32)
     train_mask = rng.uniform(size=num_nodes) < 0.1

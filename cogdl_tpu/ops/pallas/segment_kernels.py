@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 R_TILE = 128     # destination rows per output tile
-T_CHUNK = 512    # edges per streamed chunk
+T_CHUNK = 1024   # edges per streamed chunk (1-D arrays tile as T(1024))
 F_BLK = 128      # feature lanes per grid step
 
 
@@ -95,8 +95,8 @@ def build_spmm_layout(
 
     return {
         "col_k": col_k.astype(np.int32),
-        "w_k": w_k.reshape(n_chunks, chunk),
-        "row_k": row_k.astype(np.int32).reshape(n_chunks, chunk),
+        "w_k": w_k,
+        "row_k": row_k.astype(np.int32),
         "orig_k": orig_k.astype(np.int32),
         "chunk_tile": chunk_tile,
     }
@@ -113,10 +113,10 @@ def _seg_mm_kernel(chunk_tile_ref, msg_ref, row_ref, w_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    rows = row_ref[:]                                   # [1, T] int32 (abs row)
+    rows = row_ref[:][None, :]                          # [1, T] int32 (abs row)
     base = tile * R_TILE
     r_ids = jax.lax.broadcasted_iota(jnp.int32, (R_TILE, T_CHUNK), 0) + base
-    p = jnp.where(rows == r_ids, w_ref[:], 0.0).astype(msg_ref.dtype)  # [R, T]
+    p = jnp.where(rows == r_ids, w_ref[:][None, :], 0.0).astype(msg_ref.dtype)  # [R, T]
     out_ref[:] += jax.lax.dot_general(
         p, msg_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -126,8 +126,8 @@ def _seg_mm_kernel(chunk_tile_ref, msg_ref, row_ref, w_ref, out_ref):
 
 def sorted_segment_matmul(
     msg: jnp.ndarray,         # [E_k, F] messages in padded layout (unweighted)
-    row_k: jnp.ndarray,       # [n_chunks, T] absolute destination rows
-    w_k: jnp.ndarray,         # [n_chunks, T] per-slot weights (0 on pads)
+    row_k: jnp.ndarray,       # [E_k] absolute destination rows
+    w_k: jnp.ndarray,         # [E_k] per-slot weights (0 on pads)
     chunk_tile: jnp.ndarray,  # [n_chunks] int32, monotonic
     n_pad: int,
     interpret: Optional[bool] = None,
@@ -149,8 +149,8 @@ def sorted_segment_matmul(
         grid=(nf, n_chunks),
         in_specs=[
             pl.BlockSpec((T_CHUNK, F_BLK), lambda f, c, ct: (c, f)),
-            pl.BlockSpec((1, T_CHUNK), lambda f, c, ct: (c, 0)),
-            pl.BlockSpec((1, T_CHUNK), lambda f, c, ct: (c, 0)),
+            pl.BlockSpec((T_CHUNK,), lambda f, c, ct: (c,)),
+            pl.BlockSpec((T_CHUNK,), lambda f, c, ct: (c,)),
         ],
         out_specs=pl.BlockSpec((R_TILE, F_BLK), lambda f, c, ct: (ct[c], f)),
     )

@@ -36,8 +36,8 @@ def test_layout_construction(prepped):
     g, _ = prepped
     ex = g.extras
     E_k = ex["spmm_fw_col"].shape[0]
-    assert E_k % 512 == 0
-    assert ex["spmm_fw_ct"].shape[0] == E_k // 512
+    assert E_k % 1024 == 0
+    assert ex["spmm_fw_ct"].shape[0] == E_k // 1024
     # pad entries carry zero weight; real weights preserved in total
     np.testing.assert_allclose(float(ex["spmm_fw_w"].sum()),
                                float(g.edge_weight.sum()), rtol=1e-5)
@@ -97,11 +97,11 @@ def test_spmm_dispatch_uses_layout_only_on_tpu(prepped):
 def test_segment_matmul_direct():
     # tiny hand-checkable case through the raw kernel
     n_pad = 128
-    E_k = 512
-    row_k = np.zeros((1, E_k), np.int32)
-    row_k[0, :3] = [0, 0, 5]
-    w_k = np.zeros((1, E_k), np.float32)
-    w_k[0, :3] = [1.0, 0.5, 2.0]
+    E_k = 1024
+    row_k = np.zeros(E_k, np.int32)
+    row_k[:3] = [0, 0, 5]
+    w_k = np.zeros(E_k, np.float32)
+    w_k[:3] = [1.0, 0.5, 2.0]
     msg = np.zeros((E_k, 128), np.float32)
     msg[0] = 1.0
     msg[1] = 2.0
