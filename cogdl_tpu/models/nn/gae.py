@@ -47,6 +47,8 @@ class GAE(nn.Module):
 
 
 class VGAE(GAE):
+    has_kl = True
+
     def setup(self):
         self.conv1 = GCNLayer(self.hidden_size, activation="relu", name="conv1")
         self.conv_mu = GCNLayer(self.emb_size, name="conv_mu")

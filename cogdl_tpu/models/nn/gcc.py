@@ -1,0 +1,38 @@
+"""GCC — graph contrastive coding: GIN encoder over positional (eigen)
+features for transferable structural representations
+(reference cogdl/models/nn/gcc_model.py; pretraining loop in gcc_mw.py
+uses an InfoNCE queue — here the E2E wrapper uses in-batch negatives)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ...data.graph import Graph
+from ...layers import GINLayer
+from ...ops import segment as seg
+
+
+class GCC(nn.Module):
+    in_features: int
+    out_features: int = 64
+    hidden_size: int = 64
+    num_layers: int = 5
+
+    @nn.compact
+    def __call__(self, graph: Graph, x: Optional[jnp.ndarray] = None,
+                 training: bool = False):
+        if x is None:
+            x = graph.x
+        graph_id = None if not graph.extras else graph.extras.get("graph_id")
+        num_graphs = graph.meta_get("num_graphs", 1)
+        h = x
+        for i in range(self.num_layers):
+            h = nn.relu(GINLayer(self.hidden_size, name=f"gin{i}")(graph, h,
+                                                                   training))
+        if graph_id is not None:
+            h = seg.segment_sum(h, graph_id, num_graphs)
+        z = nn.Dense(self.out_features, name="proj")(h)
+        return z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-12)

@@ -53,7 +53,7 @@ class RevGCN(nn.Module):
         g = sym_norm(graph)
         h = nn.Dense(self.hidden_size * 2, name="fc_in")(x)
         x1, x2 = jnp.split(h, 2, axis=-1)
-        Block = nn.remat(RevBlock, static_argnums=(3,))
+        Block = nn.remat(RevBlock, static_argnums=(4,))
         for i in range(self.num_layers):
             x1, x2 = Block(self.hidden_size, dropout=self.dropout,
                            name=f"block{i}")(g, x1, x2, training)

@@ -80,7 +80,7 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed)
         rng, init_rng = jax.random.split(rng)
         variables = wrapper.init(init_rng, graph)
-        params = variables["params"]
+        params = variables.get("params", {})
         model_state = {k: v for k, v in variables.items() if k != "params"}
         tx = build_optimizer(cfg)
         opt_state = tx.init(params)

@@ -15,6 +15,7 @@ SUPPORTED_WRAPPERS: Dict[str, str] = {
     "triple_link_prediction": "cogdl_tpu.wrappers.triple_link_prediction.TripleLinkPredictionWrapper",
     "dgi": "cogdl_tpu.wrappers.self_supervised.DGIWrapper",
     "grace": "cogdl_tpu.wrappers.self_supervised.GRACEWrapper",
+    "graphmae": "cogdl_tpu.wrappers.self_supervised.GraphMAEWrapper",
     "clustering": "cogdl_tpu.wrappers.clustering.ClusteringWrapper",
 }
 
@@ -34,7 +35,7 @@ DEFAULT_WRAPPER = {
     "gin": "graph_classification", "diffpool": "graph_classification",
     "sortpool": "graph_classification", "patchy_san": "graph_classification",
     "infograph": "graph_classification",
-    "dgi": "dgi", "grace": "grace", "mvgrl": "dgi", "graphmae": "dgi",
+    "dgi": "dgi", "grace": "grace", "mvgrl": "dgi", "graphmae": "graphmae",
     "gae": "clustering", "vgae": "clustering", "agc": "clustering",
     "daegc": "clustering",
     "deepwalk": "network_embedding", "node2vec": "network_embedding",

@@ -56,7 +56,7 @@ class ClusteringWrapper:
 
         loss = (jnp.sum(bce(pos, 1.0) * m) + jnp.sum(bce(neg, 0.0) * m)) / (
             jnp.maximum(2 * m.sum(), 1.0))
-        if hasattr(self.model, "kl"):
+        if getattr(self.model, "has_kl", False):
             loss = loss + self.model.apply(
                 variables, graph, graph.x, method=self.model.kl,
             ) / jnp.maximum(float(graph.num_nodes), 1.0)

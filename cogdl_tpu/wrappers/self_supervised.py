@@ -87,3 +87,20 @@ class GRACEWrapper(DGIWrapper):
         emb = self.model.apply(variables, graph, graph.x, False,
                                method=self.model.encode)
         return logreg_probe(np.asarray(emb), graph)
+
+
+class GraphMAEWrapper(DGIWrapper):
+    """Masked-autoencoder pretraining + logreg probe (BASELINE.json config 5:
+    GraphMAE self-supervised pretrain + linear probe)."""
+
+    def init(self, rng, graph: Graph):
+        return self.model.init(
+            {"params": rng, "dropout": rng}, graph, graph.x, rng, False,
+            method=self.model.reconstruction_loss)
+
+    def loss(self, variables, graph: Graph, rng, training: bool = True):
+        r1, r2 = jax.random.split(rng)
+        loss = self.model.apply(variables, graph, graph.x, r1, training,
+                                rngs={"dropout": r2},
+                                method=self.model.reconstruction_loss)
+        return loss, {}
