@@ -1,0 +1,290 @@
+"""Host-side graph samplers emitting statically shaped device batches.
+
+Rebuild of the reference sampler stack — NeighborSamplerDataset
+(cogdl/data/sampler.py:62-117), ClusteredDataset/METIS (:188-245),
+RandomPartition (:272-294), C++ sample_adj (cogdl/operators/sample/sample.cpp)
+and the GraphSAINT samplers — as vectorised numpy with **fixed-shape padded
+outputs** so every minibatch reuses one compiled program (SURVEY.md §7
+"Sampling" design point; METIS is replaced by BFS-grown balanced partitions).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .graph import Graph, from_coo, _bucket
+
+
+def graph_csr(graph: Graph) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(indptr, indices, weights) of real edges, destination-major."""
+    E = graph.num_edges
+    row = np.asarray(graph.row)[:E]
+    col = np.asarray(graph.col)[:E]
+    w = np.asarray(graph.edge_weight)[:E]
+    order = np.argsort(row, kind="stable")
+    row, col, w = row[order], col[order], w[order]
+    indptr = np.zeros(graph.num_nodes + 1, np.int64)
+    np.cumsum(np.bincount(row, minlength=graph.num_nodes), out=indptr[1:])
+    return indptr, col, w
+
+
+def sample_adj(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    seeds: np.ndarray,
+    fanout: int,
+    rng: np.random.Generator,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One-hop fan-out sampling with replacement-free truncation
+    (reference sample.cpp:7-50 semantics): returns (src_global, dst_local,
+    mask) arrays of fixed shape [len(seeds) * fanout]."""
+    n = seeds.shape[0]
+    deg = indptr[seeds + 1] - indptr[seeds]
+    # random offsets per slot; slots beyond degree are masked
+    offs = (rng.random((n, fanout)) * np.maximum(deg, 1)[:, None]).astype(np.int64)
+    take = np.minimum(offs, np.maximum(deg - 1, 0)[:, None])
+    src = indices[indptr[seeds][:, None] + take]            # [n, fanout]
+    mask = np.broadcast_to(deg[:, None], (n, fanout)) > 0
+    # dedupe within a row cheaply: allow repeats (uniform with replacement),
+    # matching the reference's replace=True default
+    dst_local = np.broadcast_to(np.arange(n)[:, None], (n, fanout))
+    return src.ravel(), dst_local.ravel(), mask.ravel()
+
+
+class NeighborSampler:
+    """Multi-hop fan-out sampler → per-hop bipartite block Graphs.
+
+    Each batch yields ``(blocks, input_ids, seed_ids)`` where ``blocks[k]`` is
+    a statically shaped Graph whose edges point sampled hop-(k+1) sources into
+    hop-k destinations, with local (relabelled) indices; ``blocks[0].x`` rows
+    are gathered input features. All batches share identical shapes.
+    """
+
+    def __init__(self, graph: Graph, fanouts: Sequence[int],
+                 batch_size: int = 512, seed: int = 0,
+                 node_idx: Optional[np.ndarray] = None):
+        self.graph = graph
+        self.fanouts = list(fanouts)
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.indptr, self.indices, _ = graph_csr(graph)
+        if node_idx is None:
+            node_idx = np.nonzero(np.asarray(graph.train_mask)
+                                  [: graph.num_nodes])[0]
+        self.node_idx = node_idx
+        # static sizes per hop
+        self.n_layers = len(self.fanouts)
+        sizes = [batch_size]
+        for f in self.fanouts:
+            sizes.append(sizes[-1] * f + sizes[-1])
+        self.layer_sizes = sizes  # nodes at each depth (upper bound)
+
+    def __len__(self):
+        return (len(self.node_idx) + self.batch_size - 1) // self.batch_size
+
+    def epoch(self, shuffle: bool = True) -> Iterator[Tuple[List[Graph], np.ndarray, np.ndarray]]:
+        idx = self.node_idx.copy()
+        if shuffle:
+            self.rng.shuffle(idx)
+        B = self.batch_size
+        x_full = None if self.graph.x is None else np.asarray(self.graph.x)
+        y_full = None if self.graph.y is None else np.asarray(self.graph.y)
+        for start in range(0, len(idx), B):
+            seeds = idx[start: start + B]
+            if seeds.shape[0] < B:  # static batch: wrap-pad with repeats
+                seeds = np.concatenate([seeds, idx[: B - seeds.shape[0]]])
+            blocks = []
+            cur = seeds  # global ids at current depth (dst side)
+            all_nodes = seeds
+            per_hop_edges = []
+            for f in self.fanouts:
+                src, dst_local, mask = sample_adj(
+                    self.indptr, self.indices, cur, f, self.rng)
+                per_hop_edges.append((src, dst_local, mask, cur))
+                nxt = np.unique(np.concatenate([cur, src[mask]]))
+                cur = np.concatenate([cur, src[mask]])  # keep order: dst first
+                cur = cur[np.sort(np.unique(cur, return_index=True)[1])]
+                all_nodes = cur
+            # build blocks: block k aggregates hop-(k+1) sources into hop-k
+            # dst, all relabelled into one shared node frame (dst-first order)
+            frame = all_nodes
+            n_pad = _bucket(self.layer_sizes[-1] + 1)
+            e_pads = [_bucket(self.layer_sizes[k] * self.fanouts[k])
+                      for k in range(self.n_layers)]
+            order = np.argsort(frame)
+            sorted_frame = frame[order]
+
+            def relabel(globals_):
+                pos = np.searchsorted(sorted_frame, globals_)
+                return order[pos]
+
+            for k, (src, dst_local, mask, dst_global) in enumerate(per_hop_edges):
+                rows = relabel(dst_global)[dst_local]
+                cols = relabel(src)
+                rows, cols = rows[mask], cols[mask]
+                blk = from_coo(np.stack([rows, cols]),
+                               num_nodes=frame.shape[0],
+                               n_pad=n_pad, e_pad=e_pads[k])
+                blocks.append(blk)
+            feats = None
+            if x_full is not None:
+                feats = np.zeros((n_pad, x_full.shape[1]), x_full.dtype)
+                feats[: frame.shape[0]] = x_full[frame]
+            ys = None
+            if y_full is not None:
+                ys = np.zeros(n_pad, y_full.dtype)
+                ys[: frame.shape[0]] = y_full[frame]
+            import jax.numpy as jnp
+
+            blocks = [b.replace(x=None if feats is None else jnp.asarray(feats),
+                                y=None if ys is None else jnp.asarray(ys))
+                      for b in blocks]
+            yield blocks, frame, seeds
+
+
+def bfs_partition(graph: Graph, n_parts: int, seed: int = 0) -> np.ndarray:
+    """Balanced BFS-grown partition — the METIS replacement
+    (reference ClusteredDataset uses `import metis`, sampler.py:194).
+    Greedy multi-source BFS with per-part size caps."""
+    N = graph.num_nodes
+    indptr, indices, _ = graph_csr(graph)
+    rng = np.random.default_rng(seed)
+    cap = (N + n_parts - 1) // n_parts
+    part = np.full(N, -1, np.int64)
+    sizes = np.zeros(n_parts, np.int64)
+    seeds = rng.choice(N, size=n_parts, replace=False if N >= n_parts else True)
+    frontiers = [[s] for s in seeds]
+    for p, s in enumerate(seeds):
+        if part[s] == -1:
+            part[s] = p
+            sizes[p] += 1
+    active = True
+    while active:
+        active = False
+        for p in range(n_parts):
+            if sizes[p] >= cap or not frontiers[p]:
+                continue
+            nxt = []
+            for u in frontiers[p]:
+                for v in indices[indptr[u]: indptr[u + 1]]:
+                    if part[v] == -1 and sizes[p] < cap:
+                        part[v] = p
+                        sizes[p] += 1
+                        nxt.append(v)
+            frontiers[p] = nxt
+            if nxt:
+                active = True
+    # unassigned (disconnected) → smallest parts
+    for v in np.nonzero(part == -1)[0]:
+        p = int(np.argmin(sizes))
+        part[v] = p
+        sizes[p] += 1
+    return part
+
+
+class ClusterLoader:
+    """ClusterGCN-style loader: per-epoch random groups of partitions →
+    induced-subgraph batches with one shared static shape
+    (reference ClusteredLoader, sampler.py:246)."""
+
+    def __init__(self, graph: Graph, n_clusters: int = 20,
+                 batch_size: int = 5, seed: int = 0):
+        self.graph = graph
+        self.n_clusters = n_clusters
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.part = bfs_partition(graph, n_clusters, seed)
+        E = graph.num_edges
+        self._row = np.asarray(graph.row)[:E]
+        self._col = np.asarray(graph.col)[:E]
+        self._w = np.asarray(graph.edge_weight)[:E]
+        # static shapes: worst-case nodes/edges over random groups ≈ uniform
+        counts = np.bincount(self.part, minlength=n_clusters)
+        self.n_pad = _bucket(int(np.sort(counts)[-batch_size:].sum()) + 1)
+        self.e_pad = None  # computed lazily after first epoch scan
+
+    def epoch(self) -> Iterator[Graph]:
+        order = self.rng.permutation(self.n_clusters)
+        groups = [order[i: i + self.batch_size]
+                  for i in range(0, self.n_clusters, self.batch_size)]
+        batches = []
+        for grp in groups:
+            mask = np.isin(self.part, grp)
+            nodes = np.nonzero(mask)[0]
+            batches.append(self._induced(nodes))
+        # unify static e_pad across epoch
+        e_max = max(b[0].shape[1] if b[0].shape[1] else 1 for b in batches)
+        if self.e_pad is None or e_max > self.e_pad:
+            self.e_pad = _bucket(e_max)
+        x_full = None if self.graph.x is None else np.asarray(self.graph.x)
+        y_full = None if self.graph.y is None else np.asarray(self.graph.y)
+        tm = None if self.graph.train_mask is None else np.asarray(self.graph.train_mask)
+        for ei, nodes, w in batches:
+            g = from_coo(ei, num_nodes=nodes.shape[0], edge_weight=w,
+                         n_pad=self.n_pad, e_pad=self.e_pad,
+                         meta={"num_classes": self.graph.num_classes})
+            import jax.numpy as jnp
+
+            def pad_nodes(a, fill=0):
+                if a is None:
+                    return None
+                out = np.full((self.n_pad,) + a.shape[1:], fill, a.dtype)
+                out[: nodes.shape[0]] = a[nodes]
+                return jnp.asarray(out)
+
+            yield g.replace(x=pad_nodes(x_full), y=pad_nodes(y_full),
+                            train_mask=pad_nodes(tm, False))
+
+    def _induced(self, nodes: np.ndarray):
+        sel = np.zeros(self.graph.num_nodes, bool)
+        sel[nodes] = True
+        emask = sel[self._row] & sel[self._col]
+        r, c, w = self._row[emask], self._col[emask], self._w[emask]
+        relabel = np.full(self.graph.num_nodes, -1, np.int64)
+        relabel[nodes] = np.arange(nodes.shape[0])
+        return np.stack([relabel[r], relabel[c]]), nodes, w
+
+
+def saint_node_subgraph(graph: Graph, size: int, rng) -> np.ndarray:
+    """GraphSAINT node sampler: uniform node set."""
+    return rng.choice(graph.num_nodes, size=size, replace=False)
+
+
+def saint_walk_subgraph(graph: Graph, roots: int, length: int, rng) -> np.ndarray:
+    """GraphSAINT random-walk sampler: nodes touched by short walks."""
+    indptr, indices, _ = graph_csr(graph)
+    starts = rng.choice(graph.num_nodes, size=roots)
+    nodes = [starts]
+    cur = starts
+    deg = np.diff(indptr)
+    for _ in range(length):
+        d = deg[cur]
+        off = (rng.random(cur.shape[0]) * np.maximum(d, 1)).astype(np.int64)
+        nxt = indices[indptr[cur] + np.minimum(off, np.maximum(d - 1, 0))]
+        cur = np.where(d > 0, nxt, cur)
+        nodes.append(cur)
+    return np.unique(np.concatenate(nodes))
+
+
+def random_partition_batches(graph: Graph, n_parts: int, seed: int = 0
+                             ) -> Iterator[Graph]:
+    """Random node partition → induced subgraphs
+    (reference RandomPartitionDataset, sampler.py:272)."""
+    rng = np.random.default_rng(seed)
+    part = rng.integers(0, n_parts, graph.num_nodes)
+    loader = ClusterLoader.__new__(ClusterLoader)
+    loader.graph = graph
+    loader.part = part
+    loader.n_clusters = n_parts
+    loader.batch_size = 1
+    loader.rng = rng
+    E = graph.num_edges
+    loader._row = np.asarray(graph.row)[:E]
+    loader._col = np.asarray(graph.col)[:E]
+    loader._w = np.asarray(graph.edge_weight)[:E]
+    counts = np.bincount(part, minlength=n_parts)
+    loader.n_pad = _bucket(int(counts.max()) + 1)
+    loader.e_pad = None
+    return loader.epoch()

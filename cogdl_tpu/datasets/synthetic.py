@@ -173,14 +173,26 @@ def random_triples(
     num_entities: int = 200,
     num_relations: int = 12,
     num_triples: int = 2000,
+    structured: float = 0.8,
     seed: int = 0,
 ):
-    """Random KG triple set with train/valid/test split (FB15k stand-in)."""
+    """KG triple set with train/valid/test split (FB15k stand-in).
+
+    A ``structured`` fraction follows a learnable rule (each relation is a
+    fixed cyclic shift of entity ids, the additive structure TransE models);
+    the rest is noise."""
     rng = np.random.default_rng(seed)
     h = rng.integers(0, num_entities, num_triples)
     r = rng.integers(0, num_relations, num_triples)
-    t = rng.integers(0, num_entities, num_triples)
+    shifts = rng.integers(1, num_entities, num_relations)
+    t_rule = (h + shifts[r]) % num_entities
+    t_noise = rng.integers(0, num_entities, num_triples)
+    use_rule = rng.random(num_triples) < structured
+    t = np.where(use_rule, t_rule, t_noise)
     triples = np.stack([h, r, t], 1).astype(np.int32)
+    triples = np.unique(triples, axis=0)
+    num_triples = triples.shape[0]
+    rng.shuffle(triples)
     perm = rng.permutation(num_triples)
     n_tr = int(0.8 * num_triples)
     n_va = int(0.1 * num_triples)

@@ -17,6 +17,7 @@ import numpy as np
 
 class KGEModel:
     score_name = "transe"
+    project_entities = False
 
     def __init__(self, num_entities: int = 0, num_relations: int = 0,
                  hidden_size: int = 200, gamma: float = 12.0,
@@ -80,7 +81,7 @@ class KGEModel:
                 pos = score_fn(p, h, r, t)                       # [B]
                 hn = jnp.where(corrupt_head[:, None], neg_ent, h[:, None])
                 tn = jnp.where(corrupt_head[:, None], t[:, None], neg_ent)
-                neg = score_fn(p, hn[..., None] * 0 + hn, r[:, None], tn)  # [B,K]
+                neg = score_fn(p, hn, r[:, None], tn)            # [B, K]
                 # self-adversarial weighting (RotatE paper)
                 w = jax.lax.stop_gradient(
                     jax.nn.softmax(self.alpha * neg, axis=1))
@@ -90,7 +91,14 @@ class KGEModel:
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             upd, opt_state2 = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, upd), opt_state2, loss
+            new_params = optax.apply_updates(params, upd)
+            if self.project_entities:
+                # TransE unit-ball projection: e ← e / max(1, ‖e‖)
+                ent = new_params["ent"]
+                norm = jnp.linalg.norm(ent, axis=1, keepdims=True)
+                new_params = {**new_params,
+                              "ent": ent / jnp.maximum(norm, 1.0)}
+            return new_params, opt_state2, loss
 
         rng = np.random.default_rng(self.seed)
         n = train.shape[0]
@@ -164,6 +172,7 @@ class KGEModel:
 
 class TransE(KGEModel):
     score_name = "transe"
+    project_entities = True
 
 
 class DistMult(KGEModel):

@@ -106,6 +106,7 @@ class Trainer:
             def eval_step(params, model_state, g):
                 return wrapper.evaluate({"params": params, **model_state}, g)
 
+        refresh = getattr(wrapper, "refresh_per_epoch", False)
         batches = wrapper.train_batches(graph) if hasattr(wrapper, "train_batches") else [graph]
 
         monitor = getattr(wrapper, "eval_metric", cfg.monitor)
@@ -120,6 +121,8 @@ class Trainer:
         logger = cfg.logger
 
         for epoch in range(cfg.epochs):
+            if refresh and epoch > 0:
+                batches = wrapper.train_batches(graph)
             losses = []
             for b in batches:
                 rng, step_rng = jax.random.split(rng)

@@ -9,6 +9,8 @@ from typing import Dict
 
 SUPPORTED_WRAPPERS: Dict[str, str] = {
     "node_classification": "cogdl_tpu.wrappers.node_classification.NodeClfWrapper",
+    "neighbor_sampling": "cogdl_tpu.wrappers.sampled_node_classification.SampledNodeClfWrapper",
+    "cluster": "cogdl_tpu.wrappers.sampled_node_classification.ClusterNodeClfWrapper",
     "graph_classification": "cogdl_tpu.wrappers.graph_classification.GraphClfWrapper",
     "link_prediction": "cogdl_tpu.wrappers.link_prediction.LinkPredictionWrapper",
     "network_embedding": "cogdl_tpu.wrappers.network_embedding.NetworkEmbeddingWrapper",
