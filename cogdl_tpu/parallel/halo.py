@@ -1,0 +1,187 @@
+"""Explicit graph-partitioned distributed SpMM via shard_map — the
+"context parallelism" of GNNs (SURVEY.md §5: partition CSR by destination
+node, exchange boundary/halo source features with collectives, overlap with
+local aggregation).
+
+Two exchange strategies over the mesh axis:
+  * ``all_gather`` (default): gather all source-feature shards, then local
+    gather + segment-sum. Right when features-per-shard are small or the
+    graph is dense across shards; one big ICI collective XLA can overlap.
+  * ring (``ppermute``): stream neighbor shards around the ring, accumulating
+    the partial SpMM restricted to sources owned by the visiting shard —
+    peak memory O(N/P) instead of O(N), bandwidth identical, and each step's
+    ppermute overlaps the previous step's compute (ring-attention style).
+
+Host-side ``partition_graph`` produces equal-shape per-shard arrays (stacked
+on a leading mesh axis) so the whole thing jits once.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..data.graph import Graph
+
+AXIS = "graph"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def partition_graph(graph: Graph, n_shards: int) -> Dict[str, np.ndarray]:
+    """Contiguous destination-node partition → stacked per-shard arrays.
+
+    Returns dict of numpy arrays with leading dim ``n_shards``:
+      x[P, Nl, F], y[P, Nl], train_mask[P, Nl],
+      row_local[P, El] (dst relative to shard), col[P, El] (global src),
+      w[P, El], edge_mask implicit via w=0 padding.
+    """
+    N = graph.num_nodes
+    Nl = _round_up(graph.n_pad, n_shards) // n_shards
+    E = graph.num_edges
+    row = np.asarray(graph.row)[:E]
+    col = np.asarray(graph.col)[:E]
+    w = np.asarray(graph.edge_weight)[:E]
+    shard_of = row // Nl
+
+    counts = np.bincount(shard_of, minlength=n_shards)
+    El = _round_up(int(counts.max()) if E else 1, 8)
+
+    row_l = np.zeros((n_shards, El), np.int32)
+    col_g = np.zeros((n_shards, El), np.int32)
+    w_s = np.zeros((n_shards, El), np.float32)
+    for p in range(n_shards):
+        sel = shard_of == p
+        k = int(sel.sum())
+        row_l[p, :k] = row[sel] - p * Nl
+        col_g[p, :k] = col[sel]
+        w_s[p, :k] = w[sel]
+
+    def shard_nodes(a, fill=0):
+        if a is None:
+            return None
+        a = np.asarray(a)
+        out = np.full((n_shards * Nl,) + a.shape[1:], fill, a.dtype)
+        out[: a.shape[0]] = a[: n_shards * Nl]
+        return out.reshape((n_shards, Nl) + a.shape[1:])
+
+    return {
+        "x": shard_nodes(graph.x),
+        "y": shard_nodes(graph.y),
+        "train_mask": shard_nodes(graph.train_mask, False),
+        "node_mask": shard_nodes(np.asarray(graph.node_mask())),
+        "row_local": row_l,
+        "col": col_g,
+        "w": w_s,
+        "n_local": Nl,
+        "n_shards": n_shards,
+    }
+
+
+def halo_spmm_allgather(x_local, row_local, col_global, w, axis: str = AXIS):
+    """Inside shard_map: out_local = A_local @ all_gather(x)."""
+    xg = jax.lax.all_gather(x_local, axis, tiled=True)      # [N, F]
+    msg = jnp.take(xg, col_global, axis=0) * w[:, None]
+    return jax.ops.segment_sum(msg, row_local,
+                               num_segments=x_local.shape[0],
+                               indices_are_sorted=True)
+
+
+def halo_spmm_ring(x_local, row_local, col_global, w, axis: str = AXIS):
+    """Ring variant: visit each source shard via ppermute, accumulate the
+    partial aggregation of edges whose source lives on the visiting shard.
+    Peak memory O(N/P); ppermute of the next shard overlaps this step's
+    gather+segment-sum under XLA latency hiding."""
+    P_ = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    Nl = x_local.shape[0]
+    perm = [(i, (i + 1) % P_) for i in range(P_)]
+
+    def body(k, carry):
+        acc, buf = carry
+        owner = (me - k) % P_                 # whose shard is in buf
+        sel = (col_global // Nl) == owner
+        local_idx = jnp.where(sel, col_global - owner * Nl, 0)
+        msg = jnp.take(buf, local_idx, axis=0) * jnp.where(sel, w, 0.0)[:, None]
+        acc = acc + jax.ops.segment_sum(
+            msg, row_local, num_segments=Nl, indices_are_sorted=True)
+        buf = jax.lax.ppermute(buf, axis, perm)
+        return acc, buf
+
+    acc = jnp.zeros_like(x_local)
+    acc, _ = jax.lax.fori_loop(0, P_, body, (acc, x_local))
+    return acc
+
+
+def make_halo_train_step(mesh: Mesh, parts: Dict, model_apply, tx,
+                         num_classes: int, exchange: str = "ring"):
+    """Build a jitted distributed GCN-style train step over explicit shards.
+
+    ``model_apply(params, spmm_fn, x_local) -> logits_local`` lets any
+    2-layer-style model plug its dense math around the distributed spmm.
+    Gradients are averaged with psum inside shard_map.
+    """
+    spmm_fn = halo_spmm_ring if exchange == "ring" else halo_spmm_allgather
+
+    Nl = parts["n_local"]
+
+    def loss_local(params, x, y, tmask, nmask, row_l, col_g, w):
+        sp = partial(spmm_fn, row_local=row_l, col_global=col_g, w=w)
+        logits = model_apply(params, sp, x)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        y_safe = jnp.clip(y, 0, num_classes - 1).astype(jnp.int32)
+        per = -jnp.take_along_axis(logp, y_safe[:, None], axis=1).squeeze(-1)
+        m = (tmask & nmask).astype(logits.dtype)
+        loss_sum = jnp.sum(per * m)
+        cnt = jnp.sum(m)
+        # global mean via psum
+        loss_sum = jax.lax.psum(loss_sum, AXIS)
+        cnt = jax.lax.psum(cnt, AXIS)
+        return loss_sum / jnp.maximum(cnt, 1.0)
+
+    from jax import shard_map
+
+    @jax.jit
+    def train_step(params, opt_state, x, y, tmask, nmask, row_l, col_g, w):
+        def sharded(params, x, y, tmask, nmask, row_l, col_g, w, opt_state):
+            loss, grads = jax.value_and_grad(loss_local)(
+                params, x, y, tmask, nmask, row_l, col_g, w)
+            grads = jax.lax.pmean(grads, AXIS)
+            upd, opt_state2 = tx.update(grads, opt_state, params)
+            return optax_apply(params, upd), opt_state2, loss
+
+        import optax as _optax
+
+        def optax_apply(p, u):
+            return _optax.apply_updates(p, u)
+
+        fn = shard_map(
+            sharded, mesh=mesh,
+            in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                      P(AXIS), P(AXIS), P()),
+            out_specs=(P(), P(), P()),
+            check_rep=False,
+        )
+        return fn(params, x, y, tmask, nmask, row_l, col_g, w, opt_state)
+
+    return train_step
+
+
+def device_put_parts(mesh: Mesh, parts: Dict):
+    """Place the stacked per-shard arrays with their leading dim sharded."""
+    sh = NamedSharding(mesh, P(AXIS))
+    out = {}
+    for k, v in parts.items():
+        if isinstance(v, np.ndarray):
+            out[k] = jax.device_put(jnp.asarray(v).reshape((-1,) + v.shape[2:]),
+                                    sh)
+        else:
+            out[k] = v
+    return out

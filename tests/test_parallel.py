@@ -1,0 +1,104 @@
+"""Distributed paths on the 8-virtual-device CPU mesh: GSPMD sharded graph,
+explicit shard_map halo SpMM (all-gather and ring), and a full distributed
+train step. The reference has ZERO distributed tests (SURVEY.md §4) — this is
+the deterministic multi-device coverage TPU/JAX makes cheap."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from cogdl_tpu import ops
+from cogdl_tpu.data.graph import add_self_loops, sym_norm
+from cogdl_tpu.datasets.synthetic import sbm_graph
+from cogdl_tpu.parallel import make_mesh, replicate, shard_graph
+from cogdl_tpu.parallel.halo import (
+    AXIS,
+    halo_spmm_allgather,
+    halo_spmm_ring,
+    partition_graph,
+)
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def g():
+    return sym_norm(add_self_loops(sbm_graph(num_nodes=512, seed=0)))
+
+
+def test_gspmd_sharded_spmm_matches(g):
+    mesh = make_mesh(8)
+    gs = shard_graph(g, mesh)
+    ref = np.asarray(ops.spmm(g, g.x))
+    with mesh:
+        out = jax.jit(lambda gg, xx: ops.spmm(gg, xx))(gs, gs.x)
+    np.testing.assert_allclose(np.asarray(out)[: g.n_pad], ref, rtol=1e-4,
+                               atol=1e-5)
+
+
+@pytest.mark.parametrize("fn", [halo_spmm_allgather, halo_spmm_ring])
+def test_halo_spmm_matches_single_device(g, fn):
+    mesh = make_mesh(8)
+    parts = partition_graph(g, 8)
+    Nl = parts["n_local"]
+    x = jnp.asarray(parts["x"].reshape(-1, parts["x"].shape[-1]))
+    row_l = jnp.asarray(parts["row_local"].reshape(-1))
+    col = jnp.asarray(parts["col"].reshape(-1))
+    w = jnp.asarray(parts["w"].reshape(-1))
+
+    sharded = shard_map(
+        lambda xx, rl, cg, ww: fn(xx, rl, cg, ww),
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=P(AXIS),
+        check_rep=False,
+    )
+    with mesh:
+        out = jax.jit(sharded)(x, row_l, col, w)
+    ref = np.asarray(ops.spmm(g, g.x))
+    got = np.asarray(out)[: g.n_pad]
+    np.testing.assert_allclose(got[: g.num_nodes], ref[: g.num_nodes],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_distributed_train_step_decreases_loss(g):
+    from cogdl_tpu.parallel.halo import device_put_parts, make_halo_train_step
+
+    mesh = make_mesh(8)
+    parts = partition_graph(g, 8)
+    num_classes = g.num_classes
+    F = g.num_features
+    H = 32
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    params = {
+        "w1": jax.random.normal(k1, (F, H)) * 0.1,
+        "w2": jax.random.normal(k2, (H, num_classes)) * 0.1,
+    }
+
+    def model_apply(p, spmm_fn, x):
+        h = spmm_fn(x @ p["w1"])
+        h = jax.nn.relu(h)
+        return spmm_fn(h @ p["w2"])
+
+    tx = optax.adam(1e-2)
+    step = make_halo_train_step(mesh, parts, model_apply, tx, num_classes,
+                                exchange="ring")
+    dv = device_put_parts(mesh, parts)
+    params = replicate(mesh, params)
+    opt_state = replicate(mesh, tx.init(params))
+    losses = []
+    with mesh:
+        for _ in range(8):
+            params, opt_state, loss = step(
+                params, opt_state, dv["x"], dv["y"], dv["train_mask"],
+                dv["node_mask"], dv["row_local"], dv["col"], dv["w"])
+            losses.append(float(jnp.mean(loss)))
+    assert losses[-1] < losses[0] * 0.9, losses
