@@ -167,7 +167,6 @@ def make_halo_train_step(mesh: Mesh, parts: Dict, model_apply, tx,
             in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
                       P(AXIS), P(AXIS), P()),
             out_specs=(P(), P(), P()),
-            check_rep=False,
         )
         return fn(params, x, y, tmask, nmask, row_l, col_g, w, opt_state)
 

@@ -58,7 +58,6 @@ def test_halo_spmm_matches_single_device(g, fn):
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
         out_specs=P(AXIS),
-        check_rep=False,
     )
     with mesh:
         out = jax.jit(sharded)(x, row_l, col, w)
