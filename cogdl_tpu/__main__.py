@@ -1,0 +1,4 @@
+from .options import main
+
+if __name__ == "__main__":
+    main()

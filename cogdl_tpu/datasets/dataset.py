@@ -39,7 +39,7 @@ class Dataset:
     @property
     def num_features(self) -> int:
         g = self.graph if self.graph is not None else self.graphs[0]
-        return g.num_features
+        return 0 if g.x is None else g.num_features
 
     @property
     def num_classes(self) -> int:

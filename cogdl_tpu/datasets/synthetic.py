@@ -169,6 +169,44 @@ def random_graphs_dataset(
     return graphs, np.asarray(labels, np.int32)
 
 
+def bipartite_rec_graph(
+    num_users: int = 200,
+    num_items: int = 100,
+    avg_interactions: int = 12,
+    num_tastes: int = 5,
+    seed: int = 0,
+) -> Graph:
+    """User-item bipartite graph with latent taste clusters (yelp2018
+    stand-in for LightGCN): users interact mostly with items of their taste,
+    so collaborative filtering is learnable."""
+    rng = np.random.default_rng(seed)
+    user_taste = rng.integers(0, num_tastes, num_users)
+    item_taste = rng.integers(0, num_tastes, num_items)
+    rows, cols = [], []
+    for u in range(num_users):
+        k = max(2, rng.poisson(avg_interactions))
+        same = np.where(item_taste == user_taste[u])[0]
+        other = np.where(item_taste != user_taste[u])[0]
+        n_same = int(0.85 * k)
+        pick = []
+        if same.size:
+            pick.append(rng.choice(same, size=min(n_same, same.size),
+                                   replace=False))
+        if other.size:
+            pick.append(rng.choice(other, size=min(k - n_same, other.size),
+                                   replace=False))
+        items = np.unique(np.concatenate(pick)) + num_users
+        rows.extend([u] * len(items))
+        cols.extend(items.tolist())
+    row = np.asarray(rows + cols)  # symmetric bipartite
+    col = np.asarray(cols + rows)
+    g = from_coo(np.stack([row, col]), num_nodes=num_users + num_items,
+                 meta={"num_users": num_users, "num_items": num_items,
+                       "num_classes": num_tastes,
+                       "name": f"rec{num_users}x{num_items}"})
+    return g
+
+
 def random_triples(
     num_entities: int = 200,
     num_relations: int = 12,

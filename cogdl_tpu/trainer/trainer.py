@@ -34,8 +34,12 @@ class TrainerConfig:
     optimizer: str = "adam"           # adam | adamw | sgd
     lr_schedule: Optional[str] = None  # None | "cosine" | "linear" | "noam"
     warmup_steps: int = 0
-    logger: Optional[Any] = None      # loggers.Logger instance
+    logger: Optional[Any] = None      # loggers.Logger instance or name
+    log_path: str = "."
     progress: bool = False
+    bf16: bool = False                # bf16 activations/compute, f32 master
+    checkpoint_path: Optional[str] = None
+    resume_training: bool = False
 
 
 def build_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
@@ -81,18 +85,41 @@ class Trainer:
         rng, init_rng = jax.random.split(rng)
         variables = wrapper.init(init_rng, graph)
         params = variables.get("params", {})
+        if cfg.resume_training and cfg.checkpoint_path:
+            from .checkpoint import load_checkpoint
+
+            try:
+                ckpt = load_checkpoint(cfg.checkpoint_path)
+                params = jax.tree.map(jnp.asarray, ckpt["params"])
+            except FileNotFoundError:
+                pass
         model_state = {k: v for k, v in variables.items() if k != "params"}
         tx = build_optimizer(cfg)
         opt_state = tx.init(params)
 
+        def _cast_bf16(tree):
+            return jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, tree)
+
         @jax.jit
         def train_step(params, model_state, opt_state, g, step_rng):
             def loss_fn(p):
+                if cfg.bf16:
+                    # bf16 compute, f32 master weights (reference fp16 AMP,
+                    # trainer.py:327,511-533 — bf16 needs no GradScaler)
+                    p = _cast_bf16(p)
+                    g_ = (g.replace(x=g.x.astype(jnp.bfloat16))
+                          if hasattr(g, "replace") and getattr(g, "x", None)
+                          is not None else g)
+                else:
+                    g_ = g
                 loss, updates = wrapper.loss(
-                    {"params": p, **model_state}, g, step_rng, training=True)
-                return loss, updates
+                    {"params": p, **model_state}, g_, step_rng, training=True)
+                return loss.astype(jnp.float32), updates
 
             (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            grads = jax.tree.map(lambda a: a.astype(jnp.float32), grads)
             upd, opt_state2 = tx.update(grads, opt_state, params)
             params2 = optax.apply_updates(params, upd)
             new_model_state = {**model_state, **updates}
@@ -116,39 +143,66 @@ class Trainer:
         best_params = params
         best_model_state = model_state
         best_epoch = 0
-        patience_left = cfg.patience
         t0 = time.time()
         logger = cfg.logger
+        if isinstance(logger, str):
+            from ..loggers import build_logger
 
-        for epoch in range(cfg.epochs):
-            if refresh and epoch > 0:
-                batches = wrapper.train_batches(graph)
-            losses = []
-            for b in batches:
-                rng, step_rng = jax.random.split(rng)
-                params, model_state, opt_state, loss = train_step(
-                    params, model_state, opt_state, b, step_rng)
-                losses.append(loss)
-            if (epoch + 1) % cfg.eval_step == 0:
-                metrics = eval_step(params, model_state, graph)
-                score = float(metrics.get(monitor, jnp.nan)) * sign
-                if logger is not None:
-                    logger.note({**{k: float(v) for k, v in metrics.items()},
-                                 "train_loss": float(jnp.mean(jnp.stack(losses)))},
-                                epoch)
-                if score > best:
-                    best = score
-                    best_params = params
-                    best_model_state = model_state
-                    best_epoch = epoch
-                    patience_left = cfg.patience
-                else:
-                    patience_left -= cfg.eval_step
-                    if patience_left <= 0:
-                        break
-            if cfg.progress and (epoch % 20 == 0):
-                print(f"epoch {epoch}: loss={float(losses[-1]):.4f}")
+            logger = build_logger(logger, cfg.log_path)
+        if logger is not None:
+            logger.start()
 
+        num_stages = getattr(wrapper, "num_stages", 1)
+        for stage in range(num_stages):
+            if hasattr(wrapper, "pre_stage"):
+                # multi-stage contract (reference pre_stage/post_stage,
+                # trainer.py:331-334; SAGN/M3S self-training)
+                upd = wrapper.pre_stage(
+                    stage, graph, {"params": best_params, **best_model_state})
+                if upd is not None:
+                    graph = upd
+                    batches = wrapper.train_batches(graph)
+            patience_left = cfg.patience
+            for epoch in range(cfg.epochs):
+                if refresh and epoch > 0:
+                    batches = wrapper.train_batches(graph)
+                losses = []
+                for b in batches:
+                    rng, step_rng = jax.random.split(rng)
+                    params, model_state, opt_state, loss = train_step(
+                        params, model_state, opt_state, b, step_rng)
+                    losses.append(loss)
+                if (epoch + 1) % cfg.eval_step == 0:
+                    metrics = eval_step(params, model_state, graph)
+                    score = float(metrics.get(monitor, jnp.nan)) * sign
+                    if logger is not None:
+                        logger.note(
+                            {**{k: float(v) for k, v in metrics.items()},
+                             "train_loss": float(jnp.mean(jnp.stack(losses)))},
+                            stage * cfg.epochs + epoch)
+                    if score > best:
+                        best = score
+                        best_params = params
+                        best_model_state = model_state
+                        best_epoch = epoch
+                        patience_left = cfg.patience
+                    else:
+                        patience_left -= cfg.eval_step
+                        if patience_left <= 0:
+                            break
+                if cfg.progress and (epoch % 20 == 0):
+                    print(f"epoch {epoch}: loss={float(losses[-1]):.4f}")
+            if hasattr(wrapper, "post_stage"):
+                wrapper.post_stage(stage, graph,
+                                   {"params": best_params, **best_model_state})
+
+        if cfg.checkpoint_path:
+            from .checkpoint import save_checkpoint
+
+            save_checkpoint(cfg.checkpoint_path, best_params,
+                            opt_state=opt_state, epoch=best_epoch)
+        if logger is not None:
+            logger.finish()
         final = eval_step(best_params, best_model_state, graph)
         result = {k: float(v) for k, v in final.items()}
         result["best_epoch"] = best_epoch

@@ -19,6 +19,7 @@ SUPPORTED_WRAPPERS: Dict[str, str] = {
     "grace": "cogdl_tpu.wrappers.self_supervised.GRACEWrapper",
     "graphmae": "cogdl_tpu.wrappers.self_supervised.GraphMAEWrapper",
     "clustering": "cogdl_tpu.wrappers.clustering.ClusteringWrapper",
+    "recommendation": "cogdl_tpu.wrappers.recommendation.RecommendationWrapper",
 }
 
 # model name → default wrapper (reference cogdl/wrappers/default_match.py:9)
@@ -38,6 +39,7 @@ DEFAULT_WRAPPER = {
     "sortpool": "graph_classification", "patchy_san": "graph_classification",
     "infograph": "graph_classification",
     "dgi": "dgi", "grace": "grace", "mvgrl": "dgi", "graphmae": "graphmae",
+    "lightgcn": "recommendation",
     "gae": "clustering", "vgae": "clustering", "agc": "clustering",
     "daegc": "clustering",
     "deepwalk": "network_embedding", "node2vec": "network_embedding",

@@ -1,0 +1,94 @@
+"""Recommendation wrapper: LightGCN + BPR loss + Recall/NDCG@k eval
+(reference rec_data.py datasets + lightgcn training loop)."""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.graph import Graph
+
+
+class RecommendationWrapper:
+    eval_metric = "val_recall"
+    eval_mode = "max"
+    jit_eval = False
+
+    def __init__(self, model, dataset=None, num_neg: int = 1, topk: int = 20,
+                 seed: int = 0):
+        self.model = model
+        self.dataset = dataset
+        self.topk = topk
+        self.seed = seed
+
+    def prepare_graph(self, graph: Graph) -> Graph:
+        self.num_users = graph.meta_get("num_users")
+        self.num_items = graph.num_nodes - self.num_users
+        E = graph.num_edges
+        row = np.asarray(graph.row)[:E]
+        col = np.asarray(graph.col)[:E]
+        ui = row < self.num_users
+        self._user_pos = {}
+        for u, i in zip(row[ui], col[ui]):
+            self._user_pos.setdefault(int(u), set()).add(int(i))
+        # held-out eval: last item per user
+        self._eval_pos = {}
+        for u, items in self._user_pos.items():
+            if len(items) > 1:
+                it = sorted(items)[-1]
+                self._eval_pos[u] = it
+                items.discard(it)
+        return graph
+
+    def train_batches(self, graph):
+        return [graph]
+
+    def init(self, rng, graph: Graph):
+        return self.model.init({"params": rng}, graph)
+
+    def loss(self, variables, graph: Graph, rng, training: bool = True):
+        emb = self.model.apply(variables, graph)
+        r1, r2, r3 = jax.random.split(rng, 3)
+        B = 4096
+        users = jax.random.randint(r1, (B,), 0, self.num_users)
+        # positive items sampled from edges of each user via random edge pick
+        eidx = jax.random.randint(r2, (B,), 0, graph.num_edges)
+        users = graph.row[eidx]
+        pos = graph.col[eidx]
+        neg = jax.random.randint(
+            r3, (B,), self.num_users, self.num_users + self.num_items)
+        # keep only user→item edges
+        valid = (users < self.num_users).astype(emb.dtype)
+        ue, pe, ne = emb[users], emb[pos], emb[neg]
+        pos_s = jnp.sum(ue * pe, -1)
+        neg_s = jnp.sum(ue * ne, -1)
+        bpr = -jax.nn.log_sigmoid(pos_s - neg_s)
+        reg = 1e-4 * (jnp.sum(ue ** 2) + jnp.sum(pe ** 2) + jnp.sum(ne ** 2)) / B
+        return jnp.sum(bpr * valid) / jnp.maximum(valid.sum(), 1.0) + reg, {}
+
+    def evaluate(self, variables, graph: Graph) -> Dict[str, float]:
+        emb = np.asarray(self.model.apply(variables, graph))
+        users = sorted(self._eval_pos)
+        if not users:
+            return {"val_recall": 0.0, "test_recall": 0.0}
+        U = emb[users]
+        items = emb[self.num_users: self.num_users + self.num_items]
+        scores = U @ items.T
+        hits, ndcg = 0.0, 0.0
+        for idx, u in enumerate(users):
+            seen = np.asarray(sorted(self._user_pos.get(u, ())), np.int64)
+            if seen.size:
+                scores[idx, seen - self.num_users] = -1e30
+            top = np.argpartition(-scores[idx], self.topk)[: self.topk]
+            target = self._eval_pos[u] - self.num_users
+            if target in top:
+                hits += 1
+                rank = int(np.where(np.argsort(-scores[idx])[: self.topk]
+                                    == target)[0][0])
+                ndcg += 1.0 / np.log2(rank + 2)
+        n = len(users)
+        return {"val_recall": hits / n, "test_recall": hits / n,
+                "val_ndcg": ndcg / n, "test_ndcg": ndcg / n}

@@ -1,0 +1,79 @@
+"""Trainer auxiliary subsystems: checkpoint/resume, bf16 training, loggers,
+multi-stage hooks."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cogdl_tpu.experiments import train
+from cogdl_tpu.trainer.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+    save_embedding,
+    load_embedding,
+)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    path = str(tmp_path / "ck" / "model.ckpt")
+    params = {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    save_checkpoint(path, params, opt_state={"m": np.ones(3)}, epoch=7)
+    ck = load_checkpoint(path)
+    np.testing.assert_array_equal(ck["params"]["w"], params["w"])
+    assert ck["epoch"] == 7
+
+
+def test_train_saves_and_resumes(tmp_path):
+    path = str(tmp_path / "model.ckpt")
+    r1 = train("sbm", "gcn", seed=0, epochs=5, checkpoint_path=path)
+    assert os.path.exists(path)
+    # resume warm: should start from saved params and still work
+    r2 = train("sbm", "gcn", seed=0, epochs=2, checkpoint_path=path,
+               resume_training=True)
+    assert r2["test_acc"] >= 0.5
+
+
+def test_bf16_training():
+    r = train("sbm", "gcn", seed=0, epochs=15, bf16=True)
+    assert r["test_acc"] > 0.8
+
+
+def test_print_logger(capsys):
+    train("sbm", "gcn", seed=0, epochs=3, logger="print")
+    assert "val_acc" in capsys.readouterr().out
+
+
+def test_embedding_save_load(tmp_path):
+    p = str(tmp_path / "emb.npy")
+    emb = np.random.default_rng(0).normal(size=(5, 4)).astype(np.float32)
+    save_embedding(p, emb)
+    np.testing.assert_array_equal(load_embedding(p), emb)
+
+
+def test_multi_stage_hooks():
+    calls = []
+
+    from cogdl_tpu.datasets import build_dataset
+    from cogdl_tpu.models import build_model
+    from cogdl_tpu.trainer.trainer import Trainer, TrainerConfig
+    from cogdl_tpu.wrappers.node_classification import NodeClfWrapper
+
+    ds = build_dataset("sbm")
+
+    class StagedWrapper(NodeClfWrapper):
+        num_stages = 3
+
+        def pre_stage(self, stage, graph, variables):
+            calls.append(("pre", stage))
+            return None
+
+        def post_stage(self, stage, graph, variables):
+            calls.append(("post", stage))
+
+    model = build_model("gcn", in_features=ds.num_features,
+                        out_features=ds.num_classes)
+    w = StagedWrapper(model, ds)
+    res = Trainer(TrainerConfig(epochs=2)).run(w, ds.graph)
+    assert [c for c in calls if c[0] == "pre"] == [("pre", 0), ("pre", 1), ("pre", 2)]
+    assert [c for c in calls if c[0] == "post"] == [("post", 0), ("post", 1), ("post", 2)]
