@@ -37,10 +37,19 @@ def sample_adj(
     fanout: int,
     rng: np.random.Generator,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """One-hop fan-out sampling with replacement-free truncation
-    (reference sample.cpp:7-50 semantics): returns (src_global, dst_local,
-    mask) arrays of fixed shape [len(seeds) * fanout]."""
+    """One-hop fan-out sampling (reference sample.cpp:7-50 semantics):
+    returns (src_global, dst_local, mask) arrays of fixed shape
+    [len(seeds) * fanout]. Uses the native C++/OpenMP sampler when built
+    (cogdl_tpu.native), numpy otherwise."""
+    from .. import native
+
     n = seeds.shape[0]
+    if native.available():
+        src, mask = native.sample_neighbors(
+            indptr, indices, seeds, fanout,
+            seed=int(rng.integers(0, 2 ** 62)))
+        dst_local = np.repeat(np.arange(n), fanout)
+        return src, dst_local, mask
     deg = indptr[seeds + 1] - indptr[seeds]
     # random offsets per slot; slots beyond degree are masked
     offs = (rng.random((n, fanout)) * np.maximum(deg, 1)[:, None]).astype(np.int64)

@@ -31,10 +31,16 @@ def random_walks(
     p_restart: float = 0.0,
 ) -> np.ndarray:
     """Uniform random walks, vectorised over all starts at once
-    (reference rwalk.c:7-38 semantics, numpy instead of OpenMP)."""
+    (reference rwalk.c:7-38 semantics). Dispatches to the native C++/OpenMP
+    walker (cogdl_tpu.native) when built, numpy otherwise."""
     rng = np.random.default_rng(seed)
     N = indptr.shape[0] - 1
     starts = np.tile(np.arange(N), num_walks)
+    from ... import native
+
+    if native.available():
+        return native.random_walk(indptr, indices, starts, walk_length,
+                                  restart_prob=p_restart, seed=seed)
     walks = np.empty((starts.shape[0], walk_length), np.int64)
     walks[:, 0] = starts
     cur = starts.copy()
