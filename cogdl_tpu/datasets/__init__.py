@@ -40,6 +40,17 @@ SUPPORTED_DATASETS: Dict[str, str] = {
     "wn18": "cogdl_tpu.datasets.kg.build",
     "wn18rr": "cogdl_tpu.datasets.kg.build",
     "fb13": "cogdl_tpu.datasets.kg.build",
+    # TU graph classification (reference datasets/tu_data.py)
+    "mutag": "cogdl_tpu.datasets.tu.build",
+    "proteins": "cogdl_tpu.datasets.tu.build",
+    "nci1": "cogdl_tpu.datasets.tu.build",
+    "nci109": "cogdl_tpu.datasets.tu.build",
+    "enzymes": "cogdl_tpu.datasets.tu.build",
+    "imdb-b": "cogdl_tpu.datasets.tu.build",
+    "imdb-m": "cogdl_tpu.datasets.tu.build",
+    "collab": "cogdl_tpu.datasets.tu.build",
+    "reddit-b": "cogdl_tpu.datasets.tu.build",
+    "ptc-mr": "cogdl_tpu.datasets.tu.build",
     # matlab .mat embeddings benchmarks (reference datasets/matlab_matrix.py)
     "blogcatalog": "cogdl_tpu.datasets.matlab.build",
     "wikipedia": "cogdl_tpu.datasets.matlab.build",
