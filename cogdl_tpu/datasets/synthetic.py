@@ -169,6 +169,60 @@ def random_graphs_dataset(
     return graphs, np.asarray(labels, np.int32)
 
 
+def hetero_sbm_graph(
+    num_nodes: int = 300,
+    num_types: int = 3,
+    num_classes: int = 3,
+    num_metapaths: int = 2,
+    feat_dim: int = 16,
+    seed: int = 0,
+) -> Graph:
+    """Heterogeneous stand-in (ACM/DBLP-style): typed nodes, typed edges, and
+    per-metapath adjacency graphs in ``extras['metapath_graphs']`` /
+    ``extras['relation_graphs']`` — drives HAN/GTN/RGCN/metapath2vec."""
+    import jax.numpy as jnp
+
+    base = sbm_graph(num_nodes=num_nodes, num_classes=num_classes,
+                     feat_dim=feat_dim, seed=seed, self_loops=False)
+    rng = np.random.default_rng(seed + 1)
+    node_type = rng.integers(0, num_types, num_nodes)
+    E = base.num_edges
+    etype = rng.integers(0, num_metapaths, E)
+    row = np.asarray(base.row)[:E]
+    col = np.asarray(base.col)[:E]
+    metas = []
+    shared_n = base.n_pad
+    shared_e = base.e_pad
+    for t in range(num_metapaths):
+        sel = etype == t
+        gm = from_coo(np.stack([row[sel], col[sel]]), num_nodes=num_nodes,
+                      n_pad=shared_n, e_pad=shared_e, bucket=False)
+        metas.append(add_self_loops(
+            gm).replace(meta=gm.meta))  # self loops keep isolated nodes sane
+    # repad metapath graphs back to the shared node size
+    from ..data.graph import pad_to
+
+    metas = [pad_to(m, shared_n, max(m.e_pad, shared_e)) for m in metas]
+    nt = np.zeros(base.n_pad, np.int32)
+    nt[:num_nodes] = node_type
+    g = from_coo(
+        np.stack([row, col]), num_nodes=num_nodes,
+        edge_type=etype,
+        n_pad=shared_n, e_pad=shared_e, bucket=False,
+        x=np.asarray(base.x)[:num_nodes], y=np.asarray(base.y)[:num_nodes],
+        train_mask=np.asarray(base.train_mask)[:num_nodes],
+        val_mask=np.asarray(base.val_mask)[:num_nodes],
+        test_mask=np.asarray(base.test_mask)[:num_nodes],
+        meta={"num_classes": num_classes, "num_relations": num_metapaths,
+              "name": f"hetero{num_nodes}"},
+    )
+    return g.replace(extras={
+        "node_type": jnp.asarray(nt),
+        "metapath_graphs": tuple(metas),
+        "relation_graphs": tuple(metas),
+    })
+
+
 def bipartite_rec_graph(
     num_users: int = 200,
     num_items: int = 100,

@@ -20,6 +20,9 @@ SUPPORTED_WRAPPERS: Dict[str, str] = {
     "graphmae": "cogdl_tpu.wrappers.self_supervised.GraphMAEWrapper",
     "clustering": "cogdl_tpu.wrappers.clustering.ClusteringWrapper",
     "recommendation": "cogdl_tpu.wrappers.recommendation.RecommendationWrapper",
+    "heterogeneous_gnn": "cogdl_tpu.wrappers.heterogeneous.HeterogeneousGNNWrapper",
+    "multiplex_embedding": "cogdl_tpu.wrappers.heterogeneous.MultiplexEmbeddingWrapper",
+    "graph_embedding": "cogdl_tpu.wrappers.heterogeneous.GraphEmbeddingWrapper",
 }
 
 # model name → default wrapper (reference cogdl/wrappers/default_match.py:9)
@@ -40,6 +43,10 @@ DEFAULT_WRAPPER = {
     "infograph": "graph_classification",
     "dgi": "dgi", "grace": "grace", "mvgrl": "dgi", "graphmae": "graphmae",
     "lightgcn": "recommendation",
+    "han": "heterogeneous_gnn", "gtn": "heterogeneous_gnn",
+    "rgcn": "heterogeneous_gnn", "compgcn": "heterogeneous_gnn",
+    "gatne": "multiplex_embedding",
+    "graph2vec": "graph_embedding", "dgk": "graph_embedding",
     "gae": "clustering", "vgae": "clustering", "agc": "clustering",
     "daegc": "clustering",
     "deepwalk": "network_embedding", "node2vec": "network_embedding",
@@ -49,8 +56,6 @@ DEFAULT_WRAPPER = {
     "spectral": "network_embedding", "sdne": "network_embedding",
     "dngr": "network_embedding", "metapath2vec": "network_embedding",
     "pte": "network_embedding", "hin2vec": "network_embedding",
-    "graph2vec": "network_embedding", "dgk": "network_embedding",
-    "gatne": "network_embedding",
     "transe": "triple_link_prediction", "distmult": "triple_link_prediction",
     "rotate": "triple_link_prediction", "complex": "triple_link_prediction",
 }
