@@ -107,7 +107,7 @@ SUPPORTED_APPS = {
     "stats": DatasetStatsPipeline,
     "generate-emb": GenerateEmbeddingPipeline,
     "recommendation": RecommendationPipeline,
-    "oagbert": "cogdl_tpu.oag.pipeline.OAGBertInferencePipeline",
+    "oagbert": "cogdl_tpu.oag.oagbert.OAGBertInferencePipeline",
 }
 
 
