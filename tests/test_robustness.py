@@ -1,0 +1,93 @@
+"""GRB-style robustness utilities and transforms."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cogdl_tpu.datasets import build_dataset
+from cogdl_tpu.models import build_model
+from cogdl_tpu.utils.grb import (
+    evaluate_under_attack,
+    fgsm_attack_features,
+    gcn_svd_defense,
+    pgd_attack_features,
+    random_injection_attack,
+)
+from cogdl_tpu.utils.transforms import (
+    drop_edge,
+    drop_feature,
+    drop_node,
+    normalize_features,
+)
+from cogdl_tpu.wrappers.node_classification import NodeClfWrapper
+from cogdl_tpu.trainer.trainer import Trainer, TrainerConfig
+
+
+@pytest.fixture(scope="module")
+def trained():
+    ds = build_dataset("sbm")
+    model = build_model("gcn", in_features=ds.num_features,
+                        out_features=ds.num_classes, dropout=0.0)
+    w = NodeClfWrapper(model, ds)
+    res = Trainer(TrainerConfig(epochs=30)).run(w, ds.graph)
+    variables = res.pop("_variables")
+    graph = w.prepare_graph(ds.graph)
+
+    def apply(v, g):
+        return model.apply(v, g, g.x, training=False)
+
+    return apply, variables, graph
+
+
+def test_fgsm_reduces_accuracy(trained):
+    apply, variables, graph = trained
+    out = evaluate_under_attack(
+        apply, variables, graph,
+        {"fgsm": lambda: fgsm_attack_features(apply, variables, graph,
+                                              epsilon=0.5)})
+    assert out["clean_acc"] > 0.9
+    assert out["fgsm_acc"] < out["clean_acc"]
+
+
+def test_pgd_at_least_as_strong_as_fgsm(trained):
+    apply, variables, graph = trained
+    g_fgsm = fgsm_attack_features(apply, variables, graph, epsilon=0.3)
+    g_pgd = pgd_attack_features(apply, variables, graph, epsilon=0.3,
+                                steps=5, step_size=0.1)
+    from cogdl_tpu.utils.evaluator import masked_accuracy
+
+    m = graph.test_mask & graph.node_mask()
+    a_f = float(masked_accuracy(apply(variables, g_fgsm), graph.y, m))
+    a_p = float(masked_accuracy(apply(variables, g_pgd), graph.y, m))
+    assert a_p <= a_f + 0.05
+
+
+def test_injection_keeps_static_mask_contract(trained):
+    apply, variables, graph = trained
+    g_adv = random_injection_attack(graph, n_inject=10, n_edges_per=5)
+    assert g_adv.num_nodes == graph.num_nodes + 10
+    # injected nodes are outside every split mask
+    assert int(np.asarray(g_adv.test_mask).sum()) == int(
+        np.asarray(graph.test_mask).sum())
+
+
+def test_svd_defense_returns_graph(trained):
+    _, _, graph = trained
+    g_def = gcn_svd_defense(graph, rank=8)
+    assert g_def.num_nodes == graph.num_nodes
+    assert g_def.num_edges > 0
+
+
+def test_transforms_shapes():
+    rng = jax.random.PRNGKey(0)
+    x = jnp.ones((10, 4))
+    assert drop_node(x, 0.5, rng).shape == x.shape
+    assert drop_feature(x, 0.5, rng).shape == x.shape
+    nf = normalize_features(x)
+    np.testing.assert_allclose(np.asarray(nf.sum(1)), 1.0, rtol=1e-5)
+
+    ds = build_dataset("sbm")
+    g2 = drop_edge(ds.graph, 0.5, rng)
+    assert g2.e_pad == ds.graph.e_pad
+    assert float(g2.edge_weight.sum()) != float(ds.graph.edge_weight.sum())
