@@ -79,6 +79,9 @@ def build_dataset(name: str, **kwargs) -> Dataset:
     if name == "random-graphs":
         graphs, labels = syn.random_graphs_dataset(**kwargs)
         return Dataset.from_graphs(graphs, labels=labels, name=name)
+    if name == "traffic-synthetic":
+        return Dataset.from_graph(syn.traffic_graph(**kwargs), name=name,
+                                  metric="mae")
     if name == "hetero-sbm":
         return Dataset.from_graph(syn.hetero_sbm_graph(**kwargs), name=name)
     if name == "rec-synthetic":

@@ -169,6 +169,45 @@ def random_graphs_dataset(
     return graphs, np.asarray(labels, np.int32)
 
 
+def traffic_graph(
+    num_nodes: int = 50,
+    num_steps: int = 400,
+    feat_dim: int = 1,
+    seed: int = 0,
+) -> Graph:
+    """Traffic time-series stand-in (PeMS-style): road-network graph +
+    smooth periodic per-node series diffused over the graph, stored in
+    ``extras['series']`` [T, N, C]."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    # ring-of-neighborhood road graph
+    rows, cols = [], []
+    for v in range(num_nodes):
+        for d in (1, 2):
+            rows += [v, (v + d) % num_nodes]
+            cols += [(v + d) % num_nodes, v]
+    g = from_coo(np.stack([np.asarray(rows), np.asarray(cols)]),
+                 num_nodes=num_nodes,
+                 meta={"name": f"traffic{num_nodes}", "num_classes": 1})
+    t = np.arange(num_steps)[:, None]
+    phase = rng.uniform(0, 2 * np.pi, num_nodes)[None, :]
+    base = (np.sin(2 * np.pi * t / 48 + phase)
+            + 0.5 * np.sin(2 * np.pi * t / 12 + 2 * phase))
+    noise = 0.1 * rng.normal(size=(num_steps, num_nodes))
+    series = (base + noise).astype(np.float32)[..., None]
+    if feat_dim > 1:
+        series = np.repeat(series, feat_dim, axis=-1)
+    # pad the node axis to the graph's static size (spmm operates on n_pad)
+    series = np.concatenate(
+        [series, np.zeros((num_steps, g.n_pad - num_nodes, series.shape[-1]),
+                          np.float32)], axis=1)
+    x = np.zeros((num_nodes, 1), np.float32)
+    g = g.replace(x=jnp.asarray(np.concatenate(
+        [x, np.zeros((g.n_pad - num_nodes, 1), np.float32)])))
+    return g.replace(extras={"series": jnp.asarray(series)})
+
+
 def hetero_sbm_graph(
     num_nodes: int = 300,
     num_types: int = 3,

@@ -23,6 +23,7 @@ SUPPORTED_WRAPPERS: Dict[str, str] = {
     "heterogeneous_gnn": "cogdl_tpu.wrappers.heterogeneous.HeterogeneousGNNWrapper",
     "multiplex_embedding": "cogdl_tpu.wrappers.heterogeneous.MultiplexEmbeddingWrapper",
     "graph_embedding": "cogdl_tpu.wrappers.heterogeneous.GraphEmbeddingWrapper",
+    "traffic_prediction": "cogdl_tpu.wrappers.traffic_prediction.TrafficPredictionWrapper",
 }
 
 # model name → default wrapper (reference cogdl/wrappers/default_match.py:9)
@@ -42,7 +43,8 @@ DEFAULT_WRAPPER = {
     "sortpool": "graph_classification", "patchy_san": "graph_classification",
     "infograph": "graph_classification",
     "dgi": "dgi", "grace": "grace", "mvgrl": "dgi", "graphmae": "graphmae",
-    "lightgcn": "recommendation",
+    "lightgcn": "recommendation", "stgcn": "traffic_prediction",
+    "stgat": "traffic_prediction",
     "han": "heterogeneous_gnn", "gtn": "heterogeneous_gnn",
     "rgcn": "heterogeneous_gnn", "compgcn": "heterogeneous_gnn",
     "gatne": "multiplex_embedding",
