@@ -29,7 +29,7 @@ class GCN(nn.Module):
 
     @nn.compact
     def __call__(self, graph: Graph, x: Optional[jnp.ndarray] = None,
-                 training: bool = False):
+                 training: bool = False, return_hidden: bool = False):
         if x is None:
             x = graph.x
         if self.adj_norm == "sym":
@@ -47,15 +47,11 @@ class GCN(nn.Module):
                 norm=self.norm,
                 name=f"layer{i}",
             )(graph, x, training)
+        if return_hidden:
+            return x
         return GCNLayer(self.out_features, name=f"layer{self.num_layers - 1}")(
             graph, x, training)
 
     def embed(self, graph: Graph, x: Optional[jnp.ndarray] = None):
         """Penultimate-layer embeddings (reference ``predict``-style hook)."""
-        if x is None:
-            x = graph.x
-        g = sym_norm(graph) if self.adj_norm == "sym" else graph
-        for i in range(self.num_layers - 1):
-            x = GCNLayer(self.hidden_size, activation=self.activation,
-                         name=f"layer{i}")(g, x, False)
-        return x
+        return self(graph, x, False, return_hidden=True)

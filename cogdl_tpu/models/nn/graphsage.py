@@ -41,6 +41,21 @@ class GraphSAGE(nn.Module):
                          name=f"layer{self.num_layers - 1}")(blocks[-1], x, training)
 
 
+    def inference(self, graph: Graph, x: Optional[jnp.ndarray] = None):
+        """Layer-wise full-graph inference (reference graphsage.py:106):
+        apply each layer over the whole graph before moving to the next —
+        O(num_layers · E) instead of O(fanout^L) per node. Jit-compatible
+        because the full graph is statically shaped."""
+        if x is None:
+            x = graph.x
+        for i in range(self.num_layers - 1):
+            x = SAGELayer(self.hidden_size, aggr=self.aggr,
+                          normalize=self.normalize, activation="relu",
+                          name=f"layer{i}")(graph, x, False)
+        return SAGELayer(self.out_features, aggr=self.aggr,
+                         name=f"layer{self.num_layers - 1}")(graph, x, False)
+
+
 class UnsupGraphSAGE(GraphSAGE):
     """Same encoder; trained with the unsupervised skip-gram-style loss in
     wrappers (reference models/nn/graphsage.py:193)."""

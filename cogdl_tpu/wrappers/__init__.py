@@ -24,6 +24,9 @@ SUPPORTED_WRAPPERS: Dict[str, str] = {
     "multiplex_embedding": "cogdl_tpu.wrappers.heterogeneous.MultiplexEmbeddingWrapper",
     "graph_embedding": "cogdl_tpu.wrappers.heterogeneous.GraphEmbeddingWrapper",
     "traffic_prediction": "cogdl_tpu.wrappers.traffic_prediction.TrafficPredictionWrapper",
+    "sagn_staged": "cogdl_tpu.wrappers.staged.SAGNWrapper",
+    "m3s_staged": "cogdl_tpu.wrappers.staged.M3SWrapper",
+    "correct_smooth": "cogdl_tpu.wrappers.staged.CorrectSmoothWrapper",
 }
 
 # model name → default wrapper (reference cogdl/wrappers/default_match.py:9)
@@ -36,9 +39,9 @@ DEFAULT_WRAPPER = {
     "grand": "node_classification", "mlp": "node_classification",
     "deepergcn": "node_classification", "dropedge_gcn": "node_classification",
     "revgcn": "node_classification", "graphsaint": "node_classification",
-    "pprgo": "node_classification", "sagn": "node_classification",
-    "m3s": "node_classification", "moe_gcn": "node_classification",
-    "correct_smooth_mlp": "node_classification",
+    "pprgo": "node_classification", "sagn": "sagn_staged",
+    "m3s": "m3s_staged", "moe_gcn": "node_classification",
+    "correct_smooth_mlp": "correct_smooth",
     "gin": "graph_classification", "diffpool": "graph_classification",
     "sortpool": "graph_classification", "patchy_san": "graph_classification",
     "infograph": "graph_classification",
