@@ -18,6 +18,7 @@ SUPPORTED_WRAPPERS: Dict[str, str] = {
     "dgi": "cogdl_tpu.wrappers.self_supervised.DGIWrapper",
     "grace": "cogdl_tpu.wrappers.self_supervised.GRACEWrapper",
     "graphmae": "cogdl_tpu.wrappers.self_supervised.GraphMAEWrapper",
+    "unsup_graphsage": "cogdl_tpu.wrappers.self_supervised.UnsupGraphSAGEWrapper",
     "clustering": "cogdl_tpu.wrappers.clustering.ClusteringWrapper",
     "recommendation": "cogdl_tpu.wrappers.recommendation.RecommendationWrapper",
     "heterogeneous_gnn": "cogdl_tpu.wrappers.heterogeneous.HeterogeneousGNNWrapper",
@@ -46,6 +47,7 @@ DEFAULT_WRAPPER = {
     "sortpool": "graph_classification", "patchy_san": "graph_classification",
     "infograph": "graph_classification",
     "dgi": "dgi", "grace": "grace", "mvgrl": "dgi", "graphmae": "graphmae",
+    "unsup_graphsage": "unsup_graphsage",
     "lightgcn": "recommendation", "stgcn": "traffic_prediction",
     "stgat": "traffic_prediction",
     "han": "heterogeneous_gnn", "gtn": "heterogeneous_gnn",

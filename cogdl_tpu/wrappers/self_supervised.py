@@ -104,3 +104,63 @@ class GraphMAEWrapper(DGIWrapper):
                                 rngs={"dropout": r2},
                                 method=self.model.reconstruction_loss)
         return loss, {}
+
+
+class UnsupGraphSAGEWrapper(DGIWrapper):
+    """Unsupervised GraphSAGE: random-walk co-occurrence positives + uniform
+    negatives with the sigmoid loss (reference unsup_graphsage_mw and
+    UnsupNeighborSamplerDataset, data/sampler.py:119-185). Walks are sampled
+    host-side per epoch (native C++ when built) and enter the jitted step as
+    batch arrays — static shapes, no retrace."""
+
+    walk_length = 3
+    num_negatives = 8
+    pairs_per_epoch = 2048
+    refresh_per_epoch = True
+
+    def prepare_graph(self, graph: Graph) -> Graph:
+        graph = super().prepare_graph(graph)
+        from ..data.sampling import graph_csr
+
+        self._csr = graph_csr(graph)
+        self._rng_np = np.random.default_rng(0)
+        return graph
+
+    def init(self, rng, graph: Graph):
+        return self.model.init({"params": rng, "dropout": rng}, graph,
+                               graph.x, training=False)
+
+    def train_batches(self, graph: Graph):
+        from .. import native
+
+        indptr, indices, _ = self._csr
+        rng_np = self._rng_np
+        starts = rng_np.integers(0, graph.num_nodes, self.pairs_per_epoch)
+        if native.available():
+            walks = native.random_walk(indptr, indices, starts,
+                                       self.walk_length,
+                                       seed=int(rng_np.integers(0, 2 ** 62)))
+        else:
+            from ..models.emb.walks import random_walks as _rw
+
+            walks = _rw(indptr, indices, 1, self.walk_length,
+                        seed=int(rng_np.integers(0, 2 ** 31)))[starts]
+        neg = rng_np.integers(0, graph.num_nodes,
+                              (starts.shape[0], self.num_negatives))
+        return [(graph, jnp.asarray(starts), jnp.asarray(walks[:, -1]),
+                 jnp.asarray(neg))]
+
+    def loss(self, variables, batch, rng, training: bool = True):
+        graph, u, v, neg = batch
+        z = self.model.apply(variables, graph, graph.x, training,
+                             rngs={"dropout": rng})
+        zu, zv, zn = z[u], z[v], z[neg]
+        pos = jnp.sum(zu * zv, -1)
+        negs = jnp.einsum("bd,bkd->bk", zu, zn)
+        loss = -jnp.mean(jax.nn.log_sigmoid(pos)) - jnp.mean(
+            jax.nn.log_sigmoid(-negs))
+        return loss, {}
+
+    def evaluate(self, variables, graph: Graph):
+        emb = self.model.apply(variables, graph, graph.x, False)
+        return logreg_probe(np.asarray(emb), graph)
