@@ -95,7 +95,8 @@ def oagbert(name_or_path: Optional[str] = None, load_weights: bool = True,
     (model, variables[, inference helper via .inference])."""
     small = {"hidden_size": 128, "num_layers": 2, "num_heads": 4,
              "intermediate_size": 256}
-    cfg = dict(small if name_or_path in (None, "oagbert-test") else {})
+    cfg = dict(small if name_or_path is None
+               or name_or_path.startswith("oagbert-test") else {})
     cfg.update(config_overrides)
     model = BertModel(dual_position="dual" in (name_or_path or ""), **cfg)
     rng = jax.random.PRNGKey(0)
