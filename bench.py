@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--hidden", type=int, default=128)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="report the fastest of N timed repeats")
     ap.add_argument("--products", action="store_true",
                     help="full ogbn-products scale (2.45M nodes, ~124M edges)")
     args = ap.parse_args()
@@ -91,10 +93,13 @@ def main():
     params, opt_state, loss = run_steps(params, opt_state, graph, args.warmup)
     float(loss)  # force completion
 
-    t0 = time.perf_counter()
-    params, opt_state, loss = run_steps(params, opt_state, graph, args.steps)
-    float(loss)  # force completion
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(max(args.repeats, 1)):
+        t0 = time.perf_counter()
+        params, opt_state, loss = run_steps(params, opt_state, graph,
+                                            args.steps)
+        float(loss)  # force completion
+        dt = min(dt, time.perf_counter() - t0)
 
     edges_per_sec = graph.num_edges * args.steps / dt
     print(json.dumps({
