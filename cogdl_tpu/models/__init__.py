@@ -37,6 +37,11 @@ SUPPORTED_MODELS: Dict[str, str] = {
     "gdc_gcn": "cogdl_tpu.models.nn.gdc_gcn.GDCGCN",
     "disengcn": "cogdl_tpu.models.nn.disengcn.DisenGCN",
     "moe_gcn": "cogdl_tpu.models.nn.moe_gcn.MoEGCN",
+    "gcnmix": "cogdl_tpu.models.nn.gcnmix.GCNMix",
+    "drgcn": "cogdl_tpu.models.nn.drgcn.DrGCN",
+    "drgat": "cogdl_tpu.models.nn.drgcn.DrGAT",
+    "stgat": "cogdl_tpu.models.nn.stgat.STGAT",
+    "autognn": "cogdl_tpu.models.nn.autognn.AutoGNN",
     "stgcn": "cogdl_tpu.models.nn.stgcn.STGCN",
     "correct_smooth_mlp": "cogdl_tpu.models.nn.correct_smooth.CorrectSmoothMLP",
     "sagn": "cogdl_tpu.models.nn.sagn.SAGN",
@@ -65,6 +70,7 @@ SUPPORTED_MODELS: Dict[str, str] = {
     "netmf": "cogdl_tpu.models.emb.netmf.NetMF",
     "netsmf": "cogdl_tpu.models.emb.netsmf.NetSMF",
     "prone": "cogdl_tpu.models.emb.prone.ProNE",
+    "prone++": "cogdl_tpu.models.emb.prone_pp.ProNEpp",
     "hope": "cogdl_tpu.models.emb.hope.HOPE",
     "grarep": "cogdl_tpu.models.emb.grarep.GraRep",
     "spectral": "cogdl_tpu.models.emb.spectral.Spectral",

@@ -43,6 +43,9 @@ DEFAULT_WRAPPER = {
     "pprgo": "node_classification", "sagn": "sagn_staged",
     "m3s": "m3s_staged", "moe_gcn": "node_classification",
     "correct_smooth_mlp": "correct_smooth",
+    "gcnmix": "node_classification", "drgcn": "node_classification",
+    "drgat": "node_classification", "autognn": "node_classification",
+    "prone++": "network_embedding",
     "gin": "graph_classification", "diffpool": "graph_classification",
     "sortpool": "graph_classification", "patchy_san": "graph_classification",
     "infograph": "graph_classification",
