@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--repeats", type=int, default=3,
                     help="report the fastest of N timed repeats")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 activations (f32 master weights)")
     ap.add_argument("--products", action="store_true",
                     help="full ogbn-products scale (2.45M nodes, ~124M edges)")
     args = ap.parse_args()
@@ -69,12 +71,21 @@ def main():
 
     def train_step(params, opt_state, g):
         def loss_fn(p):
-            logits = model.apply({"params": p}, g, g.x, training=True,
+            if args.bf16:
+                p = jax.tree.map(
+                    lambda a: a.astype(jnp.bfloat16)
+                    if a.dtype == jnp.float32 else a, p)
+                g_ = g.replace(x=g.x.astype(jnp.bfloat16))
+            else:
+                g_ = g
+            logits = model.apply({"params": p}, g_, g_.x, training=True,
                                  rngs={"dropout": rng})
-            mask = g.train_mask & g.node_mask()
-            return masked_cross_entropy(logits, g.y, mask)
+            mask = g_.train_mask & g_.node_mask()
+            return masked_cross_entropy(
+                logits.astype(jnp.float32), g_.y, mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.tree.map(lambda a: a.astype(jnp.float32), grads)
         upd, opt_state2 = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, upd), opt_state2, loss
 
@@ -109,7 +120,7 @@ def main():
         "unit": "edges/sec",
         "vs_baseline": round(edges_per_sec / BASELINE_EDGES_PER_SEC, 4),
         "step_ms": round(1000 * dt / args.steps, 2),
-        "device": str(jax.devices()[0]),
+        "device": str(jax.devices()[0]), "bf16": args.bf16,
     }))
 
 
