@@ -65,3 +65,50 @@ def test_best_config_overlay():
     kw = set_best_config("gcn", "cora", {"lr": 0.5})
     assert kw["lr"] == 0.5           # user kwargs win
     assert kw["hidden_size"] == 64   # best config fills the rest
+
+
+MORE_NODE_MODELS = ["deepergcn", "dropedge_gcn", "revgcn", "srgcn", "moe_gcn",
+                    "sagn", "m3s", "correct_smooth_mlp", "gcnmix", "drgcn",
+                    "drgat", "graph_unet", "autognn"]
+
+
+@pytest.mark.parametrize("model", MORE_NODE_MODELS)
+def test_node_classification_extended(model):
+    res = train("sbm", model, seed=0, epochs=8, patience=20, eval_step=4)
+    assert 0.0 <= res["test_acc"] <= 1.0
+
+
+def test_heterogeneous_family():
+    for m in ("han", "gtn"):
+        res = train("hetero-sbm", m, seed=0, epochs=8, eval_step=4)
+        assert res["test_acc"] > 0.5
+
+
+def test_relational_family():
+    for m in ("rgcn", "compgcn"):
+        res = train("hetero-sbm", m, seed=0, epochs=8, eval_step=4,
+                    num_relations=2)
+        assert res["test_acc"] > 0.5
+
+
+def test_kg_family():
+    res = train("random-kg", "transe", seed=0, epochs=10, hidden_size=32)
+    assert 0.0 <= res["test_mrr"] <= 1.0
+
+
+def test_unsup_graphsage():
+    res = train("sbm", "unsup_graphsage", seed=0, epochs=6, eval_step=3,
+                patience=10)
+    assert res["test_acc"] > 0.5
+
+
+def test_traffic_family():
+    res = train("traffic-synthetic", "stgcn", seed=0, epochs=3, batch_size=8,
+                eval_step=3, hidden_size=16, spatial_channels=8)
+    assert res["test_mae"] < 2.0
+
+
+def test_embedding_families():
+    for m in ("deepwalk", "netmf", "hope"):
+        res = train("sbm", m, seed=0, hidden_size=16)
+        assert res["test_acc"] > 0.6
