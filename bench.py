@@ -30,13 +30,13 @@ BASELINE_EDGES_PER_SEC = 1.0e9
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--nodes", type=int, default=250_000)
+    ap.add_argument("--nodes", type=int, default=100_000)
     ap.add_argument("--avg-degree", type=int, default=30)
     ap.add_argument("--feat-dim", type=int, default=100)
     ap.add_argument("--hidden", type=int, default=128)
-    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=3)
-    ap.add_argument("--repeats", type=int, default=3,
+    ap.add_argument("--repeats", type=int, default=2,
                     help="report the fastest of N timed repeats")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 activations (f32 master weights)")
