@@ -179,10 +179,16 @@ def sorted_segment_matmul(
 
 def _one_direction(x, col_k, w_k, row_k, ct):
     n_pad, F = x.shape
+    dtype_in = x.dtype
     if F % F_BLK != 0:
         x = jnp.pad(x, ((0, 0), (0, F_BLK - F % F_BLK)))
     msg = jnp.take(x, col_k, axis=0)
+    # the Mosaic kernel runs in f32 (bf16 operands crash this backend);
+    # bf16 inputs still save gather bandwidth, the cast rides the stream
+    if msg.dtype != jnp.float32:
+        msg = msg.astype(jnp.float32)
     out = sorted_segment_matmul(msg, row_k, w_k, ct, n_pad)
+    out = out.astype(dtype_in)
     return out[:, :F] if out.shape[1] != F else out
 
 
