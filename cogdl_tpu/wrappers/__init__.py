@@ -12,6 +12,8 @@ SUPPORTED_WRAPPERS: Dict[str, str] = {
     "neighbor_sampling": "cogdl_tpu.wrappers.sampled_node_classification.SampledNodeClfWrapper",
     "cluster": "cogdl_tpu.wrappers.sampled_node_classification.ClusterNodeClfWrapper",
     "graph_classification": "cogdl_tpu.wrappers.graph_classification.GraphClfWrapper",
+    "infograph": "cogdl_tpu.wrappers.graph_classification.InfoGraphWrapper",
+    "patchy_san": "cogdl_tpu.wrappers.graph_classification.PatchySANWrapper",
     "link_prediction": "cogdl_tpu.wrappers.link_prediction.LinkPredictionWrapper",
     "network_embedding": "cogdl_tpu.wrappers.network_embedding.NetworkEmbeddingWrapper",
     "triple_link_prediction": "cogdl_tpu.wrappers.triple_link_prediction.TripleLinkPredictionWrapper",
@@ -47,8 +49,8 @@ DEFAULT_WRAPPER = {
     "drgat": "node_classification", "autognn": "node_classification",
     "prone++": "network_embedding",
     "gin": "graph_classification", "diffpool": "graph_classification",
-    "sortpool": "graph_classification", "patchy_san": "graph_classification",
-    "infograph": "graph_classification",
+    "sortpool": "graph_classification", "patchy_san": "patchy_san",
+    "infograph": "infograph",
     "dgi": "dgi", "grace": "grace", "mvgrl": "dgi", "graphmae": "graphmae",
     "unsup_graphsage": "unsup_graphsage",
     "lightgcn": "recommendation", "stgcn": "traffic_prediction",
