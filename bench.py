@@ -39,7 +39,8 @@ def main():
     ap.add_argument("--repeats", type=int, default=2,
                     help="report the fastest of N timed repeats")
     ap.add_argument("--bf16", action="store_true",
-                    help="bf16 activations (f32 master weights)")
+                    help="bf16 activations (f32 master weights); "
+                    "EXPERIMENTAL on this backend - scan+bf16 crashes")
     ap.add_argument("--products", action="store_true",
                     help="full ogbn-products scale (2.45M nodes, ~124M edges)")
     args = ap.parse_args()
