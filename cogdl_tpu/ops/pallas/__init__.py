@@ -53,6 +53,8 @@ def prepare_spmm(graph):
 
     extras = dict(graph.extras or {})
     extras.update({
+        "spmm_fw_orig": jnp.asarray(fwd["orig_k"]),
+        "spmm_fw_ones": jnp.asarray((fwd["orig_k"] >= 0).astype(np.float32)),
         "spmm_fw_col": jnp.asarray(fwd["col_k"]),
         "spmm_fw_w": jnp.asarray(fwd["w_k"]),
         "spmm_fw_row": jnp.asarray(fwd["row_k"]),
@@ -87,6 +89,20 @@ def maybe_pallas_spmm(graph, x) -> Optional[jnp.ndarray]:
         extras["spmm_bw_col"], extras["spmm_bw_w"],
         extras["spmm_bw_row"], extras["spmm_bw_ct"],
     )
+
+
+def maybe_pallas_mh_spmm(graph, attention, h):
+    """GAT aggregation through the kernel when a layout is prepared."""
+    extras = graph.extras
+    if (not extras or "spmm_fw_orig" not in extras or not _is_tpu()
+            or attention.ndim != 2 or h.ndim != 3):
+        return None
+    from .segment_kernels import mh_spmm_pallas
+
+    return mh_spmm_pallas(
+        attention, h, extras["spmm_fw_col"], extras["spmm_fw_orig"],
+        extras["spmm_fw_ones"], extras["spmm_fw_row"], extras["spmm_fw_ct"],
+        graph.n_pad)
 
 
 # legacy alias used by ops.spmm dispatch

@@ -212,3 +212,54 @@ def _spmm_bwd(res, g):
 
 
 spmm_pallas.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Generic weighted segment-sum over a prepared layout (multi-head SpMM route)
+# ---------------------------------------------------------------------------
+# out[r] = Σ_slots w[e]·msg[e] with msg ALREADY in layout order — used by
+# mh_spmm (GAT aggregation, reference multiheadSpmm.cu): attention is folded
+# into the message, w carries the pad-validity mask. Backward: dmsg is a
+# row-gather of the cotangent (the transpose of a segment-sum).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def segment_sum_pallas(msg, row_k, w_k, ct, n_pad):
+    return sorted_segment_matmul(msg, row_k, w_k, ct, n_pad)
+
+
+def _ss_fwd(msg, row_k, w_k, ct, n_pad):
+    return sorted_segment_matmul(msg, row_k, w_k, ct, n_pad), (row_k, w_k, ct)
+
+
+def _ss_bwd(n_pad, res, g):
+    row_k, w_k, ct = res
+    dmsg = jnp.take(g, row_k, axis=0) * w_k[:, None]
+    return dmsg, jnp.zeros_like(row_k), jnp.zeros_like(w_k), jnp.zeros_like(ct)
+
+
+segment_sum_pallas.defvjp(_ss_fwd, _ss_bwd)
+
+
+def mh_spmm_pallas(attention, h, fw_col, fw_orig, fw_ones, fw_row, fw_ct,
+                   n_pad):
+    """out[v,h,:] = Σ_e att[e,h]·feat[col[e],h,:] through the segment kernel.
+
+    ``attention`` arrives in ORIGINAL edge order (as produced by
+    edge_softmax); ``fw_orig`` maps layout slots back to original edges
+    (clipped gather; pad slots are zeroed by ``fw_ones``).
+    """
+    E_k = fw_col.shape[0]
+    H, D = attention.shape[1], h.shape[2]
+    att_k = jnp.take(attention, jnp.maximum(fw_orig, 0), axis=0)
+    att_k = att_k * fw_ones[:, None]                     # [E_k, H]
+    msg = jnp.take(h.reshape(n_pad, H * D), fw_col, axis=0)
+    msg = msg.reshape(E_k, H, D) * att_k[:, :, None]
+    msg = msg.reshape(E_k, H * D)
+    if msg.dtype != jnp.float32:
+        msg = msg.astype(jnp.float32)
+    Fp = H * D
+    if Fp % F_BLK != 0:
+        msg = jnp.pad(msg, ((0, 0), (0, F_BLK - Fp % F_BLK)))
+    out = segment_sum_pallas(msg, fw_row, fw_ones, fw_ct, n_pad)
+    return out[:, :Fp].reshape(n_pad, H, D).astype(h.dtype)

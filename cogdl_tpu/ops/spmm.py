@@ -102,6 +102,11 @@ def mh_spmm(graph: Graph, attention: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray
     Reference: cogdl/operators/spmm/multiheadSpmm.cu via MHSPMMFunction
     (operators/mhspmm.py:45). ``attention: [E, H]``, ``h: [N, H, D]``.
     """
+    from . import pallas as _pl
+
+    out = _pl.maybe_pallas_mh_spmm(graph, attention, h)
+    if out is not None:
+        return out
     msg = seg.gather(h, graph.col) * attention[:, :, None]
     return seg.segment_sum(msg, graph.row, graph.n_pad)
 
