@@ -42,7 +42,6 @@ class GATNE(EmbeddingModel):
         base = None
         for t in np.unique(etype):
             sel = etype == t
-            sub = Graph if False else None
             from ...data.graph import from_coo
 
             g_t = from_coo(np.stack([row[sel], col[sel]]),

@@ -33,7 +33,7 @@ class CorrectSmoothMLP(nn.Module):
             x = graph.x
         return MLP(self.out_features, hidden_features=self.hidden_size,
                    num_layers=self.num_layers, dropout=self.dropout,
-                   norm="batchnorm" if False else None, name="mlp")(x, training)
+                   name="mlp")(x, training)
 
     def postprocess(self, graph: Graph, logits: jnp.ndarray) -> jnp.ndarray:
         """C&S: propagate train-residual errors, then smooth predictions."""

@@ -105,5 +105,4 @@ def maybe_pallas_mh_spmm(graph, attention, h):
         graph.n_pad)
 
 
-# legacy alias used by ops.spmm dispatch
-maybe_bcsr_spmm = maybe_pallas_spmm
+

@@ -7,9 +7,9 @@ operators/mhspmm.py, utils/spmm_utils.py:85-251 dispatch) with two tiers:
     the analog of the reference's ``spmm_scatter`` (utils/spmm_utils.py:43-52).
     JAX autodiff derives the backward (transpose-SpMM for dx, SDDMM for dw)
     automatically from this formulation.
-  * performance tier: Pallas BCSR kernel on the MXU
-    (cogdl_tpu.ops.pallas.bcsr_spmm), selected on TPU for large graphs when the
-    graph carries a cached block-sparse layout.
+  * performance tier: the Pallas sorted-segment kernel
+    (cogdl_tpu.ops.pallas.segment_kernels), selected on TPU when the graph
+    carries a prepared tile-chunk layout (prepare_spmm).
 
 Both tiers share the shape contract: features ``[N_pad, F]`` in, ``[N_pad, F]``
 out, pad rows produce zeros (pad edges carry zero weight).
@@ -66,7 +66,7 @@ def spmm(graph: Graph, x: jnp.ndarray, actnn: bool = False, fast_spmm=None) -> j
     """
     from . import pallas as _pl  # local import: keeps CPU-only paths light
 
-    kern = _pl.maybe_bcsr_spmm(graph, x)
+    kern = _pl.maybe_pallas_spmm(graph, x)
     if kern is not None:
         return kern
     return spmm_coo(x, graph.row, graph.col, graph.edge_weight, graph.n_pad)
