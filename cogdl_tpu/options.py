@@ -31,6 +31,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-trials", type=int, default=3)
     p.add_argument("--search", action="store_true",
                    help="run AutoML over the default search space")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (reference --cpu flag)")
     p.add_argument("--devices", type=int, nargs="+", default=None,
                    help="(compat) ignored: JAX owns device placement")
     return p
@@ -78,6 +80,10 @@ def main(argv: Optional[List[str]] = None):
     """Entry point for ``python -m cogdl_tpu`` / scripts/train.py
     (reference scripts/train.py:1-9)."""
     args, kwargs = parse_args_and_kwargs(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from .experiments import experiment
 
     if args.search:
