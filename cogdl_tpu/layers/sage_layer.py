@@ -8,6 +8,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..data.graph import Graph
@@ -31,7 +32,7 @@ class SAGELayer(nn.Module):
             out = nn.Dense(self.out_features, name="W_self")(x) + nn.Dense(
                 self.out_features, name="W_nbr")(nbr)
         if self.normalize:
-            out = out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+            out = out * jax.lax.rsqrt(jnp.sum(out ** 2, -1, keepdims=True) + 1e-12)
         if self.activation is not None:
             out = get_activation(self.activation)(out)
         if self.dropout > 0 and training:

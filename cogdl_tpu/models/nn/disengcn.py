@@ -23,7 +23,8 @@ class DisenLayer(nn.Module):
     def __call__(self, graph: Graph, x: jnp.ndarray, training: bool = False):
         K, D = self.channels, self.channel_dim
         z = nn.Dense(K * D, name="proj")(x).reshape(-1, K, D)
-        z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-12)
+        # rsqrt(x+eps) keeps grads finite on zero rows (linalg.norm vjp NaNs)
+        z = z * jax.lax.rsqrt(jnp.sum(z ** 2, -1, keepdims=True) + 1e-12)
         src = seg.gather(z, graph.col)                 # [E, K, D]
         dst = z
         c = z                                          # routing target [N,K,D]
@@ -34,8 +35,7 @@ class DisenLayer(nn.Module):
             att = att * graph.edge_mask()[:, None]
             agg = seg.segment_sum(src * att[..., None], graph.row, graph.n_pad)
             c = dst + agg
-            c = c / jnp.maximum(jnp.linalg.norm(c, axis=-1, keepdims=True),
-                                1e-12)
+            c = c * jax.lax.rsqrt(jnp.sum(c ** 2, -1, keepdims=True) + 1e-12)
         return c.reshape(-1, K * D)
 
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ...data.graph import Graph
@@ -35,4 +36,4 @@ class GCC(nn.Module):
         if graph_id is not None:
             h = seg.segment_sum(h, graph_id, num_graphs)
         z = nn.Dense(self.out_features, name="proj")(h)
-        return z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-12)
+        return z * jax.lax.rsqrt(jnp.sum(z ** 2, -1, keepdims=True) + 1e-12)

@@ -42,8 +42,8 @@ class GraphUnet(nn.Module):
             # gPool: score nodes, keep top-k by soft mask
             p = self.param(f"pool_w{d}", nn.initializers.glorot_uniform(),
                            (h.shape[-1], 1))
-            score = (h @ p).squeeze(-1) / jnp.maximum(
-                jnp.linalg.norm(p), 1e-12)
+            score = (h @ p).squeeze(-1) * jax.lax.rsqrt(
+                jnp.sum(p ** 2) + 1e-12)
             score = jnp.where(mask.squeeze(-1) > 0, score, -1e30)
             k = max(int(rate * graph.num_nodes), 1)
             thresh = jax.lax.top_k(score, k)[0][-1]

@@ -76,7 +76,12 @@ DEFAULT_WRAPPER = {
 def fetch_wrapper(name: str):
     import importlib
 
-    path = SUPPORTED_WRAPPERS[name]
+    try:
+        path = SUPPORTED_WRAPPERS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown wrapper {name!r}; known: {sorted(SUPPORTED_WRAPPERS)}"
+        ) from None
     module_path, cls_name = path.rsplit(".", 1)
     return getattr(importlib.import_module(module_path), cls_name)
 
