@@ -39,12 +39,23 @@ class GATLayer(nn.Module):
         a_src = self.param("a_src", nn.initializers.glorot_uniform(), (1, H, D))
         score_dst = jnp.sum(h * a_dst, axis=-1)  # [N, H]
         score_src = jnp.sum(h * a_src, axis=-1)
-        e = gather(score_dst, graph.row) + gather(score_src, graph.col)  # [E, H]
-        e = jax.nn.leaky_relu(e, self.alpha)
-        att = edge_softmax(graph, e)
-        if self.attn_drop > 0 and training:
-            att = nn.Dropout(rate=self.attn_drop, deterministic=False)(att)
-        out = mh_spmm(graph, att, h)  # [N, H, D]
+        from ..ops.pallas import maybe_gat_fused
+
+        out = None
+        drop = self.attn_drop if training else 0.0
+        rng = self.make_rng("dropout") if (drop > 0 and training) else None
+        # fused layout-order path (TPU): no [E, H] tensors materialised
+        out = maybe_gat_fused(graph, score_dst, score_src, h,
+                              alpha=self.alpha, attn_drop=drop,
+                              dropout_rng=rng)
+        if out is None:
+            e = gather(score_dst, graph.row) + gather(score_src, graph.col)
+            e = jax.nn.leaky_relu(e, self.alpha)
+            att = edge_softmax(graph, e)
+            if self.attn_drop > 0 and training:
+                att = nn.Dropout(rate=self.attn_drop,
+                                 deterministic=False)(att)
+            out = mh_spmm(graph, att, h)  # [N, H, D]
         out = out.reshape(-1, H * D) if self.concat else out.mean(axis=1)
         if self.residual:
             res = x if x.shape[-1] == out.shape[-1] else nn.Dense(

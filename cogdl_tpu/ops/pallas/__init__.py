@@ -91,6 +91,21 @@ def maybe_pallas_spmm(graph, x) -> Optional[jnp.ndarray]:
     )
 
 
+def maybe_gat_fused(graph, score_dst, score_src, h, alpha=0.2,
+                    attn_drop=0.0, dropout_rng=None):
+    """Fused GAT attention+aggregate when a layout is prepared (TPU)."""
+    extras = graph.extras
+    if not extras or "spmm_fw_orig" not in extras or not _is_tpu():
+        return None
+    from .segment_kernels import gat_attention_aggregate
+
+    return gat_attention_aggregate(
+        score_dst, score_src, h, extras["spmm_fw_col"],
+        extras["spmm_fw_row"], extras["spmm_fw_ones"], extras["spmm_fw_ct"],
+        graph.n_pad, alpha=alpha, attn_drop=attn_drop,
+        dropout_rng=dropout_rng)
+
+
 def maybe_pallas_mh_spmm(graph, attention, h):
     """GAT aggregation through the kernel when a layout is prepared."""
     extras = graph.extras

@@ -263,3 +263,52 @@ def mh_spmm_pallas(attention, h, fw_col, fw_orig, fw_ones, fw_row, fw_ct,
         msg = jnp.pad(msg, ((0, 0), (0, F_BLK - Fp % F_BLK)))
     out = segment_sum_pallas(msg, fw_row, fw_ones, fw_ct, n_pad)
     return out[:, :Fp].reshape(n_pad, H, D).astype(h.dtype)
+
+
+def gat_attention_aggregate(score_dst, score_src, h, fw_col, fw_row, fw_ones,
+                            fw_ct, n_pad, alpha: float = 0.2,
+                            attn_drop: float = 0.0, dropout_rng=None):
+    """Fused GAT attention + aggregation in layout order.
+
+    Why: [E, H] tensors with H≈8 get column-major layouts on TPU, making
+    per-edge gathers/scatters on them ~50× slower than row-major ones
+    (profiled: a single [3.1M, 8] attention gather cost 273 ms/step). This
+    path never materialises an [E, H] tensor: per-(edge, head) scores live in
+    flat 1-D [E_k·H] arrays (T(1024) layout), softmax stats use scalar
+    segment ops over (dst, head) ids, and the weighted aggregation reuses the
+    sorted-segment MXU kernel on the [E_k, H·D] message stream.
+
+    score_dst/score_src: [N, H] per-node attention halves (a_dstᵀ·h_i etc.)
+    h: [N, H, D] transformed features. Returns [n_pad, H, D].
+    """
+    H, D = h.shape[1], h.shape[2]
+    E_k = fw_col.shape[0]
+    # flat (edge, head) indexing: id = node*H + head
+    heads = jnp.arange(H, dtype=fw_col.dtype)
+    row_flat = (fw_row[:, None] * H + heads[None, :]).reshape(-1)   # [E_k*H]
+    col_flat = (fw_col[:, None] * H + heads[None, :]).reshape(-1)
+    s = (jnp.take(score_dst.reshape(-1), row_flat)
+         + jnp.take(score_src.reshape(-1), col_flat))
+    s = jax.nn.leaky_relu(s, alpha)
+    valid = jnp.repeat(fw_ones, H)
+    s = jnp.where(valid > 0, s, -1e30)
+    n_seg = n_pad * H
+    smax = jax.ops.segment_max(s, row_flat, num_segments=n_seg)
+    smax = jnp.where(smax <= -1e29, 0.0, smax)
+    ex = jnp.exp(s - jnp.take(smax, row_flat)) * valid
+    denom = jax.ops.segment_sum(ex, row_flat, num_segments=n_seg)
+    att = ex / jnp.maximum(jnp.take(denom, row_flat), 1e-16)        # [E_k*H]
+    if attn_drop > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - attn_drop, att.shape)
+        att = att * keep / (1.0 - attn_drop)
+
+    msg = jnp.take(h.reshape(n_pad, H * D), fw_col, axis=0)          # [E_k,H*D]
+    att2 = att.reshape(E_k, H)
+    msg = (msg.reshape(E_k, H, D) * att2[:, :, None]).reshape(E_k, H * D)
+    if msg.dtype != jnp.float32:
+        msg = msg.astype(jnp.float32)
+    Fp = H * D
+    if Fp % F_BLK != 0:
+        msg = jnp.pad(msg, ((0, 0), (0, F_BLK - Fp % F_BLK)))
+    out = segment_sum_pallas(msg, fw_row, fw_ones, fw_ct, n_pad)
+    return out[:, :Fp].reshape(n_pad, H, D).astype(h.dtype)
