@@ -30,6 +30,8 @@ BASELINE_EDGES_PER_SEC = 1.0e9
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="gcn",
+                    help="model registry name (gcn, gat, sage, ...)")
     ap.add_argument("--nodes", type=int, default=100_000)
     ap.add_argument("--avg-degree", type=int, default=30)
     ap.add_argument("--feat-dim", type=int, default=100)
@@ -62,9 +64,11 @@ def main():
 
     if _is_tpu():
         graph = prepare_spmm(graph)
-    model = build_model("gcn", in_features=args.feat_dim,
-                        out_features=graph.num_classes,
-                        hidden_size=args.hidden, dropout=0.0)
+    kw = dict(in_features=args.feat_dim, out_features=graph.num_classes,
+              hidden_size=args.hidden, dropout=0.0)
+    if args.model == "gat":
+        kw.update(nhead=8, hidden_size=args.hidden // 8, attn_drop=0.0)
+    model = build_model(args.model, **kw)
     rng = jax.random.PRNGKey(0)
     variables = model.init(rng, graph, graph.x, training=False)
     tx = optax.adam(1e-2)
@@ -115,7 +119,7 @@ def main():
 
     edges_per_sec = graph.num_edges * args.steps / dt
     print(json.dumps({
-        "metric": "GCN train-step edges/sec (1 chip, powerlaw "
+        "metric": f"{args.model.upper()} train-step edges/sec (1 chip, powerlaw "
                   f"{args.nodes}n x{args.avg_degree}, F={args.feat_dim})",
         "value": round(edges_per_sec),
         "unit": "edges/sec",

@@ -94,6 +94,80 @@ def halo_spmm_allgather(x_local, row_local, col_global, w, axis: str = AXIS):
                                indices_are_sorted=True)
 
 
+def prepare_shard_layouts(parts: Dict) -> Dict:
+    """Host-side: per-shard Pallas sorted-segment layouts for the kernel-tier
+    local aggregation (stacked on the shard axis, padded to a common chunk
+    count so the whole thing keeps one static shape per array).
+
+    Extends ``parts`` with ``lay_col/lay_w/lay_row/lay_ct [P, ...]`` and
+    ``n_local_pad``. Destination rows are shard-local; source columns stay
+    global (they index the all-gathered feature matrix).
+    """
+    from ..ops.pallas.segment_kernels import (
+        R_TILE, T_CHUNK, build_spmm_layout)
+
+    n_shards, Nl = parts["n_shards"], parts["n_local"]
+    n_local_pad = _round_up(Nl, R_TILE)
+    n_tiles = n_local_pad // R_TILE
+
+    layouts = []
+    for p in range(n_shards):
+        w = parts["w"][p]
+        k = int(np.count_nonzero(w))  # pads carry w == 0 at the tail
+        layouts.append(build_spmm_layout(
+            parts["row_local"][p][:k], parts["col"][p][:k], w[:k],
+            n_local_pad))
+
+    n_chunks = max(l["chunk_tile"].shape[0] for l in layouts)
+    E_k = n_chunks * T_CHUNK
+    col = np.zeros((n_shards, E_k), np.int32)
+    wk = np.zeros((n_shards, E_k), np.float32)
+    rowk = np.zeros((n_shards, E_k), np.int32)
+    ct = np.zeros((n_shards, n_chunks), np.int32)
+    for p, l in enumerate(layouts):
+        e, c = l["col_k"].shape[0], l["chunk_tile"].shape[0]
+        col[p, :e] = l["col_k"]
+        wk[p, :e] = l["w_k"]
+        rowk[p, :e] = l["row_k"]
+        ct[p, :c] = l["chunk_tile"]
+        # pad chunks must keep chunk_tile monotonic: point them at the last
+        # REAL tile of this shard (their w == 0, so they accumulate nothing)
+        last_tile = int(l["chunk_tile"][-1]) if c else 0
+        ct[p, c:] = last_tile
+        rowk[p, e:] = last_tile * R_TILE
+
+    parts = dict(parts)
+    parts.update(lay_col=col, lay_w=wk, lay_row=rowk, lay_ct=ct,
+                 n_local_pad=n_local_pad)
+    return parts
+
+
+def halo_spmm_allgather_kernel(x_local, lay_col, lay_w, lay_row, lay_ct,
+                               n_local_pad: int, axis: str = AXIS):
+    """Kernel-tier variant of :func:`halo_spmm_allgather`: all-gather the
+    feature shards over ICI, then aggregate locally through the Pallas
+    sorted-segment MXU kernel instead of an XLA scatter. Call inside
+    shard_map with per-shard layout arrays from :func:`prepare_shard_layouts`,
+    and pass ``check_vma=False`` to shard_map (pallas_call outputs carry no
+    varying-mesh-axes annotation).
+    """
+    from ..ops.pallas.segment_kernels import F_BLK, segment_sum_pallas
+
+    xg = jax.lax.all_gather(x_local, axis, tiled=True)        # [N, F]
+    F = xg.shape[1]
+    if F % F_BLK != 0:
+        xg = jnp.pad(xg, ((0, 0), (0, F_BLK - F % F_BLK)))
+    msg = jnp.take(xg, lay_col, axis=0)
+    if msg.dtype != jnp.float32:
+        msg = msg.astype(jnp.float32)
+    # grads flow: d(msg) = gather(ct, lay_row)·w (segment_sum_pallas VJP),
+    # then XLA differentiates the take into a scatter-add over xg and the
+    # all_gather into a psum-scatter back to the owner shard.
+    out = segment_sum_pallas(msg, lay_row, lay_w, lay_ct, n_local_pad)
+    out = out[: x_local.shape[0], :F].astype(x_local.dtype)
+    return out
+
+
 def halo_spmm_ring(x_local, row_local, col_global, w, axis: str = AXIS):
     """Ring variant: visit each source shard via ppermute, accumulate the
     partial aggregation of edges whose source lives on the visiting shard.

@@ -47,6 +47,16 @@ def shard_graph(graph: Graph, mesh: Mesh, axis: str = GRAPH_AXIS) -> Graph:
     n = mesh.devices.size
     from ..data.graph import pad_to, _round_up
 
+    # Pallas SpMM layouts (graph.extras, from ops.pallas.prepare_spmm) are
+    # single-chip edge orderings — they neither shard along the mesh axis nor
+    # survive the re-pad below. Drop them: the GSPMD path aggregates through
+    # the XLA segment-op tier; the kernel tier on multichip goes through the
+    # explicit shard_map halo path (parallel.halo.prepare_shard_layouts).
+    if graph.extras:
+        kept = {k: v for k, v in graph.extras.items()
+                if not k.startswith("spmm_")}
+        graph = graph.replace(extras=kept or None)
+
     n_pad = _round_up(graph.n_pad, n)
     e_pad = _round_up(graph.e_pad, n)
     if n_pad != graph.n_pad or e_pad != graph.e_pad:

@@ -67,6 +67,49 @@ def test_halo_spmm_matches_single_device(g, fn):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_halo_kernel_tier_matches_single_device(g):
+    """Pallas kernel-tier local aggregation inside shard_map (interpret on
+    CPU): all-gather + sorted-segment MXU kernel == single-device spmm."""
+    from cogdl_tpu.parallel.halo import (
+        halo_spmm_allgather_kernel,
+        prepare_shard_layouts,
+    )
+
+    mesh = make_mesh(8)
+    parts = prepare_shard_layouts(partition_graph(g, 8))
+    x = jnp.asarray(parts["x"].reshape(-1, parts["x"].shape[-1]))
+    lay = {k: jnp.asarray(parts[k].reshape((-1,) + parts[k].shape[2:]))
+           for k in ("lay_col", "lay_w", "lay_row", "lay_ct")}
+    n_local_pad = parts["n_local_pad"]
+
+    sharded = shard_map(
+        functools.partial(halo_spmm_allgather_kernel,
+                          n_local_pad=n_local_pad),
+        mesh=mesh,
+        in_specs=(P(AXIS),) * 5,
+        out_specs=P(AXIS),
+        check_vma=False,  # pallas_call carries no vma annotation
+    )
+    with mesh:
+        out = jax.jit(sharded)(x, lay["lay_col"], lay["lay_w"],
+                               lay["lay_row"], lay["lay_ct"])
+    ref = np.asarray(ops.spmm(g, g.x))
+    got = np.asarray(out).reshape(8, -1, g.x.shape[-1])
+    got = got[:, : parts["n_local"]].reshape(-1, g.x.shape[-1])
+    np.testing.assert_allclose(got[: g.num_nodes], ref[: g.num_nodes],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_shard_graph_drops_pallas_layouts(g):
+    from cogdl_tpu.ops.pallas import prepare_spmm
+
+    mesh = make_mesh(8)
+    gp = prepare_spmm(g)
+    assert "spmm_fw_col" in gp.extras
+    gs = shard_graph(gp, mesh)
+    assert not gs.extras or "spmm_fw_col" not in gs.extras
+
+
 def test_distributed_train_step_decreases_loss(g):
     from cogdl_tpu.parallel.halo import device_put_parts, make_halo_train_step
 
