@@ -56,14 +56,27 @@ def main():
     from cogdl_tpu.utils.evaluator import masked_cross_entropy
 
     from cogdl_tpu.data.graph import add_self_loops, sym_norm
-
-    graph = powerlaw_graph(args.nodes, avg_degree=args.avg_degree,
-                           feat_dim=args.feat_dim, device_features=True)
-    graph = sym_norm(add_self_loops(graph))
     from cogdl_tpu.ops.pallas import _is_tpu, prepare_spmm
 
-    if _is_tpu():
-        graph = prepare_spmm(graph)
+    if args.products:
+        # OGB-scale: generate the graph AND build the kernel layouts on
+        # device (the host link is too slow for multi-GB edge/layout arrays);
+        # undirected ⇒ Aᵀ=A ⇒ backward reuses the forward layout, and the
+        # blocked streaming driver keeps the message blocks within HBM.
+        from cogdl_tpu.datasets.synthetic import powerlaw_graph_device
+        from cogdl_tpu.ops.pallas.device_layout import prepare_spmm_device
+
+        graph = powerlaw_graph_device(args.nodes, avg_degree=args.avg_degree,
+                                      feat_dim=args.feat_dim)
+        if _is_tpu():
+            graph = prepare_spmm_device(graph, symmetric=True,
+                                        with_orig=args.model == "gat")
+    else:
+        graph = powerlaw_graph(args.nodes, avg_degree=args.avg_degree,
+                               feat_dim=args.feat_dim, device_features=True)
+        graph = sym_norm(add_self_loops(graph))
+        if _is_tpu():
+            graph = prepare_spmm(graph)
     kw = dict(in_features=args.feat_dim, out_features=graph.num_classes,
               hidden_size=args.hidden, dropout=0.0)
     if args.model == "gat":

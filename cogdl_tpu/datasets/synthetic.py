@@ -10,11 +10,13 @@ multi-graph sets for graph classification, and random KG triple sets.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Tuple
 
 import numpy as np
 
 from ..data.graph import Graph, add_self_loops, from_coo, to_undirected
+from ..data.graph import _round_up as _ru
 
 
 def sbm_graph(
@@ -139,6 +141,89 @@ def powerlaw_graph(
         meta={"num_classes": num_classes, "name": f"powerlaw{num_nodes}"},
     )
     return g
+
+
+def powerlaw_graph_device(
+    num_nodes: int,
+    avg_degree: int = 15,
+    feat_dim: int = 128,
+    num_classes: int = 47,
+    seed: int = 0,
+    undirected: bool = True,
+    zipf_a: float = 0.8,
+) -> Graph:
+    """Fully device-resident power-law graph at OGB scale (ogbn-products
+    stand-in for the ≥1M-node benchmarks).
+
+    Everything — edge sampling, CSR sort, row_ptr, sym-normalisation,
+    features — is generated on the accelerator; the only host→device
+    transfer is the [N] Zipf CDF (float32, ~10 MB at 2.45M nodes). This
+    matters because this environment's host↔device link runs at single-digit
+    MB/s: shipping a 124M-edge COO list would take longer than training.
+
+    ``undirected=True`` mirrors every sampled edge, giving Aᵀ = A so the
+    backward SpMM can reuse the forward kernel layout
+    (``prepare_spmm_device(symmetric=True)``) — and matching ogbn-products,
+    which is undirected.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n_pad = _ru(num_nodes, 128)
+    n_directed = (num_nodes * avg_degree) // (2 if undirected else 1)
+
+    # host: Zipf popularity CDF over destination ranks (f64 for the cumsum)
+    ranks = np.arange(1, num_nodes + 1, dtype=np.float64)
+    probs = ranks ** -zipf_a
+    cdf = jnp.asarray(np.cumsum(probs / probs.sum()), jnp.float32)
+
+    key = jax.random.PRNGKey(seed)
+    ku, kr, kx, ky, km = jax.random.split(key, 5)
+
+    @functools.partial(jax.jit, static_argnums=(2, 3, 4))
+    def gen(ku, kr, n_directed, num_nodes, undirected):
+        u = jax.random.uniform(ku, (n_directed,))
+        dst = jnp.searchsorted(cdf, u).astype(jnp.int32)
+        dst = jnp.minimum(dst, num_nodes - 1)
+        src = jax.random.randint(kr, (n_directed,), 0, num_nodes, jnp.int32)
+        if undirected:
+            row = jnp.concatenate([dst, src])
+            col = jnp.concatenate([src, dst])
+        else:
+            row, col = dst, src
+        loops = jnp.arange(num_nodes, dtype=jnp.int32)
+        row = jnp.concatenate([row, loops])
+        col = jnp.concatenate([col, loops])
+        row, col = jax.lax.sort((row, col), num_keys=1, is_stable=True)
+        row_ptr = jnp.searchsorted(
+            row, jnp.arange(n_pad + 1, dtype=jnp.int32)).astype(jnp.int32)
+        # symmetric normalisation folded into edge weights (GCN D^-1/2AD^-1/2)
+        deg = jax.ops.segment_sum(jnp.ones_like(row, jnp.float32), row,
+                                  num_segments=n_pad,
+                                  indices_are_sorted=True)
+        inv_sqrt = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)),
+                             0.0)
+        w = jnp.take(inv_sqrt, row) * jnp.take(inv_sqrt, col)
+        return row, col, w, row_ptr
+
+    row, col, w, row_ptr = gen(ku, kr, n_directed, num_nodes, undirected)
+    E = int(row.shape[0])
+
+    x = jax.random.normal(kx, (n_pad, feat_dim), jnp.float32)
+    y = jax.random.randint(ky, (n_pad,), 0, num_classes, jnp.int32)
+    node_ok = jnp.arange(n_pad, dtype=jnp.int32) < num_nodes
+    train_mask = (jax.random.uniform(km, (n_pad,)) < 0.1) & node_ok
+
+    return Graph(
+        row_ptr=row_ptr, row=row, col=col, edge_weight=w,
+        num_nodes=num_nodes, num_edges=E,
+        x=x, y=y, train_mask=train_mask,
+        val_mask=~train_mask & node_ok, test_mask=~train_mask & node_ok,
+        meta=tuple(sorted({
+            "num_classes": num_classes, "norm": "sym", "self_loops": True,
+            "symmetric": bool(undirected),
+            "name": f"powerlaw{num_nodes}-dev"}.items())),
+    )
 
 
 def random_graphs_dataset(

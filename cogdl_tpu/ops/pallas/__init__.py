@@ -51,6 +51,10 @@ def prepare_spmm(graph):
     order = np.argsort(col, kind="stable")
     bwd = build_spmm_layout(col[order], row[order], w[order], n_pad)
 
+    # bwd orig_k indexes the column-sorted edge list; map back to the
+    # original edge order so fw/bw dropout masks agree per edge
+    bw_orig = np.where(bwd["orig_k"] >= 0, order[bwd["orig_k"]], -1)
+
     extras = dict(graph.extras or {})
     extras.update({
         "spmm_fw_orig": jnp.asarray(fwd["orig_k"]),
@@ -59,6 +63,8 @@ def prepare_spmm(graph):
         "spmm_fw_w": jnp.asarray(fwd["w_k"]),
         "spmm_fw_row": jnp.asarray(fwd["row_k"]),
         "spmm_fw_ct": jnp.asarray(fwd["chunk_tile"]),
+        "spmm_bw_orig": jnp.asarray(bw_orig.astype(np.int32)),
+        "spmm_bw_ones": jnp.asarray((bwd["orig_k"] >= 0).astype(np.float32)),
         "spmm_bw_col": jnp.asarray(bwd["col_k"]),
         "spmm_bw_w": jnp.asarray(bwd["w_k"]),
         "spmm_bw_row": jnp.asarray(bwd["row_k"]),
@@ -93,17 +99,29 @@ def maybe_pallas_spmm(graph, x) -> Optional[jnp.ndarray]:
 
 def maybe_gat_fused(graph, score_dst, score_src, h, alpha=0.2,
                     attn_drop=0.0, dropout_rng=None):
-    """Fused GAT attention+aggregate when a layout is prepared (TPU)."""
+    """Fully fused kernel-tier GAT (scores+softmax+aggregate, custom VJP)
+    when both direction layouts are prepared (TPU). Returns [n_pad, H, D]."""
     extras = graph.extras
-    if not extras or "spmm_fw_orig" not in extras or not _is_tpu():
+    if (not extras or "spmm_fw_orig" not in extras
+            or "spmm_bw_orig" not in extras or not _is_tpu()):
         return None
-    from .segment_kernels import gat_attention_aggregate
+    from .segment_kernels import gat_fused
 
-    return gat_attention_aggregate(
-        score_dst, score_src, h, extras["spmm_fw_col"],
-        extras["spmm_fw_row"], extras["spmm_fw_ones"], extras["spmm_fw_ct"],
-        graph.n_pad, alpha=alpha, attn_drop=attn_drop,
-        dropout_rng=dropout_rng)
+    H, D = h.shape[1], h.shape[2]
+    if attn_drop > 0.0 and dropout_rng is not None:
+        seed = jax.random.randint(dropout_rng, (), 0, 2**31 - 1,
+                                  dtype=jnp.int32).astype(jnp.uint32)
+    else:
+        attn_drop = 0.0
+        seed = jnp.uint32(0)
+    out = gat_fused(
+        H, D, alpha, float(attn_drop),
+        score_dst, score_src, h.reshape(-1, H * D), seed,
+        extras["spmm_fw_col"], extras["spmm_fw_row"], extras["spmm_fw_ones"],
+        extras["spmm_fw_ct"], extras["spmm_fw_orig"],
+        extras["spmm_bw_col"], extras["spmm_bw_row"], extras["spmm_bw_ones"],
+        extras["spmm_bw_ct"], extras["spmm_bw_orig"])
+    return out.reshape(-1, H, D)
 
 
 def maybe_pallas_mh_spmm(graph, attention, h):

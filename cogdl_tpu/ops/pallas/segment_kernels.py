@@ -41,6 +41,11 @@ import numpy as np
 R_TILE = 128     # destination rows per output tile
 T_CHUNK = 1024   # edges per streamed chunk (1-D arrays tile as T(1024))
 F_BLK = 128      # feature lanes per grid step
+# Mega-block size for the streamed driver: graphs whose gathered message
+# stream would not fit in HBM (ogbn-products: 124M edges × 128 f32 ≈ 64 GB)
+# are processed in blocks of this many chunks (2048 chunks × 1024 slots ×
+# 128 lanes × 4 B = 1 GB per message block).
+BLOCK_CHUNKS = 2048
 
 
 def build_spmm_layout(
@@ -177,11 +182,57 @@ def sorted_segment_matmul(
 # zero cotangents are DCE'd.
 
 
+def _blocked_gather_spmm(x, col_k, w_k, row_k, ct, n_pad,
+                         block_chunks: int = BLOCK_CHUNKS):
+    """Streamed gather+aggregate over mega-blocks of the layout — for graphs
+    whose full message stream would blow HBM. Each block gathers its own
+    message slice, runs the segment kernel on a REBASED local tile range
+    (chunk_tile is monotonic, so a block touches a contiguous tile span), and
+    adds its partial slab into the global output at a dynamic offset. Tiles
+    split across a block boundary receive partial sums from both blocks."""
+    E_k, F = col_k.shape[0], x.shape[1]
+    n_chunks = E_k // T_CHUNK
+    assert n_chunks % block_chunks == 0, (n_chunks, block_chunks)
+    n_blocks = n_chunks // block_chunks
+    S = block_chunks * T_CHUNK
+    n_local = block_chunks * R_TILE  # a block spans ≤ block_chunks tiles
+
+    blk = (col_k.reshape(n_blocks, S), w_k.reshape(n_blocks, S),
+           row_k.reshape(n_blocks, S), ct.reshape(n_blocks, block_chunks))
+
+    def body(out, b):
+        col_b, w_b, row_b, ct_b = b
+        first = ct_b[0]
+        msg = jnp.take(x, col_b, axis=0)
+        if msg.dtype != jnp.float32:
+            msg = msg.astype(jnp.float32)
+        local = sorted_segment_matmul(
+            msg, row_b - first * R_TILE, w_b, ct_b - first, n_local)
+        # rows past this block's last tile were never written by the kernel
+        # (undefined memory) — mask them before accumulating
+        span = (ct_b[-1] - first + 1) * R_TILE
+        rows = jax.lax.broadcasted_iota(jnp.int32, local.shape, 0)
+        local = jnp.where(rows < span, local, 0.0)
+        start = first * R_TILE
+        slab = jax.lax.dynamic_slice(out, (start, 0), (n_local, local.shape[1]))
+        out = jax.lax.dynamic_update_slice(out, slab + local, (start, 0))
+        return out, None
+
+    out = jnp.zeros((n_pad + n_local, x.shape[1]), jnp.float32)
+    out, _ = jax.lax.scan(body, out, blk)
+    return out[:n_pad]
+
+
 def _one_direction(x, col_k, w_k, row_k, ct):
     n_pad, F = x.shape
     dtype_in = x.dtype
     if F % F_BLK != 0:
         x = jnp.pad(x, ((0, 0), (0, F_BLK - F % F_BLK)))
+    n_chunks = ct.shape[0]
+    if n_chunks > BLOCK_CHUNKS and n_chunks % BLOCK_CHUNKS == 0:
+        out = _blocked_gather_spmm(x, col_k, w_k, row_k, ct, n_pad)
+        out = out.astype(dtype_in)
+        return out[:, :F] if out.shape[1] != F else out
     msg = jnp.take(x, col_k, axis=0)
     # the Mosaic kernel runs in f32 (bf16 operands crash this backend);
     # bf16 inputs still save gather bandwidth, the cast rides the stream
@@ -265,50 +316,179 @@ def mh_spmm_pallas(attention, h, fw_col, fw_orig, fw_ones, fw_row, fw_ct,
     return out[:, :Fp].reshape(n_pad, H, D).astype(h.dtype)
 
 
-def gat_attention_aggregate(score_dst, score_src, h, fw_col, fw_row, fw_ones,
-                            fw_ct, n_pad, alpha: float = 0.2,
-                            attn_drop: float = 0.0, dropout_rng=None):
-    """Fused GAT attention + aggregation in layout order.
+# ---------------------------------------------------------------------------
+# Fused GAT: attention scores + softmax + aggregation, fully kernel-tier
+# ---------------------------------------------------------------------------
+# TPU gather economics (profiled on v5e): gathering E rows of 512 B
+# ([E, 128] f32) runs near HBM bandwidth (~5 ms for 3.3M rows), while
+# per-(edge, head) 4 B lookups (flat [E·H] takes) and unsorted segment
+# scatters run at ~0.5 GB/s (~230 ms each — 15 of them made the first fused
+# attempt slower than the unfused route). Rules baked in here:
+#   1. every per-edge table gather is a 128-lane row gather;
+#   2. every segment reduction is a sorted-segment MXU kernel pass;
+#   3. softmax max-subtraction uses the per-(node,head) upper bound
+#      m[r,h] = leakyrelu(sd[r,h] + max_c ss[c,h]) — an exact shift
+#      (softmax is invariant to per-segment constants, so stop_gradient(m)
+#      has zero true gradient), avoiding a segment-max entirely;
+#   4. attention dropout masks are a counter-based hash of the ORIGINAL edge
+#      id, so the backward pass can regenerate them in the transposed edge
+#      layout without permuting [E, H] tensors.
+# The hand-derived VJP mirrors the reference's fused dgNN GAT backward
+# (third_party dgNN, cogdl/operators/fused_gat.py) but with layout-order
+# kernel passes in both edge orders instead of CUDA atomics.
 
-    Why: [E, H] tensors with H≈8 get column-major layouts on TPU, making
-    per-edge gathers/scatters on them ~50× slower than row-major ones
-    (profiled: a single [3.1M, 8] attention gather cost 273 ms/step). This
-    path never materialises an [E, H] tensor: per-(edge, head) scores live in
-    flat 1-D [E_k·H] arrays (T(1024) layout), softmax stats use scalar
-    segment ops over (dst, head) ids, and the weighted aggregation reuses the
-    sorted-segment MXU kernel on the [E_k, H·D] message stream.
 
-    score_dst/score_src: [N, H] per-node attention halves (a_dstᵀ·h_i etc.)
-    h: [N, H, D] transformed features. Returns [n_pad, H, D].
-    """
-    H, D = h.shape[1], h.shape[2]
-    E_k = fw_col.shape[0]
-    # flat (edge, head) indexing: id = node*H + head
-    heads = jnp.arange(H, dtype=fw_col.dtype)
-    row_flat = (fw_row[:, None] * H + heads[None, :]).reshape(-1)   # [E_k*H]
-    col_flat = (fw_col[:, None] * H + heads[None, :]).reshape(-1)
-    s = (jnp.take(score_dst.reshape(-1), row_flat)
-         + jnp.take(score_src.reshape(-1), col_flat))
-    s = jax.nn.leaky_relu(s, alpha)
-    valid = jnp.repeat(fw_ones, H)
-    s = jnp.where(valid > 0, s, -1e30)
-    n_seg = n_pad * H
-    smax = jax.ops.segment_max(s, row_flat, num_segments=n_seg)
-    smax = jnp.where(smax <= -1e29, 0.0, smax)
-    ex = jnp.exp(s - jnp.take(smax, row_flat)) * valid
-    denom = jax.ops.segment_sum(ex, row_flat, num_segments=n_seg)
-    att = ex / jnp.maximum(jnp.take(denom, row_flat), 1e-16)        # [E_k*H]
-    if attn_drop > 0.0 and dropout_rng is not None:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - attn_drop, att.shape)
-        att = att * keep / (1.0 - attn_drop)
+def _pad_lanes(a: jnp.ndarray, mult: int = F_BLK) -> jnp.ndarray:
+    f = a.shape[-1]
+    if f % mult == 0:
+        return a
+    return jnp.pad(a, ((0, 0), (0, mult - f % mult)))
 
-    msg = jnp.take(h.reshape(n_pad, H * D), fw_col, axis=0)          # [E_k,H*D]
-    att2 = att.reshape(E_k, H)
-    msg = (msg.reshape(E_k, H, D) * att2[:, :, None]).reshape(E_k, H * D)
-    if msg.dtype != jnp.float32:
-        msg = msg.astype(jnp.float32)
-    Fp = H * D
-    if Fp % F_BLK != 0:
-        msg = jnp.pad(msg, ((0, 0), (0, F_BLK - Fp % F_BLK)))
-    out = segment_sum_pallas(msg, fw_row, fw_ones, fw_ct, n_pad)
-    return out[:, :Fp].reshape(n_pad, H, D).astype(h.dtype)
+
+def _hash_keep(orig: jnp.ndarray, H: int, seed: jnp.ndarray,
+               keep_prob: float) -> jnp.ndarray:
+    """[E_k, H] deterministic dropout keep-mask from original edge ids
+    (PCG-style integer hash — recomputable in any edge layout)."""
+    x = (orig[:, None].astype(jnp.uint32) * jnp.uint32(H)
+         + jnp.arange(H, dtype=jnp.uint32)[None, :])
+    x = x ^ seed.astype(jnp.uint32)
+    x = x * jnp.uint32(747796405) + jnp.uint32(2891336453)
+    w = ((x >> ((x >> jnp.uint32(28)) + jnp.uint32(4))) ^ x) \
+        * jnp.uint32(277803737)
+    x = (w >> jnp.uint32(22)) ^ w
+    thresh = jnp.uint32(int(keep_prob * float(2**32 - 1)))
+    return (x < thresh).astype(jnp.float32)
+
+
+def _seg_pass(vals: jnp.ndarray, row_k, ones, ct, n_pad: int,
+              width: int) -> jnp.ndarray:
+    """Segment-sum [E_k, width] values by destination through the MXU
+    kernel; returns [n_pad, width]."""
+    return sorted_segment_matmul(_pad_lanes(vals), row_k, ones, ct,
+                                 n_pad)[:, :width]
+
+
+def _edge_scores(sd_e, ss_e, ssmax, ones, alpha):
+    """Per-edge pre-activation, leaky-relu slope, and bounded exp score."""
+    pre = sd_e + ss_e
+    slope = jnp.where(pre > 0, 1.0, alpha)
+    s = pre * slope
+    m = sd_e + ssmax[None, :]
+    m = jnp.where(m > 0, m, alpha * m)          # lrelu(sd + max ss) ≥ s
+    ex = jnp.exp(s - m) * ones[:, None]
+    return slope, ex
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def gat_fused(H: int, D: int, alpha: float, attn_drop: float,
+              sd, ss, h2, seed,
+              fw_col, fw_row, fw_ones, fw_ct, fw_orig,
+              bw_col, bw_row, bw_ones, bw_ct, bw_orig):
+    """out[r,h,:] = Σ_e∈r softmax_e(leakyrelu(sd[r,h]+ss[col_e,h]))·h[col_e,h,:]
+
+    sd/ss: [n_pad, H] score halves (aᵀ_dst·h_r, aᵀ_src·h_c); h2: [n_pad, H·D]
+    transformed features; seed: uint32 scalar for dropout. Layout arrays from
+    ``prepare_spmm(..., )`` extras (fw = dst-grouped, bw = src-grouped).
+    Returns [n_pad, H·D] (flattened heads)."""
+    out, _ = _gat_fwd(H, D, alpha, attn_drop, sd, ss, h2, seed,
+                      fw_col, fw_row, fw_ones, fw_ct, fw_orig,
+                      bw_col, bw_row, bw_ones, bw_ct, bw_orig)
+    return out
+
+
+def _gat_fwd(H, D, alpha, attn_drop, sd, ss, h2, seed,
+             fw_col, fw_row, fw_ones, fw_ct, fw_orig,
+             bw_col, bw_row, bw_ones, bw_ct, bw_orig):
+    n_pad = sd.shape[0]
+    HD = H * D
+    h2f = h2.astype(jnp.float32)
+    sd_p = _pad_lanes(sd.astype(jnp.float32))          # [n_pad, 128]
+    # one wide row-gather serves both the message and the src-score half
+    t_src = jnp.concatenate([h2f, ss.astype(jnp.float32)], axis=1)
+    src_e = jnp.take(t_src, fw_col, axis=0)            # [E_k, HD+H]
+    msg, ss_e = src_e[:, :HD], src_e[:, HD:]
+    sd_e = jnp.take(sd_p, fw_row, axis=0)[:, :H]
+    ssmax = jnp.max(ss.astype(jnp.float32), axis=0)
+    _, ex = _edge_scores(sd_e, ss_e, ssmax, fw_ones, alpha)
+    exn = ex
+    if attn_drop > 0.0:
+        keep = _hash_keep(fw_orig, H, seed, 1.0 - attn_drop)
+        exn = ex * keep / (1.0 - attn_drop)
+    wmsg = (msg.reshape(-1, H, D) * exn[:, :, None]).reshape(-1, HD)
+    num = _seg_pass(wmsg, fw_row, fw_ones, fw_ct, n_pad, HD)
+    den = _seg_pass(_pad_lanes(ex), fw_row, fw_ones, fw_ct, n_pad, H)
+    den = jnp.maximum(den, 1e-16)
+    out = (num.reshape(n_pad, H, D) / den[:, :, None]).reshape(n_pad, HD)
+    out = out.astype(h2.dtype)
+    res = (sd, ss, h2, seed, den, out,
+           fw_col, fw_row, fw_ones, fw_ct, fw_orig,
+           bw_col, bw_row, bw_ones, bw_ct, bw_orig)
+    return out, res
+
+
+def _gat_bwd(H, D, alpha, attn_drop, res, g):
+    (sd, ss, h2, seed, den, out,
+     fw_col, fw_row, fw_ones, fw_ct, fw_orig,
+     bw_col, bw_row, bw_ones, bw_ct, bw_orig) = res
+    n_pad = sd.shape[0]
+    HD = H * D
+    g = g.astype(jnp.float32).reshape(n_pad, H, D)
+    h2f = h2.astype(jnp.float32)
+    sdf = sd.astype(jnp.float32)
+    ssf = ss.astype(jnp.float32)
+    ssmax = jnp.max(ssf, axis=0)
+    inv_keep = 1.0 / (1.0 - attn_drop) if attn_drop > 0.0 else 1.0
+
+    # node-level grads of the normalised aggregation
+    dagg = (g / den[:, :, None]).reshape(n_pad, HD)               # d(num)
+    dden = -jnp.sum(g * out.astype(jnp.float32).reshape(n_pad, H, D),
+                    axis=2) / den                                  # [n_pad,H]
+
+    # tables gathered per edge (both passes index them by the edge's dst):
+    # [ dagg (HD) | dden (H) | sd (H) ]
+    t_dst = jnp.concatenate([dagg, dden, sdf], axis=1)
+    t_src = jnp.concatenate([h2f, ssf], axis=1)
+
+    def edge_terms(col_idx, row_idx, ones, orig):
+        """Recompute per-edge attention pieces and score grads in the given
+        edge layout (dst-indexed tables via row_idx, src via col_idx)."""
+        dsts = jnp.take(t_dst, row_idx, axis=0)
+        dagg_e = dsts[:, :HD].reshape(-1, H, D)
+        dden_e = dsts[:, HD:HD + H]
+        sd_e = dsts[:, HD + H:]
+        srcs = jnp.take(t_src, col_idx, axis=0)
+        msg = srcs[:, :HD].reshape(-1, H, D)
+        ss_e = srcs[:, HD:]
+        slope, ex = _edge_scores(sd_e, ss_e, ssmax, ones, alpha)
+        if attn_drop > 0.0:
+            keepn = _hash_keep(orig, H, seed, 1.0 - attn_drop) * inv_keep
+        else:
+            keepn = 1.0
+        exn = ex * keepn
+        dex = jnp.sum(dagg_e * msg, axis=2) * keepn + dden_e
+        ds = dex * ex * slope                                      # [E_k, H]
+        return ds, exn, dagg_e
+
+    # forward-layout pass → dsd (segment by dst)
+    ds_fw, _, _ = edge_terms(fw_col, fw_row, fw_ones, fw_orig)
+    dsd = _seg_pass(_pad_lanes(ds_fw), fw_row, fw_ones, fw_ct, n_pad, H)
+
+    # transposed-layout pass → dss and dh (segment by src; in the bw layout
+    # the grouping key bw_row is the edge's SOURCE and bw_col its dst)
+    ds_bw, exn_bw, dagg_bw = edge_terms(bw_row, bw_col, bw_ones, bw_orig)
+    dss = _seg_pass(_pad_lanes(ds_bw), bw_row, bw_ones, bw_ct, n_pad, H)
+    dmsg = (dagg_bw * exn_bw[:, :, None]).reshape(-1, HD)
+    dh2 = _seg_pass(dmsg, bw_row, bw_ones, bw_ct, n_pad, HD)
+
+    z = jnp.zeros_like
+    return (dsd.astype(sd.dtype), dss.astype(ss.dtype), dh2.astype(h2.dtype),
+            z(seed),
+            z(fw_col), z(fw_row), z(fw_ones), z(fw_ct), z(fw_orig),
+            z(bw_col), z(bw_row), z(bw_ones), z(bw_ct), z(bw_orig))
+
+
+def _gat_fwd_vjp(H, D, alpha, attn_drop, *args):
+    return _gat_fwd(H, D, alpha, attn_drop, *args)
+
+
+gat_fused.defvjp(_gat_fwd_vjp, _gat_bwd)

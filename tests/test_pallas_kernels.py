@@ -94,6 +94,201 @@ def test_spmm_dispatch_uses_layout_only_on_tpu(prepped):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
 
 
+def test_device_layout_matches_host(prepped):
+    """Jittable layout builder == host builder, judged by SpMM output."""
+    from cogdl_tpu.ops.pallas.device_layout import build_spmm_layout_jax
+
+    g, x = prepped
+    E = g.num_edges
+    lay = jax.jit(build_spmm_layout_jax, static_argnames="n_pad")(
+        g.row[:E], g.col[:E], g.edge_weight[:E], n_pad=g.n_pad)
+    ct = np.asarray(lay["chunk_tile"])
+    assert np.all(np.diff(ct) >= 0)
+    ref = ops.spmm_coo(x, g.row, g.col, g.edge_weight, g.n_pad)
+    out = sorted_segment_matmul(
+        jnp.pad(jnp.take(x, lay["col_k"], axis=0), ((0, 0), (0, 96))),
+        lay["row_k"], lay["w_k"], lay["chunk_tile"], g.n_pad)[:, :32]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_prepare_spmm_device_symmetric(prepped):
+    from cogdl_tpu.ops.pallas.device_layout import prepare_spmm_device
+
+    g, x = prepped
+    g2 = g.replace(extras=None)
+    gd = prepare_spmm_device(g2, symmetric=True)
+    assert gd.extras["spmm_bw_col"] is gd.extras["spmm_fw_col"]
+    out = spmm_pallas(x, *_pallas_args(gd))
+    ref = ops.spmm_coo(x, g.row, g.col, g.edge_weight, g.n_pad)
+    # sbm graph is undirected + sym-normalised → Aᵀ = A, fwd parity holds
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    # backward through the shared layout == backward through the XLA tier
+    gp = jax.grad(lambda v: jnp.sum(spmm_pallas(v, *_pallas_args(gd)) ** 2))(x)
+    gr = jax.grad(lambda v: jnp.sum(
+        ops.spmm_coo(v, g.row, g.col, g.edge_weight, g.n_pad) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_blocked_driver_matches_unblocked(prepped):
+    """Mega-block streaming (scan + dynamic-slab accumulate) == one-shot."""
+    from cogdl_tpu.ops.pallas.segment_kernels import _blocked_gather_spmm
+
+    g, x = prepped
+    ex = g.extras
+    n_chunks = ex["spmm_fw_ct"].shape[0]
+    block = 2
+    padc = (-n_chunks) % block
+    pad_slots = padc * 1024
+    n_tiles = g.n_pad // 128
+    col_k = jnp.pad(ex["spmm_fw_col"], (0, pad_slots))
+    w_k = jnp.pad(ex["spmm_fw_w"], (0, pad_slots))
+    row_k = jnp.pad(ex["spmm_fw_row"], (0, pad_slots),
+                    constant_values=(n_tiles - 1) * 128)
+    ct = jnp.pad(ex["spmm_fw_ct"], (0, padc), constant_values=n_tiles - 1)
+    xp = jnp.pad(x, ((0, 0), (0, 96)))
+    out = _blocked_gather_spmm(xp, col_k, w_k, row_k, ct, g.n_pad,
+                               block_chunks=block)[:, :32]
+    ref = ops.spmm_coo(x, g.row, g.col, g.edge_weight, g.n_pad)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_powerlaw_device_graph_trains():
+    """Device-resident generator + device layouts run a GCN step end-to-end."""
+    import optax
+
+    from cogdl_tpu.datasets.synthetic import powerlaw_graph_device
+    from cogdl_tpu.models import build_model
+    from cogdl_tpu.utils.evaluator import masked_cross_entropy
+
+    g = powerlaw_graph_device(1000, avg_degree=8, feat_dim=16, num_classes=5)
+    assert g.meta_get("symmetric")
+    # structure sanity: row sorted, row_ptr consistent, weights sym-normalised
+    row = np.asarray(g.row)
+    assert np.all(np.diff(row) >= 0)
+    rp = np.asarray(g.row_ptr)
+    assert rp[-1] == g.num_edges
+    deg = np.diff(rp)
+    assert deg[: g.num_nodes].min() >= 1  # self loops guarantee degree ≥ 1
+    ref = ops.spmm_coo(g.x, g.row, g.col, g.edge_weight, g.n_pad)
+    assert np.isfinite(np.asarray(ref)).all()
+
+    model = build_model("gcn", in_features=16, out_features=5,
+                        hidden_size=16, dropout=0.0)
+    params = model.init(jax.random.PRNGKey(0), g, g.x,
+                        training=False)["params"]
+    tx = optax.adam(1e-2)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, o):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, g, g.x, training=False)
+            return masked_cross_entropy(logits, g.y,
+                                        g.train_mask & g.node_mask())
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        upd, o2 = tx.update(grads, o, p)
+        return optax.apply_updates(p, upd), o2, loss
+
+    p, o, l0 = step(params, opt)
+    for _ in range(5):
+        p, o, l = step(p, o)
+    assert float(l) < float(l0)
+
+
+class TestGatFused:
+    H, D = 4, 8
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        g = sym_norm(add_self_loops(sbm_graph(num_nodes=200, seed=5)))
+        g = prepare_spmm(g)
+        rng = np.random.default_rng(7)
+        n = g.n_pad
+        sd = jnp.asarray(rng.normal(size=(n, self.H)).astype(np.float32))
+        ss = jnp.asarray(rng.normal(size=(n, self.H)).astype(np.float32))
+        h = jnp.asarray(
+            rng.normal(size=(n, self.H, self.D)).astype(np.float32))
+        return g, sd, ss, h
+
+    @staticmethod
+    def _ref(g, sd, ss, h, alpha=0.2):
+        """XLA-tier reference: gather scores, stable edge softmax, mh-spmm."""
+        from cogdl_tpu import ops
+
+        e = jnp.take(sd, g.row, axis=0) + jnp.take(ss, g.col, axis=0)
+        e = jax.nn.leaky_relu(e, alpha)
+        att = ops.edge_softmax(g, e)
+        return ops.mh_spmm(g, att, h)
+
+    def _fused(self, g, sd, ss, h, attn_drop=0.0, seed=0):
+        from cogdl_tpu.ops.pallas.segment_kernels import gat_fused
+
+        ex = g.extras
+        out = gat_fused(
+            self.H, self.D, 0.2, attn_drop, sd, ss,
+            h.reshape(-1, self.H * self.D), jnp.uint32(seed),
+            ex["spmm_fw_col"], ex["spmm_fw_row"], ex["spmm_fw_ones"],
+            ex["spmm_fw_ct"], ex["spmm_fw_orig"],
+            ex["spmm_bw_col"], ex["spmm_bw_row"], ex["spmm_bw_ones"],
+            ex["spmm_bw_ct"], ex["spmm_bw_orig"])
+        return out.reshape(-1, self.H, self.D)
+
+    def test_forward_parity(self, setup):
+        g, sd, ss, h = setup
+        ref = self._ref(g, sd, ss, h)
+        out = self._fused(g, sd, ss, h)
+        np.testing.assert_allclose(np.asarray(out)[: g.num_nodes],
+                                   np.asarray(ref)[: g.num_nodes],
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_grad_parity(self, setup):
+        g, sd, ss, h = setup
+        w = jnp.asarray(np.random.default_rng(9).normal(
+            size=(g.n_pad, self.H, self.D)).astype(np.float32))
+        mask = g.node_mask()[:, None, None]
+
+        def loss_fused(sd, ss, h):
+            return jnp.sum(jnp.where(mask, self._fused(g, sd, ss, h) * w, 0.0))
+
+        def loss_ref(sd, ss, h):
+            return jnp.sum(jnp.where(mask, self._ref(g, sd, ss, h) * w, 0.0))
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(sd, ss, h)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(sd, ss, h)
+        for a, b, name in zip(gf, gr, ("dsd", "dss", "dh")):
+            a, b = np.asarray(a)[: g.num_nodes], np.asarray(b)[: g.num_nodes]
+            np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4,
+                                       err_msg=name)
+
+    def test_dropout_statistics_and_determinism(self, setup):
+        g, sd, ss, h = setup
+        o1 = self._fused(g, sd, ss, h, attn_drop=0.5, seed=123)
+        o2 = self._fused(g, sd, ss, h, attn_drop=0.5, seed=123)
+        o3 = self._fused(g, sd, ss, h, attn_drop=0.5, seed=321)
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+        assert np.abs(np.asarray(o1) - np.asarray(o3)).max() > 1e-6
+        # dropped aggregation stays unbiased in expectation: compare means
+        ref = self._ref(g, sd, ss, h)
+        m_ref = float(jnp.mean(jnp.abs(ref[: g.num_nodes])))
+        m_drop = float(jnp.mean(jnp.abs(o1[: g.num_nodes])))
+        assert 0.5 * m_ref < m_drop < 2.0 * m_ref
+
+    def test_dropout_grads_finite(self, setup):
+        g, sd, ss, h = setup
+
+        def loss(sd, ss, h):
+            return jnp.sum(self._fused(g, sd, ss, h, attn_drop=0.3,
+                                       seed=11) ** 2)
+
+        grads = jax.grad(loss, argnums=(0, 1, 2))(sd, ss, h)
+        for a in grads:
+            assert np.isfinite(np.asarray(a)).all()
+
+
 def test_segment_matmul_direct():
     # tiny hand-checkable case through the raw kernel
     n_pad = 128
