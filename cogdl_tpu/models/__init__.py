@@ -32,7 +32,11 @@ SUPPORTED_MODELS: Dict[str, str] = {
     "lightgcn": "cogdl_tpu.models.nn.lightgcn.LightGCN",
     "pprgo": "cogdl_tpu.models.nn.pprgo.PPRGo",
     "graph_unet": "cogdl_tpu.models.nn.graph_unet.GraphUnet",
+    "unet": "cogdl_tpu.models.nn.graph_unet.GraphUnet",
     "revgcn": "cogdl_tpu.models.nn.revgcn.RevGCN",
+    "revgat": "cogdl_tpu.models.nn.revgcn.RevGAT",
+    "revgen": "cogdl_tpu.models.nn.revgcn.RevGEN",
+    "actgcn": "cogdl_tpu.models.nn.actgcn.ActGCN",
     "srgcn": "cogdl_tpu.models.nn.srgcn.SRGCN",
     "gdc_gcn": "cogdl_tpu.models.nn.gdc_gcn.GDCGCN",
     "disengcn": "cogdl_tpu.models.nn.disengcn.DisenGCN",

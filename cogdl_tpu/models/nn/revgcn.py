@@ -24,16 +24,29 @@ from ...layers import GCNLayer
 class RevBlock(nn.Module):
     features: int
     dropout: float = 0.0
+    conv: str = "gcn"        # gcn | gat | gen (reference RevGCN/RevGAT/RevGEN)
+    nhead: int = 2
+
+    def _make(self, name: str):
+        if self.conv == "gat":
+            from ...layers import GATLayer
+
+            assert self.features % self.nhead == 0
+            return GATLayer(self.features // self.nhead, nhead=self.nhead,
+                            attn_drop=self.dropout, activation="relu",
+                            name=name)
+        if self.conv == "gen":
+            from ...layers import GENConv
+
+            return GENConv(self.features, name=name)
+        return GCNLayer(self.features, activation="relu",
+                        dropout=self.dropout, name=name)
 
     @nn.compact
     def __call__(self, graph: Graph, x1: jnp.ndarray, x2: jnp.ndarray,
                  training: bool = False):
-        f = GCNLayer(self.features, activation="relu", dropout=self.dropout,
-                     name="F")
-        g = GCNLayer(self.features, activation="relu", dropout=self.dropout,
-                     name="G")
-        y1 = x1 + f(graph, x2, training)
-        y2 = x2 + g(graph, y1, training)
+        y1 = x1 + self._make("F")(graph, x2, training)
+        y2 = x2 + self._make("G")(graph, y1, training)
         return y1, y2
 
 
@@ -44,6 +57,8 @@ class RevGCN(nn.Module):
     num_layers: int = 8
     dropout: float = 0.1
     group: int = 2
+    conv: str = "gcn"
+    nhead: int = 2
 
     @nn.compact
     def __call__(self, graph: Graph, x: Optional[jnp.ndarray] = None,
@@ -56,7 +71,19 @@ class RevGCN(nn.Module):
         Block = nn.remat(RevBlock, static_argnums=(4,))
         for i in range(self.num_layers):
             x1, x2 = Block(self.hidden_size, dropout=self.dropout,
+                           conv=self.conv, nhead=self.nhead,
                            name=f"block{i}")(g, x1, x2, training)
         h = jnp.concatenate([x1, x2], axis=-1)
         h = nn.relu(h)
         return nn.Dense(self.out_features, name="fc_out")(h)
+
+
+class RevGAT(RevGCN):
+    """Reversible GAT (reference cogdl/models/nn/revgcn.py:209) — additive
+    coupling with GAT attention blocks under remat."""
+    conv: str = "gat"
+
+
+class RevGEN(RevGCN):
+    """Reversible DeeperGCN/GENConv (reference cogdl/models/nn/revgcn.py:108)."""
+    conv: str = "gen"

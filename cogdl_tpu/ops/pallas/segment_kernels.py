@@ -319,12 +319,15 @@ def mh_spmm_pallas(attention, h, fw_col, fw_orig, fw_ones, fw_row, fw_ct,
 # ---------------------------------------------------------------------------
 # Fused GAT: attention scores + softmax + aggregation, fully kernel-tier
 # ---------------------------------------------------------------------------
-# TPU gather economics (profiled on v5e): gathering E rows of 512 B
-# ([E, 128] f32) runs near HBM bandwidth (~5 ms for 3.3M rows), while
-# per-(edge, head) 4 B lookups (flat [E·H] takes) and unsorted segment
-# scatters run at ~0.5 GB/s (~230 ms each — 15 of them made the first fused
-# attempt slower than the unfused route). Rules baked in here:
-#   1. every per-edge table gather is a 128-lane row gather;
+# TPU gather economics (profiled on v5e): gathering E rows of a 128-lane
+# (512 B) f32 table runs near HBM bandwidth (~7 ms for 3.3M rows), a
+# misaligned 136/144-lane table costs ~7× that (~48 ms — each row drags a
+# full second (8,128) tile), and per-(edge, head) 4 B flat lookups or
+# unsorted segment scatters run at ~0.5 GB/s (~230 ms each — 15 of them made
+# the first fused attempt slower than the unfused route). Rules baked in:
+#   1. every per-edge gather reads a 128-lane-aligned row — score halves are
+#      never gathered from narrow [N, H] tables but recomputed as
+#      einsum(h_gathered, a) on rows already in flight;
 #   2. every segment reduction is a sorted-segment MXU kernel pass;
 #   3. softmax max-subtraction uses the per-(node,head) upper bound
 #      m[r,h] = leakyrelu(sd[r,h] + max_c ss[c,h]) — an exact shift
@@ -332,7 +335,9 @@ def mh_spmm_pallas(attention, h, fw_col, fw_orig, fw_ones, fw_row, fw_ct,
 #      has zero true gradient), avoiding a segment-max entirely;
 #   4. attention dropout masks are a counter-based hash of the ORIGINAL edge
 #      id, so the backward pass can regenerate them in the transposed edge
-#      layout without permuting [E, H] tensors.
+#      layout without permuting [E, H] tensors;
+#   5. narrow per-edge state the backward needs in forward order (ex, slope)
+#      is stored as [E_k, H] residuals (~100 MB) instead of regathered.
 # The hand-derived VJP mirrors the reference's fused dgNN GAT backward
 # (third_party dgNN, cogdl/operators/fused_gat.py) but with layout-order
 # kernel passes in both edge orders instead of CUDA atomics.
@@ -381,35 +386,43 @@ def _edge_scores(sd_e, ss_e, ssmax, ones, alpha):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def gat_fused(H: int, D: int, alpha: float, attn_drop: float,
-              sd, ss, h2, seed,
+              h2, a_dst, a_src, seed,
               fw_col, fw_row, fw_ones, fw_ct, fw_orig,
               bw_col, bw_row, bw_ones, bw_ct, bw_orig):
-    """out[r,h,:] = Σ_e∈r softmax_e(leakyrelu(sd[r,h]+ss[col_e,h]))·h[col_e,h,:]
+    """out[r,h,:] = Σ_c softmax_c(leakyrelu(aᵀ_dst h_r + aᵀ_src h_c))·h[c,h,:]
 
-    sd/ss: [n_pad, H] score halves (aᵀ_dst·h_r, aᵀ_src·h_c); h2: [n_pad, H·D]
-    transformed features; seed: uint32 scalar for dropout. Layout arrays from
-    ``prepare_spmm(..., )`` extras (fw = dst-grouped, bw = src-grouped).
-    Returns [n_pad, H·D] (flattened heads)."""
-    out, _ = _gat_fwd(H, D, alpha, attn_drop, sd, ss, h2, seed,
+    h2: [n_pad, H·D] transformed features; a_dst/a_src: [H, D] attention
+    halves; seed: uint32 scalar for dropout. Layout arrays from
+    ``prepare_spmm`` extras (fw = dst-grouped, bw = src-grouped). Score
+    halves are recomputed per edge from the gathered feature rows, so the
+    per-edge memory traffic is exactly the 128-lane-aligned h2/output-grad
+    rows. Returns [n_pad, H·D] (flattened heads)."""
+    out, _ = _gat_fwd(H, D, alpha, attn_drop, h2, a_dst, a_src, seed,
                       fw_col, fw_row, fw_ones, fw_ct, fw_orig,
                       bw_col, bw_row, bw_ones, bw_ct, bw_orig)
     return out
 
 
-def _gat_fwd(H, D, alpha, attn_drop, sd, ss, h2, seed,
+def _score_halves(rows_dst, rows_src, a_dst, a_src, H, D):
+    sd_e = jnp.einsum("ehd,hd->eh", rows_dst.reshape(-1, H, D), a_dst)
+    ss_e = jnp.einsum("ehd,hd->eh", rows_src.reshape(-1, H, D), a_src)
+    return sd_e, ss_e
+
+
+def _gat_fwd(H, D, alpha, attn_drop, h2, a_dst, a_src, seed,
              fw_col, fw_row, fw_ones, fw_ct, fw_orig,
              bw_col, bw_row, bw_ones, bw_ct, bw_orig):
-    n_pad = sd.shape[0]
+    n_pad = h2.shape[0]
     HD = H * D
     h2f = h2.astype(jnp.float32)
-    sd_p = _pad_lanes(sd.astype(jnp.float32))          # [n_pad, 128]
-    # one wide row-gather serves both the message and the src-score half
-    t_src = jnp.concatenate([h2f, ss.astype(jnp.float32)], axis=1)
-    src_e = jnp.take(t_src, fw_col, axis=0)            # [E_k, HD+H]
-    msg, ss_e = src_e[:, :HD], src_e[:, HD:]
-    sd_e = jnp.take(sd_p, fw_row, axis=0)[:, :H]
-    ssmax = jnp.max(ss.astype(jnp.float32), axis=0)
-    _, ex = _edge_scores(sd_e, ss_e, ssmax, fw_ones, alpha)
+    a_dst = a_dst.astype(jnp.float32)
+    a_src = a_src.astype(jnp.float32)
+    msg = jnp.take(h2f, fw_col, axis=0)                # [E_k, HD] (aligned)
+    hrow = jnp.take(h2f, fw_row, axis=0)
+    sd_e, ss_e = _score_halves(hrow, msg, a_dst, a_src, H, D)
+    ssmax = jnp.max(jnp.einsum("nhd,hd->nh", h2f.reshape(-1, H, D), a_src),
+                    axis=0)
+    slope, ex = _edge_scores(sd_e, ss_e, ssmax, fw_ones, alpha)
     exn = ex
     if attn_drop > 0.0:
         keep = _hash_keep(fw_orig, H, seed, 1.0 - attn_drop)
@@ -420,69 +433,68 @@ def _gat_fwd(H, D, alpha, attn_drop, sd, ss, h2, seed,
     den = jnp.maximum(den, 1e-16)
     out = (num.reshape(n_pad, H, D) / den[:, :, None]).reshape(n_pad, HD)
     out = out.astype(h2.dtype)
-    res = (sd, ss, h2, seed, den, out,
+    res = (h2, a_dst, a_src, seed, den, out, ssmax, ex, slope,
            fw_col, fw_row, fw_ones, fw_ct, fw_orig,
            bw_col, bw_row, bw_ones, bw_ct, bw_orig)
     return out, res
 
 
 def _gat_bwd(H, D, alpha, attn_drop, res, g):
-    (sd, ss, h2, seed, den, out,
+    (h2, a_dst, a_src, seed, den, out, ssmax, ex_fw, slope_fw,
      fw_col, fw_row, fw_ones, fw_ct, fw_orig,
      bw_col, bw_row, bw_ones, bw_ct, bw_orig) = res
-    n_pad = sd.shape[0]
+    n_pad = h2.shape[0]
     HD = H * D
-    g = g.astype(jnp.float32).reshape(n_pad, H, D)
+    g3 = g.astype(jnp.float32).reshape(n_pad, H, D)
     h2f = h2.astype(jnp.float32)
-    sdf = sd.astype(jnp.float32)
-    ssf = ss.astype(jnp.float32)
-    ssmax = jnp.max(ssf, axis=0)
+    out3 = out.astype(jnp.float32).reshape(n_pad, H, D)
     inv_keep = 1.0 / (1.0 - attn_drop) if attn_drop > 0.0 else 1.0
 
-    # node-level grads of the normalised aggregation
-    dagg = (g / den[:, :, None]).reshape(n_pad, HD)               # d(num)
-    dden = -jnp.sum(g * out.astype(jnp.float32).reshape(n_pad, H, D),
-                    axis=2) / den                                  # [n_pad,H]
+    # node-level tables (all 128-lane-aligned when HD is)
+    dagg = (g3 / den[:, :, None]).reshape(n_pad, HD)   # ∂loss/∂num
+    outf = out3.reshape(n_pad, HD)
 
-    # tables gathered per edge (both passes index them by the edge's dst):
-    # [ dagg (HD) | dden (H) | sd (H) ]
-    t_dst = jnp.concatenate([dagg, dden, sdf], axis=1)
-    t_src = jnp.concatenate([h2f, ssf], axis=1)
+    def dex_terms(dagg_e, out_e, msg, keepn):
+        # dex = Σ_d dagg·msg·keepn − Σ_d dagg·out   (the out term is dden,
+        # folded into an aligned row gather instead of a narrow [N,H] table)
+        t = dagg_e.reshape(-1, H, D)
+        return (jnp.sum(t * msg.reshape(-1, H, D), axis=2) * keepn
+                - jnp.sum(t * out_e.reshape(-1, H, D), axis=2))
 
-    def edge_terms(col_idx, row_idx, ones, orig):
-        """Recompute per-edge attention pieces and score grads in the given
-        edge layout (dst-indexed tables via row_idx, src via col_idx)."""
-        dsts = jnp.take(t_dst, row_idx, axis=0)
-        dagg_e = dsts[:, :HD].reshape(-1, H, D)
-        dden_e = dsts[:, HD:HD + H]
-        sd_e = dsts[:, HD + H:]
-        srcs = jnp.take(t_src, col_idx, axis=0)
-        msg = srcs[:, :HD].reshape(-1, H, D)
-        ss_e = srcs[:, HD:]
-        slope, ex = _edge_scores(sd_e, ss_e, ssmax, ones, alpha)
-        if attn_drop > 0.0:
-            keepn = _hash_keep(orig, H, seed, 1.0 - attn_drop) * inv_keep
-        else:
-            keepn = 1.0
-        exn = ex * keepn
-        dex = jnp.sum(dagg_e * msg, axis=2) * keepn + dden_e
-        ds = dex * ex * slope                                      # [E_k, H]
-        return ds, exn, dagg_e
-
-    # forward-layout pass → dsd (segment by dst)
-    ds_fw, _, _ = edge_terms(fw_col, fw_row, fw_ones, fw_orig)
+    # forward-layout pass → dsd (segment by dst); ex/slope stored from fwd
+    dagg_fw = jnp.take(dagg, fw_row, axis=0)
+    out_fw = jnp.take(outf, fw_row, axis=0)
+    msg_fw = jnp.take(h2f, fw_col, axis=0)
+    keepn_fw = (_hash_keep(fw_orig, H, seed, 1.0 - attn_drop) * inv_keep
+                if attn_drop > 0.0 else 1.0)
+    ds_fw = dex_terms(dagg_fw, out_fw, msg_fw, keepn_fw) * ex_fw * slope_fw
     dsd = _seg_pass(_pad_lanes(ds_fw), fw_row, fw_ones, fw_ct, n_pad, H)
 
     # transposed-layout pass → dss and dh (segment by src; in the bw layout
-    # the grouping key bw_row is the edge's SOURCE and bw_col its dst)
-    ds_bw, exn_bw, dagg_bw = edge_terms(bw_row, bw_col, bw_ones, bw_orig)
+    # bw_row is the edge's SOURCE and bw_col its dst)
+    dagg_bw = jnp.take(dagg, bw_col, axis=0)
+    out_bw = jnp.take(outf, bw_col, axis=0)
+    hdst_bw = jnp.take(h2f, bw_col, axis=0)
+    msg_bw = jnp.take(h2f, bw_row, axis=0)
+    sd_bw, ss_bw = _score_halves(hdst_bw, msg_bw, a_dst, a_src, H, D)
+    slope_bw, ex_bw = _edge_scores(sd_bw, ss_bw, ssmax, bw_ones, alpha)
+    keepn_bw = (_hash_keep(bw_orig, H, seed, 1.0 - attn_drop) * inv_keep
+                if attn_drop > 0.0 else 1.0)
+    ds_bw = dex_terms(dagg_bw, out_bw, msg_bw, keepn_bw) * ex_bw * slope_bw
     dss = _seg_pass(_pad_lanes(ds_bw), bw_row, bw_ones, bw_ct, n_pad, H)
-    dmsg = (dagg_bw * exn_bw[:, :, None]).reshape(-1, HD)
-    dh2 = _seg_pass(dmsg, bw_row, bw_ones, bw_ct, n_pad, HD)
+    dmsg = (dagg_bw.reshape(-1, H, D) * (ex_bw * keepn_bw)[:, :, None])
+    dh2 = _seg_pass(dmsg.reshape(-1, HD), bw_row, bw_ones, bw_ct, n_pad, HD)
+
+    # score-path contributions land at node level
+    h3 = h2f.reshape(n_pad, H, D)
+    dh2 = (dh2.reshape(n_pad, H, D)
+           + dsd[:, :, None] * a_dst[None]
+           + dss[:, :, None] * a_src[None]).reshape(n_pad, HD)
+    da_dst = jnp.einsum("nh,nhd->hd", dsd, h3)
+    da_src = jnp.einsum("nh,nhd->hd", dss, h3)
 
     z = jnp.zeros_like
-    return (dsd.astype(sd.dtype), dss.astype(ss.dtype), dh2.astype(h2.dtype),
-            z(seed),
+    return (dh2.astype(h2.dtype), da_dst, da_src, z(seed),
             z(fw_col), z(fw_row), z(fw_ones), z(fw_ct), z(fw_orig),
             z(bw_col), z(bw_row), z(bw_ones), z(bw_ct), z(bw_orig))
 

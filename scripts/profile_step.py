@@ -59,6 +59,9 @@ def main():
     ap.add_argument("--feat-dim", type=int, default=100)
     ap.add_argument("--hidden", type=int, default=128)
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--device-graph", action="store_true",
+                    help="use the device-side generator + device layout "
+                    "build (the --products path) at the given --nodes")
     ap.add_argument("--logdir", default="/tmp/jaxprof")
     ap.add_argument("--parse-only", action="store_true")
     ap.add_argument("--top", type=int, default=30)
@@ -78,11 +81,21 @@ def main():
     from cogdl_tpu.ops.pallas import _is_tpu, prepare_spmm
     from cogdl_tpu.utils.evaluator import masked_cross_entropy
 
-    graph = powerlaw_graph(args.nodes, avg_degree=args.avg_degree,
-                           feat_dim=args.feat_dim, device_features=True)
-    graph = sym_norm(add_self_loops(graph))
-    if _is_tpu():
-        graph = prepare_spmm(graph)
+    if args.device_graph:
+        from cogdl_tpu.datasets.synthetic import powerlaw_graph_device
+        from cogdl_tpu.ops.pallas.device_layout import prepare_spmm_device
+
+        graph = powerlaw_graph_device(args.nodes, avg_degree=args.avg_degree,
+                                      feat_dim=args.feat_dim)
+        if _is_tpu():
+            graph = prepare_spmm_device(graph, symmetric=True,
+                                        with_orig=args.model == "gat")
+    else:
+        graph = powerlaw_graph(args.nodes, avg_degree=args.avg_degree,
+                               feat_dim=args.feat_dim, device_features=True)
+        graph = sym_norm(add_self_loops(graph))
+        if _is_tpu():
+            graph = prepare_spmm(graph)
     kw = dict(in_features=args.feat_dim, out_features=graph.num_classes,
               hidden_size=args.hidden, dropout=0.0)
     if args.model == "gat":

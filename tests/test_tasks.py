@@ -69,7 +69,8 @@ def test_best_config_overlay():
 
 MORE_NODE_MODELS = ["deepergcn", "dropedge_gcn", "revgcn", "srgcn", "moe_gcn",
                     "sagn", "m3s", "correct_smooth_mlp", "gcnmix", "drgcn",
-                    "drgat", "graph_unet", "autognn"]
+                    "drgat", "graph_unet", "autognn", "revgat", "revgen",
+                    "actgcn"]
 
 
 @pytest.mark.parametrize("model", MORE_NODE_MODELS)
