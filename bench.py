@@ -71,6 +71,11 @@ def main():
         if _is_tpu():
             graph = prepare_spmm_device(graph, symmetric=True,
                                         with_orig=args.model == "gat")
+            # the kernel path reads only the layout extras — free the raw
+            # edge arrays (1.5 GB at products scale; HBM is the constraint)
+            z = jnp.zeros(1, jnp.int32)
+            graph = graph.replace(row=z, col=z,
+                                  edge_weight=jnp.zeros(1, jnp.float32))
     else:
         graph = powerlaw_graph(args.nodes, avg_degree=args.avg_degree,
                                feat_dim=args.feat_dim, device_features=True)
@@ -96,8 +101,16 @@ def main():
                 g_ = g.replace(x=g.x.astype(jnp.bfloat16))
             else:
                 g_ = g
-            logits = model.apply({"params": p}, g_, g_.x, training=True,
-                                 rngs={"dropout": rng})
+
+            def fwd(p, xx):
+                return model.apply({"params": p}, g_, xx, training=True,
+                                   rngs={"dropout": rng})
+
+            if args.products:
+                # at 2.45M nodes the stored activations (~2.5 GB) break the
+                # 16 GB HBM budget — rematerialise the forward instead
+                fwd = jax.checkpoint(fwd)
+            logits = fwd(p, g_.x)
             mask = g_.train_mask & g_.node_mask()
             return masked_cross_entropy(
                 logits.astype(jnp.float32), g_.y, mask)

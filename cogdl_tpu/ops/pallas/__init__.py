@@ -88,6 +88,17 @@ def maybe_pallas_spmm(graph, x) -> Optional[jnp.ndarray]:
         return None
     if x.ndim != 2 or not _is_tpu():
         return None
+    panel_rows = graph.meta_get("spmm_panel_rows", 0)
+    if panel_rows:
+        from .segment_kernels import spmm_pallas_p
+
+        return spmm_pallas_p(
+            panel_rows, x,
+            extras["spmm_fw_col"], extras["spmm_fw_w"],
+            extras["spmm_fw_row"], extras["spmm_fw_ct"], extras["spmm_fw_bp"],
+            extras["spmm_bw_col"], extras["spmm_bw_w"],
+            extras["spmm_bw_row"], extras["spmm_bw_ct"], extras["spmm_bw_bp"],
+        )
     return spmm_pallas(
         x,
         extras["spmm_fw_col"], extras["spmm_fw_w"],

@@ -39,6 +39,9 @@ def build_spmm_layout_jax(
     weight: jnp.ndarray,
     n_pad: int,
     with_orig: bool = False,
+    panel_rows: int = 0,
+    exact_chunks: int = 0,
+    block_chunks: int = BLOCK_CHUNKS,
 ) -> Dict[str, jnp.ndarray]:
     """Jittable equivalent of ``build_spmm_layout``: group edges by
     destination-row tile, sort within tile by source column (gather
@@ -46,7 +49,14 @@ def build_spmm_layout_jax(
 
     ``row`` need NOT be pre-sorted (the lexicographic sort handles it).
     Returns the same keys as the host builder; slot arrays have the static
-    worst-case length ``round_up(E + n_tiles·T_CHUNK, block)``.
+    worst-case length ``round_up(E + n_groups·T_CHUNK, block)``.
+
+    ``panel_rows > 0`` additionally groups edges by source panel
+    (``col // panel_rows``, major sort key): column indices become
+    PANEL-LOCAL, every panel's chunk range is padded to whole mega-blocks,
+    and a ``block_panel`` map is emitted — the streamed driver then gathers
+    each block from a ≤VMEM-sized slice of the feature table (~4× faster
+    than whole-table row DMA at ogbn-products scale).
     """
     assert n_pad % R_TILE == 0, n_pad
     n_tiles = n_pad // R_TILE
@@ -55,70 +65,179 @@ def build_spmm_layout_jax(
     col = col.astype(jnp.int32)
     weight = weight.astype(jnp.float32)
 
+    block_slots = block_chunks * T_CHUNK
     tile = row // R_TILE
     orig = jnp.arange(E, dtype=jnp.int32)
-    tile_s, col_s, row_s, w_s, orig_s = jax.lax.sort(
-        (tile, col, row, weight, orig), num_keys=2, is_stable=True)
 
-    ones = jnp.ones(E, jnp.int32)
-    counts = jax.ops.segment_sum(ones, tile_s, num_segments=n_tiles,
-                                 indices_are_sorted=True)
-    chunks_per_tile = jnp.maximum((counts + T_CHUNK - 1) // T_CHUNK, 1)
-    padded = chunks_per_tile * T_CHUNK
-    zero = jnp.zeros(1, padded.dtype)
-    starts_padded = jnp.concatenate([zero, jnp.cumsum(padded)])  # [n_tiles+1]
-    starts_real = jnp.concatenate([zero, jnp.cumsum(counts)])
-
-    E_k = _round_up(E + n_tiles * T_CHUNK, BLOCK_CHUNKS * T_CHUNK) \
-        if E + n_tiles * T_CHUNK > BLOCK_CHUNKS * T_CHUNK \
-        else _round_up(E + n_tiles * T_CHUNK, T_CHUNK)
+    if panel_rows <= 0:
+        # single panel: group = dst tile, every tile gets ≥ 1 chunk so the
+        # one-shot kernel writes every output tile
+        n_panels, n_groups = 1, n_tiles
+        gid = tile
+        min_chunks = 1
+        E_k_raw = E + n_groups * T_CHUNK
+        E_k = (_round_up(E_k_raw, block_slots)
+               if E_k_raw > block_slots else _round_up(E_k_raw, T_CHUNK))
+    else:
+        assert panel_rows % R_TILE == 0, panel_rows
+        n_panels = -(-n_pad // panel_rows)
+        n_groups = n_panels * n_tiles
+        gid = (col // panel_rows) * n_tiles + tile
+        min_chunks = 0   # empty (panel, tile) groups emit no chunks
+        # worst case: per-group quantisation + per-panel block alignment
+        E_k = _round_up(E + n_groups * T_CHUNK + n_panels * block_slots,
+                        block_slots)
+    if exact_chunks:
+        # caller measured the true chunk total (count_layout_chunks) — avoid
+        # allocating the static worst case (matters at 100M+ edges)
+        E_k = exact_chunks * T_CHUNK
     n_chunks = E_k // T_CHUNK
 
-    pos = (jnp.take(starts_padded, tile_s)
-           + (jnp.arange(E, dtype=starts_padded.dtype)
-              - jnp.take(starts_real, tile_s)))
+    gid_s, col_s, row_s, w_s, orig_s = jax.lax.sort(
+        (gid, col, row, weight, orig), num_keys=2, is_stable=True)
+
+    ones = jnp.ones(E, jnp.int32)
+    counts = jax.ops.segment_sum(ones, gid_s, num_segments=n_groups,
+                                 indices_are_sorted=True)
+    chunks_per_group = jnp.maximum((counts + T_CHUNK - 1) // T_CHUNK,
+                                   min_chunks)
+    if panel_rows > 0:
+        # pad each panel's chunk total up to whole mega-blocks by growing its
+        # LAST group's chunk count (pad slots carry w=0 → no-ops)
+        per_panel = chunks_per_group.reshape(n_panels, n_tiles)
+        totals = per_panel.sum(axis=1)
+        deficit = (-totals) % block_chunks
+        chunks_per_group = (per_panel.at[:, n_tiles - 1].add(deficit)
+                            ).reshape(-1)
+
+    zero = jnp.zeros(1, jnp.int32)
+    group_chunk_start = jnp.concatenate(
+        [zero, jnp.cumsum(chunks_per_group)]).astype(jnp.int32)
+    starts_padded = group_chunk_start * T_CHUNK              # [n_groups+1]
+    starts_real = jnp.concatenate([zero, jnp.cumsum(counts)])
+
+    pos = (jnp.take(starts_padded, gid_s)
+           + (jnp.arange(E, dtype=jnp.int32) - jnp.take(starts_real, gid_s)))
+    if panel_rows > 0:
+        col_s = col_s - (gid_s // n_tiles) * panel_rows      # panel-local
     col_k = jnp.zeros(E_k, jnp.int32).at[pos].set(col_s, unique_indices=True)
     w_k = jnp.zeros(E_k, jnp.float32).at[pos].set(w_s, unique_indices=True)
     row_k = jnp.zeros(E_k, jnp.int32).at[pos].set(row_s, unique_indices=True)
 
-    # chunk_tile[c] = owning tile of chunk c; tail chunks → last tile
-    chunk_starts = starts_padded // T_CHUNK                      # [n_tiles+1]
-    ct = jnp.searchsorted(chunk_starts,
-                          jnp.arange(n_chunks, dtype=chunk_starts.dtype),
-                          side="right").astype(jnp.int32) - 1
-    ct = jnp.clip(ct, 0, n_tiles - 1)
+    # chunk_tile[c]: mark each group's first chunk with its tile, then
+    # forward-fill (handles empty groups, per-panel pad chunks, and the tail;
+    # tiles may RESET across panels — monotonicity is only required within a
+    # mega-block, and blocks never straddle panels)
+    group_tile = jnp.arange(n_groups, dtype=jnp.int32) % n_tiles
+    has_chunks = chunks_per_group > 0
+    marks = jnp.full(n_chunks, -1, jnp.int32).at[
+        jnp.where(has_chunks, group_chunk_start[:-1], n_chunks)
+    ].set(group_tile, mode="drop")
+    ct = jax.lax.associative_scan(
+        lambda a, b: jnp.where(b >= 0, b, a), marks)
+    ct = jnp.where(ct < 0, 0, ct)
+    # pad slots (w=0) contribute nothing, but keep their row_k inside their
+    # own chunk's tile so block-rebasing never produces negative tile spans
+    slot_chunk = jnp.arange(E_k, dtype=jnp.int32) // T_CHUNK
+    slot_used = jnp.zeros(E_k, jnp.bool_).at[pos].set(True,
+                                                      unique_indices=True)
+    row_k = jnp.where(slot_used, row_k, jnp.take(ct, slot_chunk) * R_TILE)
 
     out = {"col_k": col_k, "w_k": w_k, "row_k": row_k, "chunk_tile": ct}
+    if panel_rows > 0:
+        group_panel = jnp.arange(n_groups, dtype=jnp.int32) // n_tiles
+        pmarks = jnp.full(n_chunks, -1, jnp.int32).at[
+            jnp.where(has_chunks, group_chunk_start[:-1], n_chunks)
+        ].set(group_panel, mode="drop")
+        cp = jax.lax.associative_scan(
+            lambda a, b: jnp.where(b >= 0, b, a), pmarks)
+        cp = jnp.where(cp < 0, 0, cp)
+        out["block_panel"] = cp[::block_chunks]
     if with_orig:
         out["orig_k"] = jnp.full(E_k, -1, jnp.int32).at[pos].set(
             orig_s, unique_indices=True)
     return out
 
 
+def count_layout_chunks(row, col, n_pad: int, panel_rows: int,
+                        block_chunks: int = BLOCK_CHUNKS) -> int:
+    """Measure the exact chunk total the panel layout will need (one scalar
+    readback) so the builder can allocate exactly instead of worst-case."""
+    n_tiles = n_pad // R_TILE
+
+    @jax.jit
+    def total(row, col):
+        tile = row.astype(jnp.int32) // R_TILE
+        if panel_rows > 0:
+            n_panels = -(-n_pad // panel_rows)
+            gid = (col.astype(jnp.int32) // panel_rows) * n_tiles + tile
+            n_groups = n_panels * n_tiles
+            minc = 0
+        else:
+            gid, n_groups, minc, n_panels = tile, n_tiles, 1, 1
+        counts = jax.ops.segment_sum(jnp.ones_like(gid), gid,
+                                     num_segments=n_groups)
+        cpg = jnp.maximum((counts + T_CHUNK - 1) // T_CHUNK, minc)
+        if panel_rows > 0:
+            per_panel = cpg.reshape(n_panels, n_tiles).sum(axis=1)
+            per_panel = per_panel + ((-per_panel) % block_chunks)
+            return per_panel.sum()
+        return cpg.sum()
+
+    return int(total(row, col))
+
+
+def default_panel_rows(n_pad: int, feat_bytes: int = 512,
+                       budget_mb: int = 96) -> int:
+    """Panel height whose feature slice fits the VMEM staging budget; 0
+    (single panel / no paneling) when the whole table already fits."""
+    rows_budget = (budget_mb * 1_000_000) // feat_bytes
+    if n_pad <= rows_budget:
+        return 0
+    n_panels = -(-n_pad // rows_budget)
+    return _round_up(-(-n_pad // n_panels), R_TILE)
+
+
 def prepare_spmm_device(graph, symmetric: bool = False,
-                        with_orig: bool = False):
+                        with_orig: bool = False,
+                        panel_rows: Optional[int] = None):
     """Device-side ``prepare_spmm``: attach kernel layouts built on the
     accelerator. ``symmetric=True`` (undirected graph with symmetric
     normalisation, i.e. Aᵀ = A) shares the forward layout with the backward
     pass — half the build time and half the HBM.
 
     ``with_orig=True`` additionally stores the slot→original-edge map the
-    fused GAT path needs (costs one more E_k-sized array)."""
+    fused GAT path needs (costs one more E_k-sized array).
+
+    ``panel_rows`` (None → auto from the node count): source-panel layouts
+    for huge graphs — see :func:`build_spmm_layout_jax`."""
     n_pad = graph.n_pad
     assert n_pad % R_TILE == 0, (
         f"pad the graph to a multiple of {R_TILE} rows first "
         f"(data.graph.pad_to); got n_pad={n_pad}")
     E = graph.num_edges
     row, col, w = graph.row[:E], graph.col[:E], graph.edge_weight[:E]
+    if panel_rows is None:
+        panel_rows = default_panel_rows(n_pad)
+    if with_orig:
+        # the fused-GAT path gathers node tables in both edge orders and
+        # has no panel-local dispatch yet — keep global column indices
+        panel_rows = 0
 
     build = jax.jit(build_spmm_layout_jax,
-                    static_argnames=("n_pad", "with_orig"))
-    fwd = build(row, col, w, n_pad=n_pad, with_orig=with_orig)
+                    static_argnames=("n_pad", "with_orig", "panel_rows",
+                                     "exact_chunks", "block_chunks"))
+
+    def build_dir(r, c):
+        nc = count_layout_chunks(r, c, n_pad, panel_rows)
+        return build(r, c, w, n_pad=n_pad, with_orig=with_orig,
+                     panel_rows=panel_rows, exact_chunks=nc)
+
+    fwd = build_dir(row, col)
     # symmetric layout sharing is valid for plain SpMM, but the fused-GAT
     # path (with_orig) keys dropout masks on original edge ids, and slot s
     # read transposed is a *different* original edge — build bw properly then
-    bwd = fwd if (symmetric and not with_orig) else build(
-        col, row, w, n_pad=n_pad, with_orig=with_orig)
+    bwd = fwd if (symmetric and not with_orig) else build_dir(col, row)
 
     extras = dict(graph.extras or {})
     extras.update({
@@ -127,6 +246,10 @@ def prepare_spmm_device(graph, symmetric: bool = False,
         "spmm_bw_col": bwd["col_k"], "spmm_bw_w": bwd["w_k"],
         "spmm_bw_row": bwd["row_k"], "spmm_bw_ct": bwd["chunk_tile"],
     })
+    if panel_rows > 0:
+        extras["spmm_fw_bp"] = fwd["block_panel"]
+        extras["spmm_bw_bp"] = bwd["block_panel"]
+        graph = graph.with_meta(spmm_panel_rows=panel_rows)
     if with_orig:
         # the device builder consumes edges in original order for BOTH
         # directions, so each orig_k already indexes the original edge list

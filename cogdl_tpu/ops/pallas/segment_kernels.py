@@ -183,13 +183,21 @@ def sorted_segment_matmul(
 
 
 def _blocked_gather_spmm(x, col_k, w_k, row_k, ct, n_pad,
+                         block_panel=None, panel_rows: int = 0,
                          block_chunks: int = BLOCK_CHUNKS):
     """Streamed gather+aggregate over mega-blocks of the layout — for graphs
     whose full message stream would blow HBM. Each block gathers its own
     message slice, runs the segment kernel on a REBASED local tile range
-    (chunk_tile is monotonic, so a block touches a contiguous tile span), and
-    adds its partial slab into the global output at a dynamic offset. Tiles
-    split across a block boundary receive partial sums from both blocks."""
+    (chunk_tile is monotonic within a block), and adds its partial slab into
+    the global output at a dynamic offset. Tiles split across a block
+    boundary receive partial sums from both blocks; local tiles a block never
+    visits (possible with panel layouts) are masked before accumulating.
+
+    ``panel_rows > 0`` activates source-panel gathering: ``col_k`` holds
+    PANEL-LOCAL indices and ``block_panel[b]`` names each block's source
+    panel. The gather then reads a ≤VMEM-sized dynamic slice of ``x``, which
+    runs ~4× faster than row-DMA from a multi-GB table (measured on v5e:
+    2.9 vs 10.9 ns/row)."""
     E_k, F = col_k.shape[0], x.shape[1]
     n_chunks = E_k // T_CHUNK
     assert n_chunks % block_chunks == 0, (n_chunks, block_chunks)
@@ -197,40 +205,55 @@ def _blocked_gather_spmm(x, col_k, w_k, row_k, ct, n_pad,
     S = block_chunks * T_CHUNK
     n_local = block_chunks * R_TILE  # a block spans ≤ block_chunks tiles
 
+    if block_panel is None or panel_rows <= 0:
+        block_panel = jnp.zeros(n_blocks, jnp.int32)
+
     blk = (col_k.reshape(n_blocks, S), w_k.reshape(n_blocks, S),
-           row_k.reshape(n_blocks, S), ct.reshape(n_blocks, block_chunks))
+           row_k.reshape(n_blocks, S), ct.reshape(n_blocks, block_chunks),
+           block_panel)
 
     def body(out, b):
-        col_b, w_b, row_b, ct_b = b
+        col_b, w_b, row_b, ct_b, pid = b
         first = ct_b[0]
-        msg = jnp.take(x, col_b, axis=0)
+        if panel_rows > 0:
+            # clamp the last panel's window instead of padding x (a pad
+            # would copy the whole multi-GB table); shift indices to match
+            start = jnp.minimum(pid * panel_rows, x.shape[0] - panel_rows)
+            src = jax.lax.dynamic_slice(x, (start, 0), (panel_rows, F))
+            col_b = col_b + (pid * panel_rows - start)
+        else:
+            src = x
+        msg = jnp.take(src, col_b, axis=0)
         if msg.dtype != jnp.float32:
             msg = msg.astype(jnp.float32)
+        ct_local = ct_b - first
         local = sorted_segment_matmul(
-            msg, row_b - first * R_TILE, w_b, ct_b - first, n_local)
-        # rows past this block's last tile were never written by the kernel
-        # (undefined memory) — mask them before accumulating
-        span = (ct_b[-1] - first + 1) * R_TILE
-        rows = jax.lax.broadcasted_iota(jnp.int32, local.shape, 0)
-        local = jnp.where(rows < span, local, 0.0)
+            msg, row_b - first * R_TILE, w_b, ct_local, n_local)
+        # local tiles this block's chunks never visited hold undefined
+        # kernel memory — zero them before accumulating
+        visited = jnp.zeros(block_chunks, jnp.bool_).at[ct_local].set(
+            True, mode="drop")
+        local = jnp.where(jnp.repeat(visited, R_TILE)[:, None], local, 0.0)
         start = first * R_TILE
         slab = jax.lax.dynamic_slice(out, (start, 0), (n_local, local.shape[1]))
         out = jax.lax.dynamic_update_slice(out, slab + local, (start, 0))
         return out, None
 
-    out = jnp.zeros((n_pad + n_local, x.shape[1]), jnp.float32)
+    out = jnp.zeros((n_pad + n_local, F), jnp.float32)
     out, _ = jax.lax.scan(body, out, blk)
     return out[:n_pad]
 
 
-def _one_direction(x, col_k, w_k, row_k, ct):
+def _one_direction(x, col_k, w_k, row_k, ct, bp=None, panel_rows: int = 0):
     n_pad, F = x.shape
     dtype_in = x.dtype
     if F % F_BLK != 0:
         x = jnp.pad(x, ((0, 0), (0, F_BLK - F % F_BLK)))
     n_chunks = ct.shape[0]
-    if n_chunks > BLOCK_CHUNKS and n_chunks % BLOCK_CHUNKS == 0:
-        out = _blocked_gather_spmm(x, col_k, w_k, row_k, ct, n_pad)
+    if ((panel_rows > 0 or n_chunks > BLOCK_CHUNKS)
+            and n_chunks % BLOCK_CHUNKS == 0):
+        out = _blocked_gather_spmm(x, col_k, w_k, row_k, ct, n_pad,
+                                   block_panel=bp, panel_rows=panel_rows)
         out = out.astype(dtype_in)
         return out[:, :F] if out.shape[1] != F else out
     msg = jnp.take(x, col_k, axis=0)
@@ -243,26 +266,40 @@ def _one_direction(x, col_k, w_k, row_k, ct):
     return out[:, :F] if out.shape[1] != F else out
 
 
-@jax.custom_vjp
-def spmm_pallas(x, fw_col, fw_w, fw_row, fw_ct, bw_col, bw_w, bw_row, bw_ct):
-    """Y = A @ X (square A, n_pad == x.shape[0]) via the segment kernel."""
-    return _one_direction(x, fw_col, fw_w, fw_row, fw_ct)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def spmm_pallas_p(panel_rows, x, fw_col, fw_w, fw_row, fw_ct, fw_bp,
+                  bw_col, bw_w, bw_row, bw_ct, bw_bp):
+    """Y = A @ X via the segment kernel, with optional source-panel layouts
+    (panel_rows > 0 ⇒ col arrays are panel-local, ``*_bp`` maps mega-blocks
+    to panels)."""
+    return _one_direction(x, fw_col, fw_w, fw_row, fw_ct, fw_bp, panel_rows)
 
 
-def _spmm_fwd(x, fw_col, fw_w, fw_row, fw_ct, bw_col, bw_w, bw_row, bw_ct):
-    out = _one_direction(x, fw_col, fw_w, fw_row, fw_ct)
-    return out, (fw_col, fw_w, fw_row, fw_ct, bw_col, bw_w, bw_row, bw_ct)
+def _spmm_p_fwd(panel_rows, x, fw_col, fw_w, fw_row, fw_ct, fw_bp,
+                bw_col, bw_w, bw_row, bw_ct, bw_bp):
+    out = _one_direction(x, fw_col, fw_w, fw_row, fw_ct, fw_bp, panel_rows)
+    return out, (fw_col, fw_w, fw_row, fw_ct, fw_bp,
+                 bw_col, bw_w, bw_row, bw_ct, bw_bp)
 
 
-def _spmm_bwd(res, g):
-    fw_col, fw_w, fw_row, fw_ct, bw_col, bw_w, bw_row, bw_ct = res
-    dx = _one_direction(g, bw_col, bw_w, bw_row, bw_ct)
+def _spmm_p_bwd(panel_rows, res, g):
+    (fw_col, fw_w, fw_row, fw_ct, fw_bp,
+     bw_col, bw_w, bw_row, bw_ct, bw_bp) = res
+    dx = _one_direction(g, bw_col, bw_w, bw_row, bw_ct, bw_bp, panel_rows)
     z = jnp.zeros_like
-    return (dx, z(fw_col), z(fw_w), z(fw_row), z(fw_ct),
-            z(bw_col), z(bw_w), z(bw_row), z(bw_ct))
+    return (dx, z(fw_col), z(fw_w), z(fw_row), z(fw_ct), z(fw_bp),
+            z(bw_col), z(bw_w), z(bw_row), z(bw_ct), z(bw_bp))
 
 
-spmm_pallas.defvjp(_spmm_fwd, _spmm_bwd)
+spmm_pallas_p.defvjp(_spmm_p_fwd, _spmm_p_bwd)
+
+
+def spmm_pallas(x, fw_col, fw_w, fw_row, fw_ct, bw_col, bw_w, bw_row, bw_ct):
+    """Y = A @ X (square A, n_pad == x.shape[0]) via the segment kernel —
+    single-panel convenience wrapper around :func:`spmm_pallas_p`."""
+    zb = jnp.zeros(0, jnp.int32)
+    return spmm_pallas_p(0, x, fw_col, fw_w, fw_row, fw_ct, zb,
+                         bw_col, bw_w, bw_row, bw_ct, zb)
 
 
 # ---------------------------------------------------------------------------

@@ -156,6 +156,57 @@ def test_blocked_driver_matches_unblocked(prepped):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_panel_layout_blocked_matches(prepped):
+    """Source-panel layout + panel-slice blocked driver == XLA reference.
+
+    Uses tiny mega-blocks (block_chunks=2) so the CPU interpret path stays
+    fast; panels of 128 rows force several panels and empty (panel, tile)
+    groups — exercising the visited-tile masking and per-panel alignment."""
+    from cogdl_tpu.ops.pallas.device_layout import (
+        build_spmm_layout_jax,
+        count_layout_chunks,
+    )
+    from cogdl_tpu.ops.pallas.segment_kernels import _blocked_gather_spmm
+
+    g, x = prepped
+    E = g.num_edges
+    panel_rows, block = 128, 2
+    nc = count_layout_chunks(g.row[:E], g.col[:E], g.n_pad, panel_rows,
+                             block_chunks=block)
+    lay = build_spmm_layout_jax(g.row[:E], g.col[:E], g.edge_weight[:E],
+                                n_pad=g.n_pad, panel_rows=panel_rows,
+                                exact_chunks=nc, block_chunks=block)
+    assert lay["chunk_tile"].shape[0] == nc
+    assert lay["block_panel"].shape[0] == nc // block
+    assert int(lay["col_k"].max()) < panel_rows
+    # per-block monotone tiles, single panel per block
+    ct = np.asarray(lay["chunk_tile"]).reshape(-1, block)
+    assert all(np.all(np.diff(r) >= 0) for r in ct)
+
+    xp = jnp.pad(x, ((0, 0), (0, 96)))
+    out = _blocked_gather_spmm(
+        xp, lay["col_k"], lay["w_k"], lay["row_k"], lay["chunk_tile"],
+        g.n_pad, block_panel=lay["block_panel"], panel_rows=panel_rows,
+        block_chunks=block)[:, :32]
+    ref = ops.spmm_coo(x, g.row, g.col, g.edge_weight, g.n_pad)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_prepare_spmm_device_panels_roundtrip(prepped):
+    """prepare_spmm_device with explicit panel_rows emits panel extras and
+    meta; the weights survive (sum parity)."""
+    from cogdl_tpu.ops.pallas.device_layout import prepare_spmm_device
+
+    g, _ = prepped
+    gd = prepare_spmm_device(g.replace(extras=None), symmetric=True,
+                             panel_rows=128)
+    assert gd.meta_get("spmm_panel_rows") == 128
+    assert "spmm_fw_bp" in gd.extras
+    np.testing.assert_allclose(float(gd.extras["spmm_fw_w"].sum()),
+                               float(g.edge_weight.sum()), rtol=1e-5)
+
+
 def test_powerlaw_device_graph_trains():
     """Device-resident generator + device layouts run a GCN step end-to-end."""
     import optax
