@@ -45,6 +45,13 @@ def main():
                     "EXPERIMENTAL on this backend - scan+bf16 crashes")
     ap.add_argument("--products", action="store_true",
                     help="full ogbn-products scale (2.45M nodes, ~124M edges)")
+    ap.add_argument("--bf16-gather", action="store_true",
+                    help="bf16 gather tables at products scale — MEASURED "
+                    "3.7x SLOWER on this backend (bf16 gathers miss the "
+                    "VMEM-staged fast path); kept for re-testing")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialise the forward (saves ~2.5 GB HBM at "
+                    "products scale, costs 2 extra spmm passes)")
     args = ap.parse_args()
     if args.products:
         args.nodes, args.avg_degree = 2_450_000, 50
@@ -70,7 +77,8 @@ def main():
                                       feat_dim=args.feat_dim)
         if _is_tpu():
             graph = prepare_spmm_device(graph, symmetric=True,
-                                        with_orig=args.model == "gat")
+                                        with_orig=args.model == "gat",
+                                        gather_bf16=args.bf16_gather)
             # the kernel path reads only the layout extras — free the raw
             # edge arrays (1.5 GB at products scale; HBM is the constraint)
             z = jnp.zeros(1, jnp.int32)
@@ -106,9 +114,8 @@ def main():
                 return model.apply({"params": p}, g_, xx, training=True,
                                    rngs={"dropout": rng})
 
-            if args.products:
-                # at 2.45M nodes the stored activations (~2.5 GB) break the
-                # 16 GB HBM budget — rematerialise the forward instead
+            if args.products and args.remat:
+                # trade 2 extra spmm passes for ~2.5 GB of activations
                 fwd = jax.checkpoint(fwd)
             logits = fwd(p, g_.x)
             mask = g_.train_mask & g_.node_mask()

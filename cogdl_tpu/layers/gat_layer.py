@@ -37,18 +37,18 @@ class GATLayer(nn.Module):
         # additive attention split into dst and src halves (a^T [Wh_i || Wh_j])
         a_dst = self.param("a_dst", nn.initializers.glorot_uniform(), (1, H, D))
         a_src = self.param("a_src", nn.initializers.glorot_uniform(), (1, H, D))
+        score_dst = jnp.sum(h * a_dst, axis=-1)  # [N, H]
+        score_src = jnp.sum(h * a_src, axis=-1)
         from ..ops.pallas import maybe_gat_fused
 
         out = None
         drop = self.attn_drop if training else 0.0
         rng = self.make_rng("dropout") if (drop > 0 and training) else None
         # fused layout-order path (TPU): no [E, H] tensors materialised
-        out = maybe_gat_fused(graph, a_dst, a_src, h,
+        out = maybe_gat_fused(graph, score_dst, score_src, h,
                               alpha=self.alpha, attn_drop=drop,
                               dropout_rng=rng)
         if out is None:
-            score_dst = jnp.sum(h * a_dst, axis=-1)  # [N, H]
-            score_src = jnp.sum(h * a_src, axis=-1)
             e = gather(score_dst, graph.row) + gather(score_src, graph.col)
             e = jax.nn.leaky_relu(e, self.alpha)
             att = edge_softmax(graph, e)

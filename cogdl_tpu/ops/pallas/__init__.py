@@ -93,7 +93,7 @@ def maybe_pallas_spmm(graph, x) -> Optional[jnp.ndarray]:
         from .segment_kernels import spmm_pallas_p
 
         return spmm_pallas_p(
-            panel_rows, x,
+            panel_rows, bool(graph.meta_get("spmm_gather_bf16", False)), x,
             extras["spmm_fw_col"], extras["spmm_fw_w"],
             extras["spmm_fw_row"], extras["spmm_fw_ct"], extras["spmm_fw_bp"],
             extras["spmm_bw_col"], extras["spmm_bw_w"],
@@ -108,13 +108,10 @@ def maybe_pallas_spmm(graph, x) -> Optional[jnp.ndarray]:
     )
 
 
-def maybe_gat_fused(graph, a_dst, a_src, h, alpha=0.2,
+def maybe_gat_fused(graph, score_dst, score_src, h, alpha=0.2,
                     attn_drop=0.0, dropout_rng=None):
     """Fully fused kernel-tier GAT (scores+softmax+aggregate, custom VJP)
-    when both direction layouts are prepared (TPU). ``a_dst``/``a_src`` are
-    the [H, D] attention halves — scores are recomputed per edge from the
-    feature rows already being gathered (128-lane-aligned traffic only).
-    Returns [n_pad, H, D]."""
+    when both direction layouts are prepared (TPU). Returns [n_pad, H, D]."""
     extras = graph.extras
     if (not extras or "spmm_fw_orig" not in extras
             or "spmm_bw_orig" not in extras or not _is_tpu()):
@@ -130,7 +127,7 @@ def maybe_gat_fused(graph, a_dst, a_src, h, alpha=0.2,
         seed = jnp.uint32(0)
     out = gat_fused(
         H, D, alpha, float(attn_drop),
-        h.reshape(-1, H * D), a_dst.reshape(H, D), a_src.reshape(H, D), seed,
+        score_dst, score_src, h.reshape(-1, H * D), seed,
         extras["spmm_fw_col"], extras["spmm_fw_row"], extras["spmm_fw_ones"],
         extras["spmm_fw_ct"], extras["spmm_fw_orig"],
         extras["spmm_bw_col"], extras["spmm_bw_row"], extras["spmm_bw_ones"],

@@ -153,6 +153,14 @@ def build_spmm_layout_jax(
             lambda a, b: jnp.where(b >= 0, b, a), pmarks)
         cp = jnp.where(cp < 0, 0, cp)
         out["block_panel"] = cp[::block_chunks]
+        # emit blocked 2-D shapes: a call-time 1-D→2-D reshape is a tiling
+        # relayout (T(1024) → T(8,128)) that costs multi-GB resident temps
+        n_blocks = n_chunks // block_chunks
+        S = block_chunks * T_CHUNK
+        out["col_k"] = col_k.reshape(n_blocks, S)
+        out["w_k"] = w_k.reshape(n_blocks, S)
+        out["row_k"] = row_k.reshape(n_blocks, S)
+        out["chunk_tile"] = ct.reshape(n_blocks, block_chunks)
     if with_orig:
         out["orig_k"] = jnp.full(E_k, -1, jnp.int32).at[pos].set(
             orig_s, unique_indices=True)
@@ -200,7 +208,8 @@ def default_panel_rows(n_pad: int, feat_bytes: int = 512,
 
 def prepare_spmm_device(graph, symmetric: bool = False,
                         with_orig: bool = False,
-                        panel_rows: Optional[int] = None):
+                        panel_rows: Optional[int] = None,
+                        gather_bf16: bool = False):
     """Device-side ``prepare_spmm``: attach kernel layouts built on the
     accelerator. ``symmetric=True`` (undirected graph with symmetric
     normalisation, i.e. Aᵀ = A) shares the forward layout with the backward
@@ -218,7 +227,8 @@ def prepare_spmm_device(graph, symmetric: bool = False,
     E = graph.num_edges
     row, col, w = graph.row[:E], graph.col[:E], graph.edge_weight[:E]
     if panel_rows is None:
-        panel_rows = default_panel_rows(n_pad)
+        panel_rows = default_panel_rows(
+            n_pad, feat_bytes=256 if gather_bf16 else 512)
     if with_orig:
         # the fused-GAT path gathers node tables in both edge orders and
         # has no panel-local dispatch yet — keep global column indices
@@ -249,7 +259,8 @@ def prepare_spmm_device(graph, symmetric: bool = False,
     if panel_rows > 0:
         extras["spmm_fw_bp"] = fwd["block_panel"]
         extras["spmm_bw_bp"] = bwd["block_panel"]
-        graph = graph.with_meta(spmm_panel_rows=panel_rows)
+        graph = graph.with_meta(spmm_panel_rows=panel_rows,
+                                spmm_gather_bf16=bool(gather_bf16))
     if with_orig:
         # the device builder consumes edges in original order for BOTH
         # directions, so each orig_k already indexes the original edge list

@@ -197,20 +197,32 @@ def _blocked_gather_spmm(x, col_k, w_k, row_k, ct, n_pad,
     PANEL-LOCAL indices and ``block_panel[b]`` names each block's source
     panel. The gather then reads a ≤VMEM-sized dynamic slice of ``x``, which
     runs ~4× faster than row-DMA from a multi-GB table (measured on v5e:
-    2.9 vs 10.9 ns/row)."""
-    E_k, F = col_k.shape[0], x.shape[1]
-    n_chunks = E_k // T_CHUNK
-    assert n_chunks % block_chunks == 0, (n_chunks, block_chunks)
-    n_blocks = n_chunks // block_chunks
-    S = block_chunks * T_CHUNK
+    2.9 vs 10.9 ns/row).
+
+    Pass the slot arrays PRE-RESHAPED to [n_blocks, S] (the device builder
+    emits this shape): a call-time reshape from 1-D T(1024) tiling to 2-D
+    T(8,128) is a physical relayout copy that XLA hoists out of the loop —
+    measured as multi-GB resident temps at products scale."""
+    F = x.shape[1]
+    if col_k.ndim == 1:
+        E_k = col_k.shape[0]
+        n_chunks = E_k // T_CHUNK
+        assert n_chunks % block_chunks == 0, (n_chunks, block_chunks)
+        n_blocks = n_chunks // block_chunks
+        S = block_chunks * T_CHUNK
+        col_k = col_k.reshape(n_blocks, S)
+        w_k = w_k.reshape(n_blocks, S)
+        row_k = row_k.reshape(n_blocks, S)
+        ct = ct.reshape(n_blocks, block_chunks)
+    else:
+        n_blocks, S = col_k.shape
+        block_chunks = S // T_CHUNK
     n_local = block_chunks * R_TILE  # a block spans ≤ block_chunks tiles
 
     if block_panel is None or panel_rows <= 0:
         block_panel = jnp.zeros(n_blocks, jnp.int32)
 
-    blk = (col_k.reshape(n_blocks, S), w_k.reshape(n_blocks, S),
-           row_k.reshape(n_blocks, S), ct.reshape(n_blocks, block_chunks),
-           block_panel)
+    blk = (col_k, w_k, row_k, ct, block_panel)
 
     def body(out, b):
         col_b, w_b, row_b, ct_b, pid = b
@@ -244,14 +256,22 @@ def _blocked_gather_spmm(x, col_k, w_k, row_k, ct, n_pad,
     return out[:n_pad]
 
 
-def _one_direction(x, col_k, w_k, row_k, ct, bp=None, panel_rows: int = 0):
+def _one_direction(x, col_k, w_k, row_k, ct, bp=None, panel_rows: int = 0,
+                   gather_bf16: bool = False):
     n_pad, F = x.shape
     dtype_in = x.dtype
     if F % F_BLK != 0:
         x = jnp.pad(x, ((0, 0), (0, F_BLK - F % F_BLK)))
-    n_chunks = ct.shape[0]
-    if ((panel_rows > 0 or n_chunks > BLOCK_CHUNKS)
-            and n_chunks % BLOCK_CHUNKS == 0):
+    if gather_bf16 and x.dtype == jnp.float32:
+        # bf16 gather tables: rows cost the same DMA time regardless of
+        # width, but halving bytes doubles how many rows fit a VMEM-staged
+        # panel → half the panels → far less chunk-quantisation padding.
+        # The kernel still computes in f32 (messages cast after the gather).
+        x = x.astype(jnp.bfloat16)
+    n_chunks = ct.shape[0] * (ct.shape[1] if ct.ndim == 2 else 1)
+    if (ct.ndim == 2
+            or ((panel_rows > 0 or n_chunks > BLOCK_CHUNKS)
+                and n_chunks % BLOCK_CHUNKS == 0)):
         out = _blocked_gather_spmm(x, col_k, w_k, row_k, ct, n_pad,
                                    block_panel=bp, panel_rows=panel_rows)
         out = out.astype(dtype_in)
@@ -266,26 +286,31 @@ def _one_direction(x, col_k, w_k, row_k, ct, bp=None, panel_rows: int = 0):
     return out[:, :F] if out.shape[1] != F else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def spmm_pallas_p(panel_rows, x, fw_col, fw_w, fw_row, fw_ct, fw_bp,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def spmm_pallas_p(panel_rows, gather_bf16,
+                  x, fw_col, fw_w, fw_row, fw_ct, fw_bp,
                   bw_col, bw_w, bw_row, bw_ct, bw_bp):
     """Y = A @ X via the segment kernel, with optional source-panel layouts
     (panel_rows > 0 ⇒ col arrays are panel-local, ``*_bp`` maps mega-blocks
-    to panels)."""
-    return _one_direction(x, fw_col, fw_w, fw_row, fw_ct, fw_bp, panel_rows)
+    to panels) and optional bf16 gather tables."""
+    return _one_direction(x, fw_col, fw_w, fw_row, fw_ct, fw_bp, panel_rows,
+                          gather_bf16)
 
 
-def _spmm_p_fwd(panel_rows, x, fw_col, fw_w, fw_row, fw_ct, fw_bp,
+def _spmm_p_fwd(panel_rows, gather_bf16,
+                x, fw_col, fw_w, fw_row, fw_ct, fw_bp,
                 bw_col, bw_w, bw_row, bw_ct, bw_bp):
-    out = _one_direction(x, fw_col, fw_w, fw_row, fw_ct, fw_bp, panel_rows)
+    out = _one_direction(x, fw_col, fw_w, fw_row, fw_ct, fw_bp, panel_rows,
+                         gather_bf16)
     return out, (fw_col, fw_w, fw_row, fw_ct, fw_bp,
                  bw_col, bw_w, bw_row, bw_ct, bw_bp)
 
 
-def _spmm_p_bwd(panel_rows, res, g):
+def _spmm_p_bwd(panel_rows, gather_bf16, res, g):
     (fw_col, fw_w, fw_row, fw_ct, fw_bp,
      bw_col, bw_w, bw_row, bw_ct, bw_bp) = res
-    dx = _one_direction(g, bw_col, bw_w, bw_row, bw_ct, bw_bp, panel_rows)
+    dx = _one_direction(g, bw_col, bw_w, bw_row, bw_ct, bw_bp, panel_rows,
+                        gather_bf16)
     z = jnp.zeros_like
     return (dx, z(fw_col), z(fw_w), z(fw_row), z(fw_ct), z(fw_bp),
             z(bw_col), z(bw_w), z(bw_row), z(bw_ct), z(bw_bp))
@@ -298,7 +323,7 @@ def spmm_pallas(x, fw_col, fw_w, fw_row, fw_ct, bw_col, bw_w, bw_row, bw_ct):
     """Y = A @ X (square A, n_pad == x.shape[0]) via the segment kernel —
     single-panel convenience wrapper around :func:`spmm_pallas_p`."""
     zb = jnp.zeros(0, jnp.int32)
-    return spmm_pallas_p(0, x, fw_col, fw_w, fw_row, fw_ct, zb,
+    return spmm_pallas_p(0, False, x, fw_col, fw_w, fw_row, fw_ct, zb,
                          bw_col, bw_w, bw_row, bw_ct, zb)
 
 
@@ -423,43 +448,35 @@ def _edge_scores(sd_e, ss_e, ssmax, ones, alpha):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def gat_fused(H: int, D: int, alpha: float, attn_drop: float,
-              h2, a_dst, a_src, seed,
+              sd, ss, h2, seed,
               fw_col, fw_row, fw_ones, fw_ct, fw_orig,
               bw_col, bw_row, bw_ones, bw_ct, bw_orig):
-    """out[r,h,:] = Σ_c softmax_c(leakyrelu(aᵀ_dst h_r + aᵀ_src h_c))·h[c,h,:]
+    """out[r,h,:] = Σ_e∈r softmax_e(leakyrelu(sd[r,h]+ss[col_e,h]))·h[col_e,h,:]
 
-    h2: [n_pad, H·D] transformed features; a_dst/a_src: [H, D] attention
-    halves; seed: uint32 scalar for dropout. Layout arrays from
-    ``prepare_spmm`` extras (fw = dst-grouped, bw = src-grouped). Score
-    halves are recomputed per edge from the gathered feature rows, so the
-    per-edge memory traffic is exactly the 128-lane-aligned h2/output-grad
-    rows. Returns [n_pad, H·D] (flattened heads)."""
-    out, _ = _gat_fwd(H, D, alpha, attn_drop, h2, a_dst, a_src, seed,
+    sd/ss: [n_pad, H] score halves (aᵀ_dst·h_r, aᵀ_src·h_c); h2: [n_pad, H·D]
+    transformed features; seed: uint32 scalar for dropout. Layout arrays from
+    ``prepare_spmm(..., )`` extras (fw = dst-grouped, bw = src-grouped).
+    Returns [n_pad, H·D] (flattened heads)."""
+    out, _ = _gat_fwd(H, D, alpha, attn_drop, sd, ss, h2, seed,
                       fw_col, fw_row, fw_ones, fw_ct, fw_orig,
                       bw_col, bw_row, bw_ones, bw_ct, bw_orig)
     return out
 
 
-def _score_halves(rows_dst, rows_src, a_dst, a_src, H, D):
-    sd_e = jnp.einsum("ehd,hd->eh", rows_dst.reshape(-1, H, D), a_dst)
-    ss_e = jnp.einsum("ehd,hd->eh", rows_src.reshape(-1, H, D), a_src)
-    return sd_e, ss_e
-
-
-def _gat_fwd(H, D, alpha, attn_drop, h2, a_dst, a_src, seed,
+def _gat_fwd(H, D, alpha, attn_drop, sd, ss, h2, seed,
              fw_col, fw_row, fw_ones, fw_ct, fw_orig,
              bw_col, bw_row, bw_ones, bw_ct, bw_orig):
-    n_pad = h2.shape[0]
+    n_pad = sd.shape[0]
     HD = H * D
     h2f = h2.astype(jnp.float32)
-    a_dst = a_dst.astype(jnp.float32)
-    a_src = a_src.astype(jnp.float32)
-    msg = jnp.take(h2f, fw_col, axis=0)                # [E_k, HD] (aligned)
-    hrow = jnp.take(h2f, fw_row, axis=0)
-    sd_e, ss_e = _score_halves(hrow, msg, a_dst, a_src, H, D)
-    ssmax = jnp.max(jnp.einsum("nhd,hd->nh", h2f.reshape(-1, H, D), a_src),
-                    axis=0)
-    slope, ex = _edge_scores(sd_e, ss_e, ssmax, fw_ones, alpha)
+    sd_p = _pad_lanes(sd.astype(jnp.float32))          # [n_pad, 128]
+    # one wide row-gather serves both the message and the src-score half
+    t_src = jnp.concatenate([h2f, ss.astype(jnp.float32)], axis=1)
+    src_e = jnp.take(t_src, fw_col, axis=0)            # [E_k, HD+H]
+    msg, ss_e = src_e[:, :HD], src_e[:, HD:]
+    sd_e = jnp.take(sd_p, fw_row, axis=0)[:, :H]
+    ssmax = jnp.max(ss.astype(jnp.float32), axis=0)
+    _, ex = _edge_scores(sd_e, ss_e, ssmax, fw_ones, alpha)
     exn = ex
     if attn_drop > 0.0:
         keep = _hash_keep(fw_orig, H, seed, 1.0 - attn_drop)
@@ -470,68 +487,69 @@ def _gat_fwd(H, D, alpha, attn_drop, h2, a_dst, a_src, seed,
     den = jnp.maximum(den, 1e-16)
     out = (num.reshape(n_pad, H, D) / den[:, :, None]).reshape(n_pad, HD)
     out = out.astype(h2.dtype)
-    res = (h2, a_dst, a_src, seed, den, out, ssmax, ex, slope,
+    res = (sd, ss, h2, seed, den, out,
            fw_col, fw_row, fw_ones, fw_ct, fw_orig,
            bw_col, bw_row, bw_ones, bw_ct, bw_orig)
     return out, res
 
 
 def _gat_bwd(H, D, alpha, attn_drop, res, g):
-    (h2, a_dst, a_src, seed, den, out, ssmax, ex_fw, slope_fw,
+    (sd, ss, h2, seed, den, out,
      fw_col, fw_row, fw_ones, fw_ct, fw_orig,
      bw_col, bw_row, bw_ones, bw_ct, bw_orig) = res
-    n_pad = h2.shape[0]
+    n_pad = sd.shape[0]
     HD = H * D
-    g3 = g.astype(jnp.float32).reshape(n_pad, H, D)
+    g = g.astype(jnp.float32).reshape(n_pad, H, D)
     h2f = h2.astype(jnp.float32)
-    out3 = out.astype(jnp.float32).reshape(n_pad, H, D)
+    sdf = sd.astype(jnp.float32)
+    ssf = ss.astype(jnp.float32)
+    ssmax = jnp.max(ssf, axis=0)
     inv_keep = 1.0 / (1.0 - attn_drop) if attn_drop > 0.0 else 1.0
 
-    # node-level tables (all 128-lane-aligned when HD is)
-    dagg = (g3 / den[:, :, None]).reshape(n_pad, HD)   # ∂loss/∂num
-    outf = out3.reshape(n_pad, HD)
+    # node-level grads of the normalised aggregation
+    dagg = (g / den[:, :, None]).reshape(n_pad, HD)               # d(num)
+    dden = -jnp.sum(g * out.astype(jnp.float32).reshape(n_pad, H, D),
+                    axis=2) / den                                  # [n_pad,H]
 
-    def dex_terms(dagg_e, out_e, msg, keepn):
-        # dex = Σ_d dagg·msg·keepn − Σ_d dagg·out   (the out term is dden,
-        # folded into an aligned row gather instead of a narrow [N,H] table)
-        t = dagg_e.reshape(-1, H, D)
-        return (jnp.sum(t * msg.reshape(-1, H, D), axis=2) * keepn
-                - jnp.sum(t * out_e.reshape(-1, H, D), axis=2))
+    # tables gathered per edge (both passes index them by the edge's dst):
+    # [ dagg (HD) | dden (H) | sd (H) ]
+    t_dst = jnp.concatenate([dagg, dden, sdf], axis=1)
+    t_src = jnp.concatenate([h2f, ssf], axis=1)
 
-    # forward-layout pass → dsd (segment by dst); ex/slope stored from fwd
-    dagg_fw = jnp.take(dagg, fw_row, axis=0)
-    out_fw = jnp.take(outf, fw_row, axis=0)
-    msg_fw = jnp.take(h2f, fw_col, axis=0)
-    keepn_fw = (_hash_keep(fw_orig, H, seed, 1.0 - attn_drop) * inv_keep
-                if attn_drop > 0.0 else 1.0)
-    ds_fw = dex_terms(dagg_fw, out_fw, msg_fw, keepn_fw) * ex_fw * slope_fw
+    def edge_terms(col_idx, row_idx, ones, orig):
+        """Recompute per-edge attention pieces and score grads in the given
+        edge layout (dst-indexed tables via row_idx, src via col_idx)."""
+        dsts = jnp.take(t_dst, row_idx, axis=0)
+        dagg_e = dsts[:, :HD].reshape(-1, H, D)
+        dden_e = dsts[:, HD:HD + H]
+        sd_e = dsts[:, HD + H:]
+        srcs = jnp.take(t_src, col_idx, axis=0)
+        msg = srcs[:, :HD].reshape(-1, H, D)
+        ss_e = srcs[:, HD:]
+        slope, ex = _edge_scores(sd_e, ss_e, ssmax, ones, alpha)
+        if attn_drop > 0.0:
+            keepn = _hash_keep(orig, H, seed, 1.0 - attn_drop) * inv_keep
+        else:
+            keepn = 1.0
+        exn = ex * keepn
+        dex = jnp.sum(dagg_e * msg, axis=2) * keepn + dden_e
+        ds = dex * ex * slope                                      # [E_k, H]
+        return ds, exn, dagg_e
+
+    # forward-layout pass → dsd (segment by dst)
+    ds_fw, _, _ = edge_terms(fw_col, fw_row, fw_ones, fw_orig)
     dsd = _seg_pass(_pad_lanes(ds_fw), fw_row, fw_ones, fw_ct, n_pad, H)
 
     # transposed-layout pass → dss and dh (segment by src; in the bw layout
-    # bw_row is the edge's SOURCE and bw_col its dst)
-    dagg_bw = jnp.take(dagg, bw_col, axis=0)
-    out_bw = jnp.take(outf, bw_col, axis=0)
-    hdst_bw = jnp.take(h2f, bw_col, axis=0)
-    msg_bw = jnp.take(h2f, bw_row, axis=0)
-    sd_bw, ss_bw = _score_halves(hdst_bw, msg_bw, a_dst, a_src, H, D)
-    slope_bw, ex_bw = _edge_scores(sd_bw, ss_bw, ssmax, bw_ones, alpha)
-    keepn_bw = (_hash_keep(bw_orig, H, seed, 1.0 - attn_drop) * inv_keep
-                if attn_drop > 0.0 else 1.0)
-    ds_bw = dex_terms(dagg_bw, out_bw, msg_bw, keepn_bw) * ex_bw * slope_bw
+    # the grouping key bw_row is the edge's SOURCE and bw_col its dst)
+    ds_bw, exn_bw, dagg_bw = edge_terms(bw_row, bw_col, bw_ones, bw_orig)
     dss = _seg_pass(_pad_lanes(ds_bw), bw_row, bw_ones, bw_ct, n_pad, H)
-    dmsg = (dagg_bw.reshape(-1, H, D) * (ex_bw * keepn_bw)[:, :, None])
-    dh2 = _seg_pass(dmsg.reshape(-1, HD), bw_row, bw_ones, bw_ct, n_pad, HD)
-
-    # score-path contributions land at node level
-    h3 = h2f.reshape(n_pad, H, D)
-    dh2 = (dh2.reshape(n_pad, H, D)
-           + dsd[:, :, None] * a_dst[None]
-           + dss[:, :, None] * a_src[None]).reshape(n_pad, HD)
-    da_dst = jnp.einsum("nh,nhd->hd", dsd, h3)
-    da_src = jnp.einsum("nh,nhd->hd", dss, h3)
+    dmsg = (dagg_bw * exn_bw[:, :, None]).reshape(-1, HD)
+    dh2 = _seg_pass(dmsg, bw_row, bw_ones, bw_ct, n_pad, HD)
 
     z = jnp.zeros_like
-    return (dh2.astype(h2.dtype), da_dst, da_src, z(seed),
+    return (dsd.astype(sd.dtype), dss.astype(ss.dtype), dh2.astype(h2.dtype),
+            z(seed),
             z(fw_col), z(fw_row), z(fw_ones), z(fw_ct), z(fw_orig),
             z(bw_col), z(bw_row), z(bw_ones), z(bw_ct), z(bw_orig))
 
@@ -539,5 +557,7 @@ def _gat_bwd(H, D, alpha, attn_drop, res, g):
 def _gat_fwd_vjp(H, D, alpha, attn_drop, *args):
     return _gat_fwd(H, D, alpha, attn_drop, *args)
 
+
+gat_fused.defvjp(_gat_fwd_vjp, _gat_bwd)
 
 gat_fused.defvjp(_gat_fwd_vjp, _gat_bwd)

@@ -176,11 +176,12 @@ def test_panel_layout_blocked_matches(prepped):
     lay = build_spmm_layout_jax(g.row[:E], g.col[:E], g.edge_weight[:E],
                                 n_pad=g.n_pad, panel_rows=panel_rows,
                                 exact_chunks=nc, block_chunks=block)
-    assert lay["chunk_tile"].shape[0] == nc
+    # blocked layouts are emitted pre-reshaped to [n_blocks, ...]
+    assert lay["chunk_tile"].shape == (nc // block, block)
     assert lay["block_panel"].shape[0] == nc // block
     assert int(lay["col_k"].max()) < panel_rows
-    # per-block monotone tiles, single panel per block
-    ct = np.asarray(lay["chunk_tile"]).reshape(-1, block)
+    # per-block monotone tiles
+    ct = np.asarray(lay["chunk_tile"])
     assert all(np.all(np.diff(r) >= 0) for r in ct)
 
     xp = jnp.pad(x, ((0, 0), (0, 96)))
@@ -259,33 +260,29 @@ class TestGatFused:
         g = prepare_spmm(g)
         rng = np.random.default_rng(7)
         n = g.n_pad
+        sd = jnp.asarray(rng.normal(size=(n, self.H)).astype(np.float32))
+        ss = jnp.asarray(rng.normal(size=(n, self.H)).astype(np.float32))
         h = jnp.asarray(
             rng.normal(size=(n, self.H, self.D)).astype(np.float32))
-        ad = jnp.asarray(
-            rng.normal(size=(self.H, self.D)).astype(np.float32) * 0.3)
-        asr = jnp.asarray(
-            rng.normal(size=(self.H, self.D)).astype(np.float32) * 0.3)
-        return g, ad, asr, h
+        return g, sd, ss, h
 
     @staticmethod
-    def _ref(g, ad, asr, h, alpha=0.2):
+    def _ref(g, sd, ss, h, alpha=0.2):
         """XLA-tier reference: gather scores, stable edge softmax, mh-spmm."""
         from cogdl_tpu import ops
 
-        sd = jnp.einsum("nhd,hd->nh", h, ad)
-        ss = jnp.einsum("nhd,hd->nh", h, asr)
         e = jnp.take(sd, g.row, axis=0) + jnp.take(ss, g.col, axis=0)
         e = jax.nn.leaky_relu(e, alpha)
         att = ops.edge_softmax(g, e)
         return ops.mh_spmm(g, att, h)
 
-    def _fused(self, g, ad, asr, h, attn_drop=0.0, seed=0):
+    def _fused(self, g, sd, ss, h, attn_drop=0.0, seed=0):
         from cogdl_tpu.ops.pallas.segment_kernels import gat_fused
 
         ex = g.extras
         out = gat_fused(
-            self.H, self.D, 0.2, attn_drop,
-            h.reshape(-1, self.H * self.D), ad, asr, jnp.uint32(seed),
+            self.H, self.D, 0.2, attn_drop, sd, ss,
+            h.reshape(-1, self.H * self.D), jnp.uint32(seed),
             ex["spmm_fw_col"], ex["spmm_fw_row"], ex["spmm_fw_ones"],
             ex["spmm_fw_ct"], ex["spmm_fw_orig"],
             ex["spmm_bw_col"], ex["spmm_bw_row"], ex["spmm_bw_ones"],
@@ -293,56 +290,53 @@ class TestGatFused:
         return out.reshape(-1, self.H, self.D)
 
     def test_forward_parity(self, setup):
-        g, ad, asr, h = setup
-        ref = self._ref(g, ad, asr, h)
-        out = self._fused(g, ad, asr, h)
+        g, sd, ss, h = setup
+        ref = self._ref(g, sd, ss, h)
+        out = self._fused(g, sd, ss, h)
         np.testing.assert_allclose(np.asarray(out)[: g.num_nodes],
                                    np.asarray(ref)[: g.num_nodes],
                                    rtol=1e-4, atol=1e-5)
 
     def test_grad_parity(self, setup):
-        g, ad, asr, h = setup
+        g, sd, ss, h = setup
         w = jnp.asarray(np.random.default_rng(9).normal(
             size=(g.n_pad, self.H, self.D)).astype(np.float32))
         mask = g.node_mask()[:, None, None]
 
-        def loss_fused(ad, asr, h):
-            return jnp.sum(jnp.where(mask, self._fused(g, ad, asr, h) * w,
-                                     0.0))
+        def loss_fused(sd, ss, h):
+            return jnp.sum(jnp.where(mask, self._fused(g, sd, ss, h) * w, 0.0))
 
-        def loss_ref(ad, asr, h):
-            return jnp.sum(jnp.where(mask, self._ref(g, ad, asr, h) * w, 0.0))
+        def loss_ref(sd, ss, h):
+            return jnp.sum(jnp.where(mask, self._ref(g, sd, ss, h) * w, 0.0))
 
-        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(ad, asr, h)
-        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(ad, asr, h)
-        for a, b, name in zip(gf, gr, ("da_dst", "da_src", "dh")):
-            a, b = np.asarray(a), np.asarray(b)
-            if a.shape[0] == g.n_pad:
-                a, b = a[: g.num_nodes], b[: g.num_nodes]
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(sd, ss, h)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(sd, ss, h)
+        for a, b, name in zip(gf, gr, ("dsd", "dss", "dh")):
+            a, b = np.asarray(a)[: g.num_nodes], np.asarray(b)[: g.num_nodes]
             np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4,
                                        err_msg=name)
 
     def test_dropout_statistics_and_determinism(self, setup):
-        g, ad, asr, h = setup
-        o1 = self._fused(g, ad, asr, h, attn_drop=0.5, seed=123)
-        o2 = self._fused(g, ad, asr, h, attn_drop=0.5, seed=123)
-        o3 = self._fused(g, ad, asr, h, attn_drop=0.5, seed=321)
+        g, sd, ss, h = setup
+        o1 = self._fused(g, sd, ss, h, attn_drop=0.5, seed=123)
+        o2 = self._fused(g, sd, ss, h, attn_drop=0.5, seed=123)
+        o3 = self._fused(g, sd, ss, h, attn_drop=0.5, seed=321)
         np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
         assert np.abs(np.asarray(o1) - np.asarray(o3)).max() > 1e-6
         # dropped aggregation stays unbiased in expectation: compare means
-        ref = self._ref(g, ad, asr, h)
+        ref = self._ref(g, sd, ss, h)
         m_ref = float(jnp.mean(jnp.abs(ref[: g.num_nodes])))
         m_drop = float(jnp.mean(jnp.abs(o1[: g.num_nodes])))
         assert 0.5 * m_ref < m_drop < 2.0 * m_ref
 
     def test_dropout_grads_finite(self, setup):
-        g, ad, asr, h = setup
+        g, sd, ss, h = setup
 
-        def loss(ad, asr, h):
-            return jnp.sum(self._fused(g, ad, asr, h, attn_drop=0.3,
+        def loss(sd, ss, h):
+            return jnp.sum(self._fused(g, sd, ss, h, attn_drop=0.3,
                                        seed=11) ** 2)
 
-        grads = jax.grad(loss, argnums=(0, 1, 2))(ad, asr, h)
+        grads = jax.grad(loss, argnums=(0, 1, 2))(sd, ss, h)
         for a in grads:
             assert np.isfinite(np.asarray(a)).all()
 
