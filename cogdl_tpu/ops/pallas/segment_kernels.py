@@ -235,7 +235,7 @@ def _blocked_gather_spmm(x, col_k, w_k, row_k, ct, n_pad,
             col_b = col_b + (pid * panel_rows - start)
         else:
             src = x
-        msg = jnp.take(src, col_b, axis=0)
+        msg = jnp.take(src, col_b, axis=0, mode="clip")
         if msg.dtype != jnp.float32:
             msg = msg.astype(jnp.float32)
         ct_local = ct_b - first
@@ -276,7 +276,7 @@ def _one_direction(x, col_k, w_k, row_k, ct, bp=None, panel_rows: int = 0,
                                    block_panel=bp, panel_rows=panel_rows)
         out = out.astype(dtype_in)
         return out[:, :F] if out.shape[1] != F else out
-    msg = jnp.take(x, col_k, axis=0)
+    msg = jnp.take(x, col_k, axis=0, mode="clip")
     # the Mosaic kernel runs in f32 (bf16 operands crash this backend);
     # bf16 inputs still save gather bandwidth, the cast rides the stream
     if msg.dtype != jnp.float32:
@@ -347,7 +347,7 @@ def _ss_fwd(msg, row_k, w_k, ct, n_pad):
 
 def _ss_bwd(n_pad, res, g):
     row_k, w_k, ct = res
-    dmsg = jnp.take(g, row_k, axis=0) * w_k[:, None]
+    dmsg = jnp.take(g, row_k, axis=0, mode="clip") * w_k[:, None]
     return dmsg, jnp.zeros_like(row_k), jnp.zeros_like(w_k), jnp.zeros_like(ct)
 
 
@@ -364,9 +364,9 @@ def mh_spmm_pallas(attention, h, fw_col, fw_orig, fw_ones, fw_row, fw_ct,
     """
     E_k = fw_col.shape[0]
     H, D = attention.shape[1], h.shape[2]
-    att_k = jnp.take(attention, jnp.maximum(fw_orig, 0), axis=0)
+    att_k = jnp.take(attention, jnp.maximum(fw_orig, 0), axis=0, mode="clip")
     att_k = att_k * fw_ones[:, None]                     # [E_k, H]
-    msg = jnp.take(h.reshape(n_pad, H * D), fw_col, axis=0)
+    msg = jnp.take(h.reshape(n_pad, H * D), fw_col, axis=0, mode="clip")
     msg = msg.reshape(E_k, H, D) * att_k[:, :, None]
     msg = msg.reshape(E_k, H * D)
     if msg.dtype != jnp.float32:
@@ -472,9 +472,9 @@ def _gat_fwd(H, D, alpha, attn_drop, sd, ss, h2, seed,
     sd_p = _pad_lanes(sd.astype(jnp.float32))          # [n_pad, 128]
     # one wide row-gather serves both the message and the src-score half
     t_src = jnp.concatenate([h2f, ss.astype(jnp.float32)], axis=1)
-    src_e = jnp.take(t_src, fw_col, axis=0)            # [E_k, HD+H]
+    src_e = jnp.take(t_src, fw_col, axis=0, mode="clip")            # [E_k, HD+H]
     msg, ss_e = src_e[:, :HD], src_e[:, HD:]
-    sd_e = jnp.take(sd_p, fw_row, axis=0)[:, :H]
+    sd_e = jnp.take(sd_p, fw_row, axis=0, mode="clip")[:, :H]
     ssmax = jnp.max(ss.astype(jnp.float32), axis=0)
     _, ex = _edge_scores(sd_e, ss_e, ssmax, fw_ones, alpha)
     exn = ex
@@ -519,11 +519,11 @@ def _gat_bwd(H, D, alpha, attn_drop, res, g):
     def edge_terms(col_idx, row_idx, ones, orig):
         """Recompute per-edge attention pieces and score grads in the given
         edge layout (dst-indexed tables via row_idx, src via col_idx)."""
-        dsts = jnp.take(t_dst, row_idx, axis=0)
+        dsts = jnp.take(t_dst, row_idx, axis=0, mode="clip")
         dagg_e = dsts[:, :HD].reshape(-1, H, D)
         dden_e = dsts[:, HD:HD + H]
         sd_e = dsts[:, HD + H:]
-        srcs = jnp.take(t_src, col_idx, axis=0)
+        srcs = jnp.take(t_src, col_idx, axis=0, mode="clip")
         msg = srcs[:, :HD].reshape(-1, H, D)
         ss_e = srcs[:, HD:]
         slope, ex = _edge_scores(sd_e, ss_e, ssmax, ones, alpha)

@@ -88,7 +88,7 @@ def partition_graph(graph: Graph, n_shards: int) -> Dict[str, np.ndarray]:
 def halo_spmm_allgather(x_local, row_local, col_global, w, axis: str = AXIS):
     """Inside shard_map: out_local = A_local @ all_gather(x)."""
     xg = jax.lax.all_gather(x_local, axis, tiled=True)      # [N, F]
-    msg = jnp.take(xg, col_global, axis=0) * w[:, None]
+    msg = jnp.take(xg, col_global, axis=0, mode="clip") * w[:, None]
     return jax.ops.segment_sum(msg, row_local,
                                num_segments=x_local.shape[0],
                                indices_are_sorted=True)
@@ -157,7 +157,7 @@ def halo_spmm_allgather_kernel(x_local, lay_col, lay_w, lay_row, lay_ct,
     F = xg.shape[1]
     if F % F_BLK != 0:
         xg = jnp.pad(xg, ((0, 0), (0, F_BLK - F % F_BLK)))
-    msg = jnp.take(xg, lay_col, axis=0)
+    msg = jnp.take(xg, lay_col, axis=0, mode="clip")
     if msg.dtype != jnp.float32:
         msg = msg.astype(jnp.float32)
     # grads flow: d(msg) = gather(ct, lay_row)·w (segment_sum_pallas VJP),
@@ -183,7 +183,7 @@ def halo_spmm_ring(x_local, row_local, col_global, w, axis: str = AXIS):
         owner = (me - k) % P_                 # whose shard is in buf
         sel = (col_global // Nl) == owner
         local_idx = jnp.where(sel, col_global - owner * Nl, 0)
-        msg = jnp.take(buf, local_idx, axis=0) * jnp.where(sel, w, 0.0)[:, None]
+        msg = jnp.take(buf, local_idx, axis=0, mode="clip") * jnp.where(sel, w, 0.0)[:, None]
         acc = acc + jax.ops.segment_sum(
             msg, row_local, num_segments=Nl, indices_are_sorted=True)
         buf = jax.lax.ppermute(buf, axis, perm)
