@@ -40,6 +40,11 @@ class TrainerConfig:
     bf16: bool = False                # bf16 activations/compute, f32 master
     checkpoint_path: Optional[str] = None
     resume_training: bool = False
+    # observability (the reference has none beyond CUDA allocator stats,
+    # SURVEY.md §5): capture a jax.profiler trace of a few post-compile
+    # epochs; inspect with scripts/profile_step.py --parse-only
+    profile_dir: Optional[str] = None
+    profile_epochs: int = 2
 
 
 def build_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
@@ -163,7 +168,16 @@ class Trainer:
                     graph = upd
                     batches = wrapper.train_batches(graph)
             patience_left = cfg.patience
+            profiling = False
             for epoch in range(cfg.epochs):
+                if cfg.profile_dir and stage == 0:
+                    # skip epoch 0 (compilation); trace the steady state
+                    if epoch == 1:
+                        jax.profiler.start_trace(cfg.profile_dir)
+                        profiling = True
+                    elif profiling and epoch == 1 + cfg.profile_epochs:
+                        jax.profiler.stop_trace()
+                        profiling = False
                 if refresh and epoch > 0:
                     batches = wrapper.train_batches(graph)
                 losses = []
@@ -192,6 +206,8 @@ class Trainer:
                             break
                 if cfg.progress and (epoch % 20 == 0):
                     print(f"epoch {epoch}: loss={float(losses[-1]):.4f}")
+            if profiling:  # early stop landed inside the traced window
+                jax.profiler.stop_trace()
             if hasattr(wrapper, "post_stage"):
                 wrapper.post_stage(stage, graph,
                                    {"params": best_params, **best_model_state})
