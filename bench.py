@@ -49,12 +49,20 @@ def main():
                     help="bf16 gather tables at products scale — MEASURED "
                     "3.7x SLOWER on this backend (bf16 gathers miss the "
                     "VMEM-staged fast path); kept for re-testing")
+    ap.add_argument("--r-tile", type=int, default=None,
+                    help="dst-tile height for --products layouts; default "
+                    "256 at products (cuts chunk-quantisation padding "
+                    "344M->212M slots for 2x MXU work per slot), 128 else")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialise the forward (saves ~2.5 GB HBM at "
                     "products scale, costs 2 extra spmm passes)")
     args = ap.parse_args()
     if args.products:
         args.nodes, args.avg_degree = 2_450_000, 50
+        if args.r_tile is None:
+            args.r_tile = 256   # measured best at products (4.31 s vs 5.42)
+    if args.r_tile is None:
+        args.r_tile = 128
 
     import optax
 
@@ -74,11 +82,13 @@ def main():
         from cogdl_tpu.ops.pallas.device_layout import prepare_spmm_device
 
         graph = powerlaw_graph_device(args.nodes, avg_degree=args.avg_degree,
-                                      feat_dim=args.feat_dim)
+                                      feat_dim=args.feat_dim,
+                                      pad_multiple=args.r_tile)
         if _is_tpu():
             graph = prepare_spmm_device(graph, symmetric=True,
                                         with_orig=args.model == "gat",
-                                        gather_bf16=args.bf16_gather)
+                                        gather_bf16=args.bf16_gather,
+                                        r_tile=args.r_tile)
             # the kernel path reads only the layout extras — free the raw
             # edge arrays (1.5 GB at products scale; HBM is the constraint)
             z = jnp.zeros(1, jnp.int32)

@@ -151,6 +151,7 @@ def powerlaw_graph_device(
     seed: int = 0,
     undirected: bool = True,
     zipf_a: float = 0.8,
+    pad_multiple: int = 128,
 ) -> Graph:
     """Fully device-resident power-law graph at OGB scale (ogbn-products
     stand-in for the ≥1M-node benchmarks).
@@ -169,7 +170,7 @@ def powerlaw_graph_device(
     import jax
     import jax.numpy as jnp
 
-    n_pad = _ru(num_nodes, 128)
+    n_pad = _ru(num_nodes, pad_multiple)
     n_directed = (num_nodes * avg_degree) // (2 if undirected else 1)
 
     # host: Zipf popularity CDF over destination ranks (f64 for the cumsum)

@@ -93,7 +93,8 @@ def maybe_pallas_spmm(graph, x) -> Optional[jnp.ndarray]:
         from .segment_kernels import spmm_pallas_p
 
         return spmm_pallas_p(
-            panel_rows, bool(graph.meta_get("spmm_gather_bf16", False)), x,
+            panel_rows, bool(graph.meta_get("spmm_gather_bf16", False)),
+            int(graph.meta_get("spmm_r_tile", R_TILE)), x,
             extras["spmm_fw_col"], extras["spmm_fw_w"],
             extras["spmm_fw_row"], extras["spmm_fw_ct"], extras["spmm_fw_bp"],
             extras["spmm_bw_col"], extras["spmm_bw_w"],

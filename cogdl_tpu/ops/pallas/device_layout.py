@@ -42,6 +42,7 @@ def build_spmm_layout_jax(
     panel_rows: int = 0,
     exact_chunks: int = 0,
     block_chunks: int = BLOCK_CHUNKS,
+    r_tile: int = R_TILE,
 ) -> Dict[str, jnp.ndarray]:
     """Jittable equivalent of ``build_spmm_layout``: group edges by
     destination-row tile, sort within tile by source column (gather
@@ -58,15 +59,15 @@ def build_spmm_layout_jax(
     each block from a ≤VMEM-sized slice of the feature table (~4× faster
     than whole-table row DMA at ogbn-products scale).
     """
-    assert n_pad % R_TILE == 0, n_pad
-    n_tiles = n_pad // R_TILE
+    assert n_pad % r_tile == 0, (n_pad, r_tile)
+    n_tiles = n_pad // r_tile
     E = row.shape[0]
     row = row.astype(jnp.int32)
     col = col.astype(jnp.int32)
     weight = weight.astype(jnp.float32)
 
     block_slots = block_chunks * T_CHUNK
-    tile = row // R_TILE
+    tile = row // r_tile
     orig = jnp.arange(E, dtype=jnp.int32)
 
     if panel_rows <= 0:
@@ -79,7 +80,7 @@ def build_spmm_layout_jax(
         E_k = (_round_up(E_k_raw, block_slots)
                if E_k_raw > block_slots else _round_up(E_k_raw, T_CHUNK))
     else:
-        assert panel_rows % R_TILE == 0, panel_rows
+        assert panel_rows % r_tile == 0, panel_rows
         n_panels = -(-n_pad // panel_rows)
         n_groups = n_panels * n_tiles
         gid = (col // panel_rows) * n_tiles + tile
@@ -141,7 +142,7 @@ def build_spmm_layout_jax(
     slot_chunk = jnp.arange(E_k, dtype=jnp.int32) // T_CHUNK
     slot_used = jnp.zeros(E_k, jnp.bool_).at[pos].set(True,
                                                       unique_indices=True)
-    row_k = jnp.where(slot_used, row_k, jnp.take(ct, slot_chunk) * R_TILE)
+    row_k = jnp.where(slot_used, row_k, jnp.take(ct, slot_chunk) * r_tile)
 
     out = {"col_k": col_k, "w_k": w_k, "row_k": row_k, "chunk_tile": ct}
     if panel_rows > 0:
@@ -168,14 +169,15 @@ def build_spmm_layout_jax(
 
 
 def count_layout_chunks(row, col, n_pad: int, panel_rows: int,
-                        block_chunks: int = BLOCK_CHUNKS) -> int:
+                        block_chunks: int = BLOCK_CHUNKS,
+                        r_tile: int = R_TILE) -> int:
     """Measure the exact chunk total the panel layout will need (one scalar
     readback) so the builder can allocate exactly instead of worst-case."""
-    n_tiles = n_pad // R_TILE
+    n_tiles = n_pad // r_tile
 
     @jax.jit
     def total(row, col):
-        tile = row.astype(jnp.int32) // R_TILE
+        tile = row.astype(jnp.int32) // r_tile
         if panel_rows > 0:
             n_panels = -(-n_pad // panel_rows)
             gid = (col.astype(jnp.int32) // panel_rows) * n_tiles + tile
@@ -196,20 +198,21 @@ def count_layout_chunks(row, col, n_pad: int, panel_rows: int,
 
 
 def default_panel_rows(n_pad: int, feat_bytes: int = 512,
-                       budget_mb: int = 96) -> int:
+                       budget_mb: int = 96, r_tile: int = R_TILE) -> int:
     """Panel height whose feature slice fits the VMEM staging budget; 0
     (single panel / no paneling) when the whole table already fits."""
     rows_budget = (budget_mb * 1_000_000) // feat_bytes
     if n_pad <= rows_budget:
         return 0
     n_panels = -(-n_pad // rows_budget)
-    return _round_up(-(-n_pad // n_panels), R_TILE)
+    return _round_up(-(-n_pad // n_panels), r_tile)
 
 
 def prepare_spmm_device(graph, symmetric: bool = False,
                         with_orig: bool = False,
                         panel_rows: Optional[int] = None,
-                        gather_bf16: bool = False):
+                        gather_bf16: bool = False,
+                        r_tile: int = R_TILE):
     """Device-side ``prepare_spmm``: attach kernel layouts built on the
     accelerator. ``symmetric=True`` (undirected graph with symmetric
     normalisation, i.e. Aᵀ = A) shares the forward layout with the backward
@@ -221,14 +224,14 @@ def prepare_spmm_device(graph, symmetric: bool = False,
     ``panel_rows`` (None → auto from the node count): source-panel layouts
     for huge graphs — see :func:`build_spmm_layout_jax`."""
     n_pad = graph.n_pad
-    assert n_pad % R_TILE == 0, (
-        f"pad the graph to a multiple of {R_TILE} rows first "
+    assert n_pad % r_tile == 0, (
+        f"pad the graph to a multiple of {r_tile} rows first "
         f"(data.graph.pad_to); got n_pad={n_pad}")
     E = graph.num_edges
     row, col, w = graph.row[:E], graph.col[:E], graph.edge_weight[:E]
     if panel_rows is None:
         panel_rows = default_panel_rows(
-            n_pad, feat_bytes=256 if gather_bf16 else 512)
+            n_pad, feat_bytes=256 if gather_bf16 else 512, r_tile=r_tile)
     if with_orig:
         # the fused-GAT path gathers node tables in both edge orders and
         # has no panel-local dispatch yet — keep global column indices
@@ -236,12 +239,13 @@ def prepare_spmm_device(graph, symmetric: bool = False,
 
     build = jax.jit(build_spmm_layout_jax,
                     static_argnames=("n_pad", "with_orig", "panel_rows",
-                                     "exact_chunks", "block_chunks"))
+                                     "exact_chunks", "block_chunks",
+                                     "r_tile"))
 
     def build_dir(r, c):
-        nc = count_layout_chunks(r, c, n_pad, panel_rows)
+        nc = count_layout_chunks(r, c, n_pad, panel_rows, r_tile=r_tile)
         return build(r, c, w, n_pad=n_pad, with_orig=with_orig,
-                     panel_rows=panel_rows, exact_chunks=nc)
+                     panel_rows=panel_rows, exact_chunks=nc, r_tile=r_tile)
 
     fwd = build_dir(row, col)
     # symmetric layout sharing is valid for plain SpMM, but the fused-GAT
@@ -260,7 +264,8 @@ def prepare_spmm_device(graph, symmetric: bool = False,
         extras["spmm_fw_bp"] = fwd["block_panel"]
         extras["spmm_bw_bp"] = bwd["block_panel"]
         graph = graph.with_meta(spmm_panel_rows=panel_rows,
-                                spmm_gather_bf16=bool(gather_bf16))
+                                spmm_gather_bf16=bool(gather_bf16),
+                                spmm_r_tile=r_tile)
     if with_orig:
         # the device builder consumes edges in original order for BOTH
         # directions, so each orig_k already indexes the original edge list

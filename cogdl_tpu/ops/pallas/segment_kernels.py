@@ -107,26 +107,32 @@ def build_spmm_layout(
     }
 
 
-def _seg_mm_kernel(chunk_tile_ref, msg_ref, row_ref, w_ref, out_ref):
+def _make_seg_mm_kernel(r_tile: int):
     from jax.experimental import pallas as pl
 
-    c = pl.program_id(1)
-    tile = chunk_tile_ref[c]
-    is_first = jnp.logical_or(c == 0, chunk_tile_ref[jnp.maximum(c - 1, 0)] != tile)
+    def _seg_mm_kernel(chunk_tile_ref, msg_ref, row_ref, w_ref, out_ref):
+        c = pl.program_id(1)
+        tile = chunk_tile_ref[c]
+        is_first = jnp.logical_or(
+            c == 0, chunk_tile_ref[jnp.maximum(c - 1, 0)] != tile)
 
-    @pl.when(is_first)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        @pl.when(is_first)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
 
-    rows = row_ref[:][None, :]                          # [1, T] int32 (abs row)
-    base = tile * R_TILE
-    r_ids = jax.lax.broadcasted_iota(jnp.int32, (R_TILE, T_CHUNK), 0) + base
-    p = jnp.where(rows == r_ids, w_ref[:][None, :], 0.0).astype(msg_ref.dtype)  # [R, T]
-    out_ref[:] += jax.lax.dot_general(
-        p, msg_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(out_ref.dtype)
+        rows = row_ref[:][None, :]                      # [1, T] int32 (abs row)
+        base = tile * r_tile
+        r_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (r_tile, T_CHUNK), 0) + base
+        p = jnp.where(rows == r_ids, w_ref[:][None, :],
+                      0.0).astype(msg_ref.dtype)        # [R, T]
+        out_ref[:] += jax.lax.dot_general(
+            p, msg_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
+
+    return _seg_mm_kernel
 
 
 def sorted_segment_matmul(
@@ -136,6 +142,7 @@ def sorted_segment_matmul(
     chunk_tile: jnp.ndarray,  # [n_chunks] int32, monotonic
     n_pad: int,
     interpret: Optional[bool] = None,
+    r_tile: int = R_TILE,
 ) -> jnp.ndarray:
     """out[r] = Σ_e w_k[e] · msg[e] over slots with row_k[e]==r.
     F must be a multiple of F_BLK (pad features before the gather)."""
@@ -146,6 +153,7 @@ def sorted_segment_matmul(
         interpret = jax.devices()[0].platform == "cpu"
     E_k, F = msg.shape
     assert F % F_BLK == 0, f"pad features to {F_BLK} before gather (got {F})"
+    assert n_pad % r_tile == 0, (n_pad, r_tile)
     n_chunks = E_k // T_CHUNK
     nf = F // F_BLK
 
@@ -157,14 +165,14 @@ def sorted_segment_matmul(
             pl.BlockSpec((T_CHUNK,), lambda f, c, ct: (c,)),
             pl.BlockSpec((T_CHUNK,), lambda f, c, ct: (c,)),
         ],
-        out_specs=pl.BlockSpec((R_TILE, F_BLK), lambda f, c, ct: (ct[c], f)),
+        out_specs=pl.BlockSpec((r_tile, F_BLK), lambda f, c, ct: (ct[c], f)),
     )
     return pl.pallas_call(
-        _seg_mm_kernel,
+        _make_seg_mm_kernel(r_tile),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, F), msg.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * E_k * R_TILE * F,
+            flops=2 * E_k * r_tile * F,
             bytes_accessed=E_k * F * 4 + n_pad * F * 4,
             transcendentals=0,
         ),
@@ -184,7 +192,8 @@ def sorted_segment_matmul(
 
 def _blocked_gather_spmm(x, col_k, w_k, row_k, ct, n_pad,
                          block_panel=None, panel_rows: int = 0,
-                         block_chunks: int = BLOCK_CHUNKS):
+                         block_chunks: int = BLOCK_CHUNKS,
+                         r_tile: int = R_TILE):
     """Streamed gather+aggregate over mega-blocks of the layout — for graphs
     whose full message stream would blow HBM. Each block gathers its own
     message slice, runs the segment kernel on a REBASED local tile range
@@ -217,7 +226,7 @@ def _blocked_gather_spmm(x, col_k, w_k, row_k, ct, n_pad,
     else:
         n_blocks, S = col_k.shape
         block_chunks = S // T_CHUNK
-    n_local = block_chunks * R_TILE  # a block spans ≤ block_chunks tiles
+    n_local = block_chunks * r_tile  # a block spans ≤ block_chunks tiles
 
     if block_panel is None or panel_rows <= 0:
         block_panel = jnp.zeros(n_blocks, jnp.int32)
@@ -240,13 +249,14 @@ def _blocked_gather_spmm(x, col_k, w_k, row_k, ct, n_pad,
             msg = msg.astype(jnp.float32)
         ct_local = ct_b - first
         local = sorted_segment_matmul(
-            msg, row_b - first * R_TILE, w_b, ct_local, n_local)
+            msg, row_b - first * r_tile, w_b, ct_local, n_local,
+            r_tile=r_tile)
         # local tiles this block's chunks never visited hold undefined
         # kernel memory — zero them before accumulating
         visited = jnp.zeros(block_chunks, jnp.bool_).at[ct_local].set(
             True, mode="drop")
-        local = jnp.where(jnp.repeat(visited, R_TILE)[:, None], local, 0.0)
-        start = first * R_TILE
+        local = jnp.where(jnp.repeat(visited, r_tile)[:, None], local, 0.0)
+        start = first * r_tile
         slab = jax.lax.dynamic_slice(out, (start, 0), (n_local, local.shape[1]))
         out = jax.lax.dynamic_update_slice(out, slab + local, (start, 0))
         return out, None
@@ -257,7 +267,7 @@ def _blocked_gather_spmm(x, col_k, w_k, row_k, ct, n_pad,
 
 
 def _one_direction(x, col_k, w_k, row_k, ct, bp=None, panel_rows: int = 0,
-                   gather_bf16: bool = False):
+                   gather_bf16: bool = False, r_tile: int = R_TILE):
     n_pad, F = x.shape
     dtype_in = x.dtype
     if F % F_BLK != 0:
@@ -273,7 +283,8 @@ def _one_direction(x, col_k, w_k, row_k, ct, bp=None, panel_rows: int = 0,
             or ((panel_rows > 0 or n_chunks > BLOCK_CHUNKS)
                 and n_chunks % BLOCK_CHUNKS == 0)):
         out = _blocked_gather_spmm(x, col_k, w_k, row_k, ct, n_pad,
-                                   block_panel=bp, panel_rows=panel_rows)
+                                   block_panel=bp, panel_rows=panel_rows,
+                                   r_tile=r_tile)
         out = out.astype(dtype_in)
         return out[:, :F] if out.shape[1] != F else out
     msg = jnp.take(x, col_k, axis=0, mode="clip")
@@ -286,31 +297,33 @@ def _one_direction(x, col_k, w_k, row_k, ct, bp=None, panel_rows: int = 0,
     return out[:, :F] if out.shape[1] != F else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def spmm_pallas_p(panel_rows, gather_bf16,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def spmm_pallas_p(panel_rows, gather_bf16, r_tile,
                   x, fw_col, fw_w, fw_row, fw_ct, fw_bp,
                   bw_col, bw_w, bw_row, bw_ct, bw_bp):
     """Y = A @ X via the segment kernel, with optional source-panel layouts
     (panel_rows > 0 ⇒ col arrays are panel-local, ``*_bp`` maps mega-blocks
-    to panels) and optional bf16 gather tables."""
+    to panels), optional bf16 gather tables, and a configurable dst-tile
+    height (bigger tiles trade MXU work for less chunk-quantisation padding
+    on huge graphs)."""
     return _one_direction(x, fw_col, fw_w, fw_row, fw_ct, fw_bp, panel_rows,
-                          gather_bf16)
+                          gather_bf16, r_tile)
 
 
-def _spmm_p_fwd(panel_rows, gather_bf16,
+def _spmm_p_fwd(panel_rows, gather_bf16, r_tile,
                 x, fw_col, fw_w, fw_row, fw_ct, fw_bp,
                 bw_col, bw_w, bw_row, bw_ct, bw_bp):
     out = _one_direction(x, fw_col, fw_w, fw_row, fw_ct, fw_bp, panel_rows,
-                         gather_bf16)
+                         gather_bf16, r_tile)
     return out, (fw_col, fw_w, fw_row, fw_ct, fw_bp,
                  bw_col, bw_w, bw_row, bw_ct, bw_bp)
 
 
-def _spmm_p_bwd(panel_rows, gather_bf16, res, g):
+def _spmm_p_bwd(panel_rows, gather_bf16, r_tile, res, g):
     (fw_col, fw_w, fw_row, fw_ct, fw_bp,
      bw_col, bw_w, bw_row, bw_ct, bw_bp) = res
     dx = _one_direction(g, bw_col, bw_w, bw_row, bw_ct, bw_bp, panel_rows,
-                        gather_bf16)
+                        gather_bf16, r_tile)
     z = jnp.zeros_like
     return (dx, z(fw_col), z(fw_w), z(fw_row), z(fw_ct), z(fw_bp),
             z(bw_col), z(bw_w), z(bw_row), z(bw_ct), z(bw_bp))
@@ -323,8 +336,8 @@ def spmm_pallas(x, fw_col, fw_w, fw_row, fw_ct, bw_col, bw_w, bw_row, bw_ct):
     """Y = A @ X (square A, n_pad == x.shape[0]) via the segment kernel —
     single-panel convenience wrapper around :func:`spmm_pallas_p`."""
     zb = jnp.zeros(0, jnp.int32)
-    return spmm_pallas_p(0, False, x, fw_col, fw_w, fw_row, fw_ct, zb,
-                         bw_col, bw_w, bw_row, bw_ct, zb)
+    return spmm_pallas_p(0, False, R_TILE, x, fw_col, fw_w, fw_row, fw_ct,
+                         zb, bw_col, bw_w, bw_row, bw_ct, zb)
 
 
 # ---------------------------------------------------------------------------

@@ -194,6 +194,38 @@ def test_panel_layout_blocked_matches(prepped):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_panel_layout_r_tile_256(prepped):
+    """r_tile=256 layouts (coarser dst tiles, less quantisation padding)
+    still aggregate correctly through the blocked driver."""
+    from cogdl_tpu.ops.pallas.device_layout import (
+        build_spmm_layout_jax,
+        count_layout_chunks,
+    )
+    from cogdl_tpu.ops.pallas.segment_kernels import _blocked_gather_spmm
+
+    from cogdl_tpu.data.graph import pad_to
+
+    g, x = prepped
+    g = pad_to(g, 512, g.e_pad)
+    x = jnp.pad(x, ((0, g.n_pad - x.shape[0]), (0, 0)))
+    E = g.num_edges
+    panel_rows, block, rt = 256, 2, 256
+    nc = count_layout_chunks(g.row[:E], g.col[:E], g.n_pad, panel_rows,
+                             block_chunks=block, r_tile=rt)
+    lay = build_spmm_layout_jax(g.row[:E], g.col[:E], g.edge_weight[:E],
+                                n_pad=g.n_pad, panel_rows=panel_rows,
+                                exact_chunks=nc, block_chunks=block,
+                                r_tile=rt)
+    xp = jnp.pad(x, ((0, 0), (0, 96)))
+    out = _blocked_gather_spmm(
+        xp, lay["col_k"], lay["w_k"], lay["row_k"], lay["chunk_tile"],
+        g.n_pad, block_panel=lay["block_panel"], panel_rows=panel_rows,
+        block_chunks=block, r_tile=rt)[:, :32]
+    ref = ops.spmm_coo(x, g.row, g.col, g.edge_weight, g.n_pad)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_prepare_spmm_device_panels_roundtrip(prepped):
     """prepare_spmm_device with explicit panel_rows emits panel extras and
     meta; the weights survive (sum parity)."""
