@@ -153,6 +153,55 @@ class NeighborSampler:
             yield blocks, frame, seeds
 
 
+class Prefetcher:
+    """Background-thread batch pipeline: overlap host-side sampling (and the
+    host→device transfer) with the device train step — the TPU-feed analog
+    of the reference's ``DataLoader(num_workers=4)`` sampling workers
+    (cogdl/wrappers/data_wrapper/node_classification/graphsage_dw.py).
+
+    Wraps a zero-arg iterator factory; each ``iter()`` starts a fresh worker
+    thread that runs the sampler and ``jax.device_put``s each batch into a
+    bounded queue, so transfer rides ahead of compute. Restartable (one
+    thread per epoch); worker exceptions re-raise in the consumer.
+    """
+
+    _SENTINEL = object()
+
+    def __init__(self, factory, depth: int = 2, to_device: bool = True):
+        self.factory = factory
+        self.depth = depth
+        self.to_device = to_device
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        import jax
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+
+        def worker():
+            try:
+                for item in self.factory():
+                    if self.to_device:
+                        item = jax.device_put(item)
+                    q.put(item)
+                q.put(self._SENTINEL)
+            except BaseException as e:  # propagate into the consumer
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is self._SENTINEL:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()
+
+
 def bfs_partition(graph: Graph, n_parts: int, seed: int = 0) -> np.ndarray:
     """Balanced BFS-grown partition — the METIS replacement
     (reference ClusteredDataset uses `import metis`, sampler.py:194).

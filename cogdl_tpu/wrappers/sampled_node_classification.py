@@ -42,14 +42,18 @@ class SampledNodeClfWrapper(NodeClfWrapper):
             graph, self.fanouts, batch_size=self.batch_size, seed=self.seed)
         return graph
 
-    def train_batches(self, graph: Graph) -> List:
+    def train_batches(self, graph: Graph):
         self._epoch += 1
-        out = []
-        for blocks, frame, seeds in self._sampler.epoch():
-            # batch = (blocks, seed-local slice length) packed as a pytree:
-            # the seed nodes are the first `batch_size` rows of the frame
-            out.append(tuple(blocks))
-        return out
+
+        def gen():
+            # the seed nodes are the first `batch_size` rows of each frame
+            for blocks, frame, seeds in self._sampler.epoch():
+                yield tuple(blocks)
+
+        # background-thread sampling + device_put pipeline keeps the chip fed
+        from ..data.sampling import Prefetcher
+
+        return Prefetcher(gen)
 
     def loss(self, variables, batch, rng, training: bool = True):
         blocks = list(batch)
@@ -65,7 +69,7 @@ class SampledNodeClfWrapper(NodeClfWrapper):
         return loss, updates
 
     def init(self, rng, graph: Graph):
-        batch = self.train_batches(graph)[0]
+        batch = next(iter(self.train_batches(graph)))
         blocks = list(batch)
         return self.model.init({"params": rng, "dropout": rng}, blocks,
                                blocks[0].x, training=False)
@@ -93,7 +97,9 @@ class ClusterNodeClfWrapper(NodeClfWrapper):
         return graph
 
     def train_batches(self, graph: Graph):
-        return list(self._loader.epoch())
+        from ..data.sampling import Prefetcher
+
+        return Prefetcher(self._loader.epoch)
 
     def loss(self, variables, batch: Graph, rng, training: bool = True):
         mutable = ["batch_stats"] if "batch_stats" in variables else False

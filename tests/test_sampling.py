@@ -96,3 +96,29 @@ def test_random_partition(g):
     batches = list(random_partition_batches(g, 5, seed=0))
     assert len(batches) == 5
     assert sum(b.num_nodes for b in batches) == g.num_nodes
+
+
+def test_prefetcher_order_restart_and_errors():
+    from cogdl_tpu.data.sampling import Prefetcher
+
+    pf = Prefetcher(lambda: iter(range(7)), to_device=False)
+    assert list(pf) == list(range(7))
+    assert list(pf) == list(range(7))  # restartable (one thread per epoch)
+
+    def bad():
+        yield 1
+        raise ValueError("boom")
+
+    pf = Prefetcher(bad, to_device=False)
+    with pytest.raises(ValueError, match="boom"):
+        list(pf)
+
+
+def test_prefetcher_device_put(g):
+    import jax
+    from cogdl_tpu.data.sampling import Prefetcher
+
+    pf = Prefetcher(lambda: iter([np.arange(4, dtype=np.int32)]))
+    (a,) = list(pf)
+    assert isinstance(a, jax.Array)
+    np.testing.assert_array_equal(np.asarray(a), np.arange(4))
