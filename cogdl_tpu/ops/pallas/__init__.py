@@ -18,14 +18,9 @@ import numpy as np
 from .segment_kernels import (
     R_TILE,
     build_spmm_layout,
-    sorted_segment_matmul,
+    sorted_segment_matmul,  # noqa: F401  (public kernel-tier re-export)
     spmm_pallas,
 )
-
-_LAYOUT_KEYS = [
-    "spmm_fw_col", "spmm_fw_w", "spmm_fw_row", "spmm_fw_ct",
-    "spmm_bw_col", "spmm_bw_w", "spmm_bw_row", "spmm_bw_ct",
-]
 
 
 def _round_up(x: int, m: int) -> int:

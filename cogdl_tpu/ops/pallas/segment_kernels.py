@@ -27,12 +27,25 @@ is reformulated as a stream of dense MXU matmuls.
 This turns an unvectorisable scatter-add (XLA: ~57 GB/s on TPU) into
 sequential streaming + systolic matmuls (~10 ms for 6.5M×128 edges ≈
 340 GB/s effective).
+
+Scaling tiers on top of the kernel (all exercised by bench.py --products at
+2.45M nodes / 125M edges on ONE v5e chip):
+  * mega-block streaming (``_blocked_gather_spmm``): gather+aggregate in
+    ~1 GB message blocks when the full [E_k, F] stream would blow HBM;
+  * source panels (``device_layout.build_spmm_layout_jax(panel_rows=...)``):
+    blocks gather from a ≤VMEM dynamic slice of the feature table — ~4×
+    faster than whole-table row DMA (see CLAUDE.md memory-system notes);
+  * configurable dst-tile height (``r_tile``): coarser tiles trade MXU work
+    per slot for less chunk-quantisation padding on huge graphs;
+  * ``gat_fused``: fully fused GAT attention with a hand-derived VJP —
+    softmax denominators and every segment reduction ride this kernel in
+    both edge orders, no [E, H] scatters anywhere.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

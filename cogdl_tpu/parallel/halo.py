@@ -19,7 +19,7 @@ on a leading mesh axis) so the whole thing jits once.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
