@@ -500,6 +500,8 @@ def _gat_fwd(H, D, alpha, attn_drop, sd, ss, h2, seed,
     t_src = jnp.concatenate([h2f, ss.astype(jnp.float32)], axis=1)
     src_e = jnp.take(t_src, fw_col, axis=0, mode="clip")            # [E_k, HD+H]
     msg, ss_e = src_e[:, :HD], src_e[:, HD:]
+    # serialize the two table gathers (each ~60 MB — only one fits VMEM)
+    sd_p, src_e = jax.lax.optimization_barrier((sd_p, src_e))
     sd_e = jnp.take(sd_p, fw_row, axis=0, mode="clip")[:, :H]
     ssmax = jnp.max(ss.astype(jnp.float32), axis=0)
     _, ex = _edge_scores(sd_e, ss_e, ssmax, fw_ones, alpha)
@@ -546,10 +548,12 @@ def _gat_bwd(H, D, alpha, attn_drop, res, g):
         """Recompute per-edge attention pieces and score grads in the given
         edge layout (dst-indexed tables via row_idx, src via col_idx)."""
         dsts = jnp.take(t_dst, row_idx, axis=0, mode="clip")
+        # serialize the two ~60 MB table gathers (VMEM staging, see fwd)
+        srcs_t, dsts = jax.lax.optimization_barrier((t_src, dsts))
         dagg_e = dsts[:, :HD].reshape(-1, H, D)
         dden_e = dsts[:, HD:HD + H]
         sd_e = dsts[:, HD + H:]
-        srcs = jnp.take(t_src, col_idx, axis=0, mode="clip")
+        srcs = jnp.take(srcs_t, col_idx, axis=0, mode="clip")
         msg = srcs[:, :HD].reshape(-1, H, D)
         ss_e = srcs[:, HD:]
         slope, ex = _edge_scores(sd_e, ss_e, ssmax, ones, alpha)
@@ -565,6 +569,11 @@ def _gat_bwd(H, D, alpha, attn_drop, res, g):
     # forward-layout pass → dsd (segment by dst)
     ds_fw, _, _ = edge_terms(fw_col, fw_row, fw_ones, fw_orig)
     dsd = _seg_pass(_pad_lanes(ds_fw), fw_row, fw_ones, fw_ct, n_pad, H)
+
+    # phase barrier: serialize the two layout passes so their gather tables
+    # (t_dst + t_src, ~65 MB each) don't have overlapping liveness — gives
+    # XLA a chance to VMEM-stage one pair at a time
+    t_dst, t_src, dsd = jax.lax.optimization_barrier((t_dst, t_src, dsd))
 
     # transposed-layout pass → dss and dh (segment by src; in the bw layout
     # the grouping key bw_row is the edge's SOURCE and bw_col its dst)
