@@ -162,7 +162,9 @@ class Prefetcher:
     Wraps a zero-arg iterator factory; each ``iter()`` starts a fresh worker
     thread that runs the sampler and ``jax.device_put``s each batch into a
     bounded queue, so transfer rides ahead of compute. Restartable (one
-    thread per epoch); worker exceptions re-raise in the consumer.
+    thread per epoch); worker exceptions re-raise in the consumer. If the
+    consumer abandons iteration early, the daemon worker parks on the full
+    queue until process exit (epochs are normally drained fully).
     """
 
     _SENTINEL = object()

@@ -194,7 +194,13 @@ def count_layout_chunks(row, col, n_pad: int, panel_rows: int,
             return per_panel.sum()
         return cpg.sum()
 
-    return int(total(row, col))
+    nc = int(total(row, col))
+    if panel_rows <= 0 and nc > block_chunks:
+        # single-panel layouts bigger than one mega-block must stay block-
+        # aligned or the dispatcher's streamed path can't take them (the
+        # one-shot path would materialise the full message stream)
+        nc += (-nc) % block_chunks
+    return nc
 
 
 def default_panel_rows(n_pad: int, feat_bytes: int = 512,
