@@ -84,16 +84,29 @@ def maybe_pallas_spmm(graph, x) -> Optional[jnp.ndarray]:
     if x.ndim != 2 or not _is_tpu():
         return None
     panel_rows = graph.meta_get("spmm_panel_rows", 0)
+    gather_bf16 = bool(graph.meta_get("spmm_gather_bf16", False))
+    r_tile = int(graph.meta_get("spmm_r_tile", R_TILE))
     if panel_rows:
         from .segment_kernels import spmm_pallas_p
 
         return spmm_pallas_p(
-            panel_rows, bool(graph.meta_get("spmm_gather_bf16", False)),
-            int(graph.meta_get("spmm_r_tile", R_TILE)), x,
+            panel_rows, gather_bf16, r_tile, x,
             extras["spmm_fw_col"], extras["spmm_fw_w"],
             extras["spmm_fw_row"], extras["spmm_fw_ct"], extras["spmm_fw_bp"],
             extras["spmm_bw_col"], extras["spmm_bw_w"],
             extras["spmm_bw_row"], extras["spmm_bw_ct"], extras["spmm_bw_bp"],
+        )
+    if r_tile != R_TILE or gather_bf16:
+        # the kernel MUST run at the tile height the layout was built with
+        from .segment_kernels import spmm_pallas_p
+
+        zb = jnp.zeros(0, jnp.int32)
+        return spmm_pallas_p(
+            0, gather_bf16, r_tile, x,
+            extras["spmm_fw_col"], extras["spmm_fw_w"],
+            extras["spmm_fw_row"], extras["spmm_fw_ct"], zb,
+            extras["spmm_bw_col"], extras["spmm_bw_w"],
+            extras["spmm_bw_row"], extras["spmm_bw_ct"], zb,
         )
     return spmm_pallas(
         x,

@@ -84,7 +84,12 @@ def build_spmm_layout_jax(
         n_panels = -(-n_pad // panel_rows)
         n_groups = n_panels * n_tiles
         gid = (col // panel_rows) * n_tiles + tile
-        min_chunks = 0   # empty (panel, tile) groups emit no chunks
+        # every (panel, tile) group gets ≥ 1 chunk even when empty: the
+        # blocked driver rebases tiles per mega-block and its local output
+        # buffer covers block_chunks CONSECUTIVE tiles — skipped tiles would
+        # let a block's tile span exceed the buffer (out-of-range writes +
+        # silently zeroed rows). Cost: one pad chunk per empty group.
+        min_chunks = 1
         # worst case: per-group quantisation + per-panel block alignment
         E_k = _round_up(E + n_groups * T_CHUNK + n_panels * block_slots,
                         block_slots)
@@ -182,7 +187,7 @@ def count_layout_chunks(row, col, n_pad: int, panel_rows: int,
             n_panels = -(-n_pad // panel_rows)
             gid = (col.astype(jnp.int32) // panel_rows) * n_tiles + tile
             n_groups = n_panels * n_tiles
-            minc = 0
+            minc = 1   # keep per-panel tile coverage contiguous (see builder)
         else:
             gid, n_groups, minc, n_panels = tile, n_tiles, 1, 1
         counts = jax.ops.segment_sum(jnp.ones_like(gid), gid,
@@ -239,9 +244,11 @@ def prepare_spmm_device(graph, symmetric: bool = False,
         panel_rows = default_panel_rows(
             n_pad, feat_bytes=256 if gather_bf16 else 512, r_tile=r_tile)
     if with_orig:
-        # the fused-GAT path gathers node tables in both edge orders and
-        # has no panel-local dispatch yet — keep global column indices
+        # the fused-GAT path gathers node tables in both edge orders and has
+        # no panel-local dispatch yet — keep global column indices; its
+        # kernel passes also run at the default tile height only
         panel_rows = 0
+        r_tile = R_TILE
 
     build = jax.jit(build_spmm_layout_jax,
                     static_argnames=("n_pad", "with_orig", "panel_rows",
@@ -269,9 +276,11 @@ def prepare_spmm_device(graph, symmetric: bool = False,
     if panel_rows > 0:
         extras["spmm_fw_bp"] = fwd["block_panel"]
         extras["spmm_bw_bp"] = bwd["block_panel"]
-        graph = graph.with_meta(spmm_panel_rows=panel_rows,
-                                spmm_gather_bf16=bool(gather_bf16),
-                                spmm_r_tile=r_tile)
+    # record dispatch parameters even for single-panel layouts: the kernel
+    # must run with the SAME tile height the layout was built with
+    graph = graph.with_meta(spmm_panel_rows=panel_rows,
+                            spmm_gather_bf16=bool(gather_bf16),
+                            spmm_r_tile=r_tile)
     if with_orig:
         # the device builder consumes edges in original order for BOTH
         # directions, so each orig_k already indexes the original edge list

@@ -292,6 +292,12 @@ def _one_direction(x, col_k, w_k, row_k, ct, bp=None, panel_rows: int = 0,
         # The kernel still computes in f32 (messages cast after the gather).
         x = x.astype(jnp.bfloat16)
     n_chunks = ct.shape[0] * (ct.shape[1] if ct.ndim == 2 else 1)
+    if panel_rows > 0:
+        # panel layouts carry PANEL-LOCAL column indices — falling back to
+        # the whole-table gather would silently read wrong rows
+        assert ct.ndim == 2 or n_chunks % BLOCK_CHUNKS == 0, (
+            "panel layouts must be mega-block aligned (use the device "
+            "builder's per-panel padding)")
     if (ct.ndim == 2
             or ((panel_rows > 0 or n_chunks > BLOCK_CHUNKS)
                 and n_chunks % BLOCK_CHUNKS == 0)):
@@ -305,7 +311,7 @@ def _one_direction(x, col_k, w_k, row_k, ct, bp=None, panel_rows: int = 0,
     # bf16 inputs still save gather bandwidth, the cast rides the stream
     if msg.dtype != jnp.float32:
         msg = msg.astype(jnp.float32)
-    out = sorted_segment_matmul(msg, row_k, w_k, ct, n_pad)
+    out = sorted_segment_matmul(msg, row_k, w_k, ct, n_pad, r_tile=r_tile)
     out = out.astype(dtype_in)
     return out[:, :F] if out.shape[1] != F else out
 

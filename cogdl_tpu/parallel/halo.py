@@ -80,6 +80,7 @@ def partition_graph(graph: Graph, n_shards: int) -> Dict[str, np.ndarray]:
         "row_local": row_l,
         "col": col_g,
         "w": w_s,
+        "edge_counts": counts.astype(np.int64),
         "n_local": Nl,
         "n_shards": n_shards,
     }
@@ -111,9 +112,13 @@ def prepare_shard_layouts(parts: Dict) -> Dict:
     n_tiles = n_local_pad // R_TILE
 
     layouts = []
+    counts = parts.get("edge_counts")
     for p in range(n_shards):
         w = parts["w"][p]
-        k = int(np.count_nonzero(w))  # pads carry w == 0 at the tail
+        # explicit per-shard edge count (a real edge may carry weight 0 —
+        # counting nonzeros would silently drop tail edges)
+        k = (int(counts[p]) if counts is not None
+             else int(np.count_nonzero(w)))
         layouts.append(build_spmm_layout(
             parts["row_local"][p][:k], parts["col"][p][:k], w[:k],
             n_local_pad))

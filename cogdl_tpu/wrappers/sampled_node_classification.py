@@ -69,8 +69,10 @@ class SampledNodeClfWrapper(NodeClfWrapper):
         return loss, updates
 
     def init(self, rng, graph: Graph):
-        batch = next(iter(self.train_batches(graph)))
-        blocks = list(batch)
+        # sample one shape-defining batch directly (no Prefetcher: abandoning
+        # its iterator mid-epoch would park a worker thread holding device
+        # batches for the whole run, and bump the epoch/RNG state)
+        blocks, _, _ = next(self._sampler.epoch(shuffle=False))
         return self.model.init({"params": rng, "dropout": rng}, blocks,
                                blocks[0].x, training=False)
 

@@ -226,6 +226,43 @@ def test_panel_layout_r_tile_256(prepped):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_panel_layout_with_empty_groups():
+    """A panel whose edges skip destination tiles (empty (panel, tile)
+    groups) must still aggregate correctly through the blocked driver —
+    regression test for the block-local tile-span bug: without a ≥1-chunk
+    guarantee per group, a mega-block's rebased tile ids could exceed its
+    local output buffer (silently zeroed rows)."""
+    from cogdl_tpu.ops.pallas.device_layout import (
+        build_spmm_layout_jax,
+        count_layout_chunks,
+    )
+    from cogdl_tpu.ops.pallas.segment_kernels import _blocked_gather_spmm
+
+    n_pad, panel_rows, block = 1024, 256, 2
+    rng = np.random.default_rng(11)
+    # edges land ONLY in dst tiles 0 and 6 (tiles 1-5, 7 empty) with sources
+    # spread over all 4 panels → most (panel, tile) groups are empty
+    dst = np.concatenate([rng.integers(0, 128, 600),
+                          rng.integers(768, 896, 600)]).astype(np.int32)
+    src = rng.integers(0, n_pad, 1200).astype(np.int32)
+    w = rng.uniform(0.5, 1.5, 1200).astype(np.float32)
+    nc = count_layout_chunks(jnp.asarray(dst), jnp.asarray(src), n_pad,
+                             panel_rows, block_chunks=block)
+    lay = build_spmm_layout_jax(jnp.asarray(dst), jnp.asarray(src),
+                                jnp.asarray(w), n_pad=n_pad,
+                                panel_rows=panel_rows, exact_chunks=nc,
+                                block_chunks=block)
+    x = jnp.asarray(rng.normal(size=(n_pad, 128)).astype(np.float32))
+    out = _blocked_gather_spmm(
+        x, lay["col_k"], lay["w_k"], lay["row_k"], lay["chunk_tile"],
+        n_pad, block_panel=lay["block_panel"], panel_rows=panel_rows,
+        block_chunks=block)
+    ref = ops.spmm_coo(x, jnp.asarray(dst), jnp.asarray(src),
+                       jnp.asarray(w), n_pad)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_prepare_spmm_device_panels_roundtrip(prepped):
     """prepare_spmm_device with explicit panel_rows emits panel extras and
     meta; the weights survive (sum parity)."""
