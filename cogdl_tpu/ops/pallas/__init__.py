@@ -123,7 +123,8 @@ def maybe_gat_fused(graph, score_dst, score_src, h, alpha=0.2,
     when both direction layouts are prepared (TPU). Returns [n_pad, H, D]."""
     extras = graph.extras
     if (not extras or "spmm_fw_orig" not in extras
-            or "spmm_bw_orig" not in extras or not _is_tpu()):
+            or "spmm_bw_orig" not in extras or not _is_tpu()
+            or extras["spmm_fw_col"].ndim != 1):   # no paneled layouts here
         return None
     from .segment_kernels import gat_fused
 
@@ -148,7 +149,8 @@ def maybe_pallas_mh_spmm(graph, attention, h):
     """GAT aggregation through the kernel when a layout is prepared."""
     extras = graph.extras
     if (not extras or "spmm_fw_orig" not in extras or not _is_tpu()
-            or attention.ndim != 2 or h.ndim != 3):
+            or attention.ndim != 2 or h.ndim != 3
+            or extras["spmm_fw_col"].ndim != 1):   # no paneled layouts here
         return None
     from .segment_kernels import mh_spmm_pallas
 
