@@ -245,8 +245,9 @@ def from_coo(
         row = (uniq // N).astype(np.int64)
         col = (uniq % N).astype(np.int64)
         if ea is not None or et is not None:
-            first = np.full(uniq.shape[0], -1, dtype=np.int64)
-            # keep the first occurrence's attributes
+            # keep the first occurrence's attributes (sentinel must be LARGER
+            # than any index or minimum.at never updates it)
+            first = np.full(uniq.shape[0], inv.shape[0], dtype=np.int64)
             np.minimum.at(first, inv, np.arange(inv.shape[0]))
             if ea is not None:
                 ea = ea[first]
@@ -358,9 +359,11 @@ def col_norm(g: Graph) -> Graph:
     return g.replace(edge_weight=g.edge_weight * inv[g.col]).with_meta(norm="col")
 
 
-def add_self_loops(g: Graph, fill_value: float = 1.0) -> Graph:
+def add_self_loops(g: Graph, fill_value: float = 1.0,
+                   loop_type: int = 0) -> Graph:
     """Host-side: rebuild graph with one self loop per real node (replacing any
     existing self loops). Reference: ``add_remaining_self_loops`` data.py:175-218.
+    Per-edge attrs follow their edges; loops get zero attrs / ``loop_type``.
     """
     row = np.asarray(g.row)[: g.num_edges]
     col = np.asarray(g.col)[: g.num_edges]
@@ -370,7 +373,14 @@ def add_self_loops(g: Graph, fill_value: float = 1.0) -> Graph:
     new_row = np.concatenate([row[keep], loops])
     new_col = np.concatenate([col[keep], loops])
     new_w = np.concatenate([w[keep], np.full(g.num_nodes, fill_value, np.float32)])
-    return _rebuild_structure(g, new_row, new_col, new_w)
+    ea, et = _edge_data(g)
+    if ea is not None:
+        ea = np.concatenate(
+            [ea[keep], np.zeros((g.num_nodes,) + ea.shape[1:], ea.dtype)])
+    if et is not None:
+        et = np.concatenate(
+            [et[keep], np.full(g.num_nodes, loop_type, et.dtype)])
+    return _rebuild_structure(g, new_row, new_col, new_w, ea, et)
 
 
 def remove_self_loops(g: Graph) -> Graph:
@@ -378,7 +388,10 @@ def remove_self_loops(g: Graph) -> Graph:
     col = np.asarray(g.col)[: g.num_edges]
     w = np.asarray(g.edge_weight)[: g.num_edges]
     keep = row != col
-    return _rebuild_structure(g, row[keep], col[keep], w[keep])
+    ea, et = _edge_data(g)
+    return _rebuild_structure(g, row[keep], col[keep], w[keep],
+                              None if ea is None else ea[keep],
+                              None if et is None else et[keep])
 
 
 def to_undirected(g: Graph) -> Graph:
@@ -391,7 +404,13 @@ def to_undirected(g: Graph) -> Graph:
     new_w = np.concatenate([w, w])
     key = new_row * g.num_nodes + new_col
     _, first = np.unique(key, return_index=True)
-    return _rebuild_structure(g, new_row[first], new_col[first], new_w[first])
+    ea, et = _edge_data(g)
+    if ea is not None:
+        ea = np.concatenate([ea, ea])[first]
+    if et is not None:
+        et = np.concatenate([et, et])[first]
+    return _rebuild_structure(g, new_row[first], new_col[first], new_w[first],
+                              ea, et)
 
 
 def reverse(g: Graph) -> Graph:
@@ -399,27 +418,45 @@ def reverse(g: Graph) -> Graph:
     row = np.asarray(g.row)[: g.num_edges]
     col = np.asarray(g.col)[: g.num_edges]
     w = np.asarray(g.edge_weight)[: g.num_edges]
-    return _rebuild_structure(g, col, row, w)
+    ea, et = _edge_data(g)
+    return _rebuild_structure(g, col, row, w, ea, et)
 
 
-def _rebuild_structure(g: Graph, row, col, w) -> Graph:
+def _edge_data(g: Graph):
+    """Per-edge attr/type sliced to real edges (numpy), or None."""
+    ea = None if g.edge_attr is None else np.asarray(g.edge_attr)[: g.num_edges]
+    et = None if g.edge_type is None else np.asarray(g.edge_type)[: g.num_edges]
+    return ea, et
+
+
+def _rebuild_structure(g: Graph, row, col, w, ea=None, et=None) -> Graph:
     """Rebuild adjacency arrays, keeping node data; host-side.
-    Any cached normalisation tag is dropped (edges changed)."""
+    Any cached normalisation tag is dropped (edges changed), as are kernel
+    layouts in extras (``spmm_*`` — they index the OLD edge order); node-
+    level extras are kept."""
     ng = from_coo(
         np.stack([row, col]),
         num_nodes=g.num_nodes,
         edge_weight=w,
+        edge_attr=ea,
+        edge_type=et,
         n_pad=None,
         bucket=True,
     )
+    extras = g.extras
+    if extras:
+        extras = {k: v for k, v in extras.items()
+                  if not k.startswith("spmm_")} or None
     return ng.replace(
         x=g.x if g.x is None or g.x.shape[0] == ng.n_pad else _repad_nodes(g.x, ng.n_pad),
         y=_repad_nodes(g.y, ng.n_pad),
         train_mask=_repad_nodes(g.train_mask, ng.n_pad),
         val_mask=_repad_nodes(g.val_mask, ng.n_pad),
         test_mask=_repad_nodes(g.test_mask, ng.n_pad),
-        extras=g.extras,
-        meta=tuple((k, v) for k, v in g.meta if k != "norm"),
+        extras=extras,
+        meta=tuple((k, v) for k, v in g.meta
+                   if k not in ("norm", "spmm_panel_rows", "spmm_r_tile",
+                                "spmm_gather_bf16")),
     )
 
 

@@ -54,8 +54,14 @@ def sample_adj(
     # random offsets per slot; slots beyond degree are masked
     offs = (rng.random((n, fanout)) * np.maximum(deg, 1)[:, None]).astype(np.int64)
     take = np.minimum(offs, np.maximum(deg - 1, 0)[:, None])
-    src = indices[indptr[seeds][:, None] + take]            # [n, fanout]
+    # clip: a zero-degree seed's CSR offset may equal len(indices)
+    pos = np.minimum(indptr[seeds][:, None] + take,
+                     max(indices.shape[0] - 1, 0))
+    src = indices[pos] if indices.size else np.zeros((n, fanout), np.int64)
     mask = np.broadcast_to(deg[:, None], (n, fanout)) > 0
+    # masked slots point at the seed itself (native sampler semantics) so
+    # downstream relabeling never sees an id outside the sampled frame
+    src = np.where(mask, src, seeds[:, None])
     # dedupe within a row cheaply: allow repeats (uniform with replacement),
     # matching the reference's replace=True default
     dst_local = np.broadcast_to(np.arange(n)[:, None], (n, fanout))
@@ -112,7 +118,6 @@ class NeighborSampler:
                 src, dst_local, mask = sample_adj(
                     self.indptr, self.indices, cur, f, self.rng)
                 per_hop_edges.append((src, dst_local, mask, cur))
-                nxt = np.unique(np.concatenate([cur, src[mask]]))
                 cur = np.concatenate([cur, src[mask]])  # keep order: dst first
                 cur = cur[np.sort(np.unique(cur, return_index=True)[1])]
                 all_nodes = cur
@@ -145,10 +150,18 @@ class NeighborSampler:
             if y_full is not None:
                 ys = np.zeros(n_pad, y_full.dtype)
                 ys[: frame.shape[0]] = y_full[frame]
+            # carry the train mask per frame node: wrap-padded seed batches
+            # dedup, so "first batch_size rows" may include sampled NEIGHBORS
+            # — a position mask alone would train on val/test labels
+            tm = np.zeros(n_pad, bool)
+            if self.graph.train_mask is not None:
+                tm[: frame.shape[0]] = np.asarray(
+                    self.graph.train_mask)[frame]
             import jax.numpy as jnp
 
             blocks = [b.replace(x=None if feats is None else jnp.asarray(feats),
-                                y=None if ys is None else jnp.asarray(ys))
+                                y=None if ys is None else jnp.asarray(ys),
+                                train_mask=jnp.asarray(tm))
                       for b in blocks]
             yield blocks, frame, seeds
 

@@ -90,17 +90,30 @@ class Trainer:
         rng, init_rng = jax.random.split(rng)
         variables = wrapper.init(init_rng, graph)
         params = variables.get("params", {})
+        resumed_opt, start_epoch = None, 0
         if cfg.resume_training and cfg.checkpoint_path:
             from .checkpoint import load_checkpoint
 
             try:
                 ckpt = load_checkpoint(cfg.checkpoint_path)
                 params = jax.tree.map(jnp.asarray, ckpt["params"])
+                if ckpt.get("opt_state") is not None:
+                    resumed_opt = ckpt["opt_state"]
+                start_epoch = int(ckpt.get("epoch", 0))
             except FileNotFoundError:
                 pass
         model_state = {k: v for k, v in variables.items() if k != "params"}
         tx = build_optimizer(cfg)
         opt_state = tx.init(params)
+        if resumed_opt is not None:
+            # exact resume (checkpoint.py contract): same treedef, restored
+            # moments/step — fall back to fresh state on optimizer change
+            try:
+                opt_state = jax.tree.unflatten(
+                    jax.tree.structure(opt_state),
+                    [jnp.asarray(v) for v in jax.tree.leaves(resumed_opt)])
+            except Exception:
+                pass
 
         def _cast_bf16(tree):
             return jax.tree.map(
@@ -147,6 +160,7 @@ class Trainer:
         best = -np.inf
         best_params = params
         best_model_state = model_state
+        best_opt_state = opt_state
         best_epoch = 0
         t0 = time.time()
         logger = cfg.logger
@@ -169,7 +183,7 @@ class Trainer:
                     batches = wrapper.train_batches(graph)
             patience_left = cfg.patience
             profiling = False
-            for epoch in range(cfg.epochs):
+            for epoch in range(start_epoch if stage == 0 else 0, cfg.epochs):
                 if cfg.profile_dir and stage == 0:
                     # skip epoch 0 (compilation); trace the steady state
                     if epoch == 1:
@@ -188,7 +202,13 @@ class Trainer:
                     losses.append(loss)
                 if (epoch + 1) % cfg.eval_step == 0:
                     metrics = eval_step(params, model_state, graph)
-                    score = float(metrics.get(monitor, jnp.nan)) * sign
+                    if monitor not in metrics:
+                        raise KeyError(
+                            f"early-stop monitor {monitor!r} not in eval "
+                            f"metrics {sorted(map(str, metrics))} — best-"
+                            "model tracking would silently keep the "
+                            "initial parameters")
+                    score = float(metrics[monitor]) * sign
                     if logger is not None:
                         logger.note(
                             {**{k: float(v) for k, v in metrics.items()},
@@ -198,6 +218,7 @@ class Trainer:
                         best = score
                         best_params = params
                         best_model_state = model_state
+                        best_opt_state = opt_state
                         best_epoch = epoch
                         patience_left = cfg.patience
                     else:
@@ -216,7 +237,7 @@ class Trainer:
             from .checkpoint import save_checkpoint
 
             save_checkpoint(cfg.checkpoint_path, best_params,
-                            opt_state=opt_state, epoch=best_epoch)
+                            opt_state=best_opt_state, epoch=best_epoch)
         if logger is not None:
             logger.finish()
         final = eval_step(best_params, best_model_state, graph)

@@ -35,7 +35,6 @@ class LinkPredictionWrapper:
         row = np.asarray(graph.row)[:E]
         col = np.asarray(graph.col)[:E]
         # undirected split on canonical (min,max) pairs
-        canon = row <= col
         pairs = np.unique(np.stack([np.minimum(row, col),
                                     np.maximum(row, col)], 1), axis=0)
         perm = rng.permutation(pairs.shape[0])

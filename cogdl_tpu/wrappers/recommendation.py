@@ -34,13 +34,30 @@ class RecommendationWrapper:
         self._user_pos = {}
         for u, i in zip(row[ui], col[ui]):
             self._user_pos.setdefault(int(u), set()).add(int(i))
-        # held-out eval: last item per user
+        # held-out eval: last item per user — and REMOVE those interactions
+        # from the training graph (they must be invisible to both the BPR
+        # positive sampling and the LightGCN propagation, or the evaluation
+        # measures memorisation of training edges)
         self._eval_pos = {}
         for u, items in self._user_pos.items():
             if len(items) > 1:
                 it = sorted(items)[-1]
                 self._eval_pos[u] = it
                 items.discard(it)
+        held = {(u, i) for u, i in self._eval_pos.items()}
+        keep = np.ones(E, bool)
+        for e in range(E):
+            r, c = int(row[e]), int(col[e])
+            if (r, c) in held or (c, r) in held:
+                keep[e] = False
+        if not keep.all():
+            from ..data.graph import from_coo
+
+            graph = from_coo(
+                np.stack([row[keep], col[keep]]),
+                num_nodes=graph.num_nodes,
+                n_pad=graph.n_pad, e_pad=graph.e_pad, bucket=False,
+                meta=dict(graph.meta))
         return graph
 
     def train_batches(self, graph):
@@ -51,9 +68,8 @@ class RecommendationWrapper:
 
     def loss(self, variables, graph: Graph, rng, training: bool = True):
         emb = self.model.apply(variables, graph)
-        r1, r2, r3 = jax.random.split(rng, 3)
+        r2, r3 = jax.random.split(rng)
         B = 4096
-        users = jax.random.randint(r1, (B,), 0, self.num_users)
         # positive items sampled from edges of each user via random edge pick
         eidx = jax.random.randint(r2, (B,), 0, graph.num_edges)
         users = graph.row[eidx]
@@ -82,13 +98,12 @@ class RecommendationWrapper:
             seen = np.asarray(sorted(self._user_pos.get(u, ())), np.int64)
             if seen.size:
                 scores[idx, seen - self.num_users] = -1e30
-            top = np.argpartition(-scores[idx], self.topk)[: self.topk]
+            top = np.argsort(-scores[idx])[: self.topk]
             target = self._eval_pos[u] - self.num_users
-            if target in top:
+            where = np.nonzero(top == target)[0]
+            if where.size:
                 hits += 1
-                rank = int(np.where(np.argsort(-scores[idx])[: self.topk]
-                                    == target)[0][0])
-                ndcg += 1.0 / np.log2(rank + 2)
+                ndcg += 1.0 / np.log2(int(where[0]) + 2)
         n = len(users)
         return {"val_recall": hits / n, "test_recall": hits / n,
                 "val_ndcg": ndcg / n, "test_ndcg": ndcg / n}

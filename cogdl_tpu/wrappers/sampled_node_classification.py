@@ -65,6 +65,10 @@ class SampledNodeClfWrapper(NodeClfWrapper):
         y = blocks[0].y
         B = self.batch_size
         mask = jnp.zeros(logits.shape[0], bool).at[:B].set(True)
+        if blocks[0].train_mask is not None:
+            # frame rows past the (deduped) seeds are sampled neighbors —
+            # only train-split nodes may contribute to the loss
+            mask = mask & blocks[0].train_mask
         loss = masked_cross_entropy(logits, y, mask)
         return loss, updates
 

@@ -41,7 +41,12 @@ class DGIWrapper:
 
     def loss(self, variables, graph: Graph, rng, training: bool = True):
         r1, r2 = jax.random.split(rng)
-        perm = jax.random.permutation(r1, graph.x.shape[0])
+        # permute REAL nodes only: pad rows are all-zero, and shuffling them
+        # in would hand the discriminator trivially separable negatives
+        n = graph.num_nodes
+        perm = jnp.concatenate([
+            jax.random.permutation(r1, n),
+            jnp.arange(n, graph.x.shape[0])])
         x_corrupt = graph.x[perm]
         pos, neg = self.model.apply(
             variables, graph, graph.x, x_corrupt, training,

@@ -38,7 +38,14 @@ class SAGNWrapper(NodeClfWrapper):
         probs = jax.nn.softmax(logits, -1)
         conf = jnp.max(probs, -1)
         pred = jnp.argmax(probs, -1).astype(graph.y.dtype)
+        # pseudo-label only truly-unlabeled nodes: val/test nodes must keep
+        # their ground-truth labels or later-stage evaluation would score
+        # the model against its own predictions (inflated accuracy)
         unlabeled = (~graph.train_mask) & graph.node_mask()
+        if graph.val_mask is not None:
+            unlabeled &= ~graph.val_mask
+        if graph.test_mask is not None:
+            unlabeled &= ~graph.test_mask
         take = unlabeled & (conf > self.threshold)
         new_y = jnp.where(take, pred, graph.y)
         new_train = graph.train_mask | take
@@ -70,6 +77,12 @@ class M3SWrapper(NodeClfWrapper):
         nmask = np.asarray(graph.node_mask())
         y = np.asarray(graph.y)
         train = np.asarray(graph.train_mask) & nmask
+        # nodes whose labels may be overwritten: not train, not val/test
+        # (evaluation must stay against ground truth)
+        reserved = train.copy()
+        for m in (graph.val_mask, graph.test_mask):
+            if m is not None:
+                reserved |= np.asarray(m)
         C = int(y[nmask].max()) + 1
         km = KMeans(n_clusters=C * 2, n_init=3, random_state=0).fit(
             emb[nmask])
@@ -85,7 +98,7 @@ class M3SWrapper(NodeClfWrapper):
             if lab_members.size == 0:
                 continue
             maj = np.bincount(y[lab_members], minlength=C).argmax()
-            cand = members[~train[members]]
+            cand = members[~reserved[members]]
             if cand.size == 0:
                 continue
             center = km.cluster_centers_[c]

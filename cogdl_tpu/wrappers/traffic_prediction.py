@@ -32,7 +32,7 @@ class TrafficPredictionWrapper:
         T = series.shape[0]
         W, H = self.window, self.horizon
         xs, ys = [], []
-        for t in range(T - W - H):
+        for t in range(T - W - H + 1):
             xs.append(series[t: t + W])
             ys.append(series[t + W + H - 1])
         X = np.stack(xs)          # [S, W, N, C]
