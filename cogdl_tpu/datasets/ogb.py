@@ -17,6 +17,16 @@ from ..data.graph import from_coo, to_undirected
 from .dataset import Dataset
 
 
+def _label_meta(y, name):
+    """Multilabel OGB sets (ogbn-proteins: [N, 112] binary) need the class
+    count from the label WIDTH and the multilabel flag/metric (mirrors
+    saint.py's handling)."""
+    if y.ndim == 2:
+        return {"num_classes": int(y.shape[1]), "multilabel": True,
+                "metric": "multilabel_f1", "name": name}
+    return {"num_classes": int(y.max()) + 1, "name": name}
+
+
 def build_node(name: str, root: str, **kwargs) -> Dataset:
     raw = os.path.join(root, "raw")
     npys = ["edge_index.npy", "node_feat.npy", "labels.npy"]
@@ -35,7 +45,7 @@ def build_node(name: str, root: str, **kwargs) -> Dataset:
         g = from_coo(ei, num_nodes=N, x=x, y=y.astype(np.int32),
                      train_mask=masks["train"], val_mask=masks["valid"],
                      test_mask=masks["test"],
-                     meta={"num_classes": int(y.max()) + 1, "name": name})
+                     meta=_label_meta(y, name))
         return Dataset.from_graph(to_undirected(g), name=name)
     try:
         from ogb.nodeproppred import NodePropPredDataset
@@ -53,10 +63,11 @@ def build_node(name: str, root: str, **kwargs) -> Dataset:
         m = np.zeros(N, bool)
         m[split[k]] = True
         masks[k] = m
+    y = labels.squeeze()
     g = from_coo(graph["edge_index"], num_nodes=N,
                  x=graph["node_feat"].astype(np.float32),
-                 y=labels.squeeze().astype(np.int32),
+                 y=y.astype(np.int32),
                  train_mask=masks["train"], val_mask=masks["valid"],
                  test_mask=masks["test"],
-                 meta={"num_classes": int(labels.max()) + 1, "name": name})
+                 meta=_label_meta(y, name))
     return Dataset.from_graph(to_undirected(g), name=name)

@@ -63,10 +63,16 @@ class ResGNNLayer(nn.Module):
     out_features: int
     aggr: str = "softmax_sg"
     dropout: float = 0.0
+    norm: str = "batchnorm"   # layernorm under remat (batch_stats can't
+    #                           mutate inside a checkpointed scope)
 
     @nn.compact
     def __call__(self, graph: Graph, x: jnp.ndarray, training: bool = False):
-        h = nn.BatchNorm(use_running_average=not training, name="norm")(x)
+        if self.norm == "layernorm":
+            h = nn.LayerNorm(name="norm")(x)
+        else:
+            h = nn.BatchNorm(use_running_average=not training,
+                             name="norm")(x)
         h = nn.relu(h)
         if self.dropout > 0 and training:
             h = nn.Dropout(rate=self.dropout, deterministic=False)(h)

@@ -143,23 +143,21 @@ class KGEModel:
                 ("tail", np.asarray(score_tails(h, r)), t),
                 ("head", np.asarray(score_heads(r, t)), h),
             ):
-                mask = np.zeros_like(scores, bool)
-                # filter known positives except the target
-                if mode == "tail":
-                    for tt in range(0):
-                        pass
                 s_target = scores[target]
                 better = scores > s_target
-                # filtered: ignore other true triples
-                if mode == "tail":
-                    for cand in np.nonzero(better)[0]:
-                        if (h, r, int(cand)) in known:
-                            better[cand] = False
-                else:
-                    for cand in np.nonzero(better)[0]:
-                        if (int(cand), r, t) in known:
-                            better[cand] = False
-                ranks.append(1 + int(better.sum()))
+                tied = scores == s_target
+                tied[target] = False
+                # filtered protocol: ignore other true triples
+                contenders = np.nonzero(better | tied)[0]
+                for cand in contenders:
+                    key = ((h, r, int(cand)) if mode == "tail"
+                           else (int(cand), r, t))
+                    if key in known:
+                        better[cand] = False
+                        tied[cand] = False
+                # mean-rank tie breaking: strictly-greater alone would let a
+                # collapsed model (all scores equal) report MRR == 1.0
+                ranks.append(1 + int(better.sum()) + 0.5 * int(tied.sum()))
         ranks = np.asarray(ranks, np.float64)
         return {
             "mrr": float((1.0 / ranks).mean()),

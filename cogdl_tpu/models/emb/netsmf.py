@@ -24,7 +24,8 @@ class NetSMF(EmbeddingModel):
         rng = np.random.default_rng(self.seed)
         indptr, indices = build_csr(graph)
         N = graph.num_nodes
-        deg = np.maximum(np.diff(indptr), 1)
+        true_deg = np.diff(indptr)
+        deg = np.maximum(true_deg, 1)
         E = indices.shape[0]
         vol = float(E)
         rows, cols = [], []
@@ -38,8 +39,12 @@ class NetSMF(EmbeddingModel):
                 active = step < r
                 d = deg[cur]
                 off = (rng.random(N) * d).astype(np.int64)
-                nxt = indices[indptr[cur] + np.minimum(off, d - 1)]
-                cur = np.where(active & (np.diff(indptr)[cur] > 0), nxt, cur)
+                # clipped gather: trailing isolated nodes have
+                # indptr[cur] == len(indices)
+                pos = np.minimum(indptr[cur] + np.minimum(off, d - 1),
+                                 max(indices.shape[0] - 1, 0))
+                nxt = indices[pos] if indices.size else cur
+                cur = np.where(active & (true_deg[cur] > 0), nxt, cur)
             rows.append(u)
             cols.append(cur)
         r_idx = np.concatenate(rows)

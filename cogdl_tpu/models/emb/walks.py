@@ -47,9 +47,13 @@ def random_walks(
     deg = np.diff(indptr)
     for t in range(1, walk_length):
         d = deg[cur]
-        # uniform neighbor choice; isolated nodes stay put
+        # uniform neighbor choice; isolated nodes stay put. The gather
+        # position is CLIPPED before indexing: a trailing isolated node has
+        # indptr[cur] == len(indices) and the d>0 mask only applies after.
         off = (rng.random(cur.shape[0]) * np.maximum(d, 1)).astype(np.int64)
-        nxt = indices[indptr[cur] + np.minimum(off, np.maximum(d - 1, 0))]
+        pos = np.minimum(indptr[cur] + np.minimum(off, np.maximum(d - 1, 0)),
+                         max(indices.shape[0] - 1, 0))
+        nxt = indices[pos] if indices.size else cur
         nxt = np.where(d > 0, nxt, cur)
         if p_restart > 0:
             restart = rng.random(cur.shape[0]) < p_restart
@@ -77,11 +81,16 @@ def node2vec_walks(
     walks = np.empty((W, walk_length), np.int64)
     walks[:, 0] = starts
     deg = np.diff(indptr)
-    # first hop uniform
+    if walk_length == 1:
+        return walks
+    # first hop uniform (clipped gather: trailing isolated nodes have
+    # indptr[start] == len(indices))
     d = deg[starts]
     off = (rng.random(W) * np.maximum(d, 1)).astype(np.int64)
-    cur = np.where(d > 0, indices[indptr[starts] + np.minimum(off, np.maximum(d - 1, 0))], starts)
-    walks[:, 1] = cur if walk_length > 1 else starts
+    pos = np.minimum(indptr[starts] + np.minimum(off, np.maximum(d - 1, 0)),
+                     max(indices.shape[0] - 1, 0))
+    cur = np.where(d > 0, indices[pos] if indices.size else starts, starts)
+    walks[:, 1] = cur
     prev = starts.copy()
     inv_p, inv_q = 1.0 / p, 1.0 / q
     upper = max(1.0, inv_p, inv_q)
@@ -169,8 +178,8 @@ def train_sgns(
             c = p["in"][centers]                       # [B, D]
             pos = jnp.sum(c * p["out"][contexts], -1)
             neg = jnp.einsum("bd,bkd->bk", c, p["out"][negatives])
-            def lsig(x):
-                return -jnp.log1p(jnp.exp(-x))
+            lsig = jax.nn.log_sigmoid   # stable (hand-rolled log1p(exp)
+            # overflows once embedding norms grow)
             return -(jnp.mean(lsig(pos)) + jnp.mean(lsig(-neg)))
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

@@ -30,11 +30,13 @@ class DeeperGCN(nn.Module):
             x = graph.x
         h = nn.Dense(self.hidden_size, name="fc_in")(x)
         block = ResGNNLayer
+        norm = "batchnorm"
         if self.remat:
-            block = nn.remat(ResGNNLayer, static_argnums=(2,))
+            block = nn.remat(ResGNNLayer, static_argnums=(3,))
+            norm = "layernorm"   # batch_stats can't mutate under remat
         for i in range(self.num_layers):
             h = block(self.hidden_size, aggr=self.aggr, dropout=self.dropout,
-                      name=f"block{i}")(graph, h, training)
+                      norm=norm, name=f"block{i}")(graph, h, training)
         h = nn.relu(h)
         if self.dropout > 0 and training:
             h = nn.Dropout(rate=self.dropout, deterministic=False)(h)

@@ -31,14 +31,10 @@ class DropEdgeGCN(nn.Module):
         if x is None:
             x = graph.x
         if training and self.dropedge_rate > 0:
-            rng = self.make_rng("dropout")
-            keep = jax.random.bernoulli(rng, 1.0 - self.dropedge_rate,
-                                        graph.edge_weight.shape)
-            g = graph.replace(
-                edge_weight=graph.edge_weight * keep / (1 - self.dropedge_rate),
-                meta=tuple((k, v) for k, v in graph.meta if k != "norm"),
-            )
-            g = sym_norm(g)
+            from ...utils.transforms import drop_edge
+
+            g = sym_norm(drop_edge(graph, self.dropedge_rate,
+                                   self.make_rng("dropout")))
         else:
             g = sym_norm(graph)
         for i in range(self.num_layers - 1):

@@ -1,7 +1,8 @@
-"""GCNMix — MixMatch-style semi-supervised GCN: mixup of hidden states +
-sharpened pseudo-labels on unlabeled nodes (reference cogdl/models/nn/
-gcnmix.py). The mixup/EMA machinery is inside the model; the standard node
-classification wrapper drives it."""
+"""GCNMix — MixMatch-style semi-supervised GCN: manifold mixup of hidden
+states with matching LABEL mixing (reference cogdl/models/nn/gcnmix.py).
+``mixup_forward`` returns (logits, perm, lam) so the GCNMix wrapper can mix
+the targets too — mixing only the features against unmixed labels trains the
+wrong objective."""
 
 from __future__ import annotations
 
@@ -31,15 +32,26 @@ class GCNMix(nn.Module):
         g = sym_norm(graph)
         h = GCNLayer(self.hidden_size, dropout=self.dropout,
                      activation="relu", name="gcn1")(g, x, training)
-        if training:
-            # manifold mixup on hidden states with a random permutation
-            rng = self.make_rng("dropout")
-            lam = jax.random.beta(rng, self.alpha, self.alpha)
-            lam = jnp.maximum(lam, 1 - lam)
-            perm = jax.random.permutation(jax.random.fold_in(rng, 1),
-                                          h.shape[0])
-            h = lam * h + (1 - lam) * h[perm]
         return GCNLayer(self.out_features, name="gcn2")(g, h, training)
+
+    @nn.compact
+    def mixup_forward(self, graph: Graph, x, training: bool = True):
+        """Manifold-mixup forward: returns (logits, perm, lam); the wrapper
+        mixes the LABELS with the same (perm, lam)."""
+        g = sym_norm(graph)
+        h = GCNLayer(self.hidden_size, dropout=self.dropout,
+                     activation="relu", name="gcn1")(g, x, training)
+        rng = self.make_rng("dropout")
+        lam = jax.random.beta(rng, self.alpha, self.alpha)
+        lam = jnp.maximum(lam, 1 - lam)
+        n = graph.num_nodes
+        # permute REAL nodes only (pad rows are zeros)
+        perm = jnp.concatenate([
+            jax.random.permutation(jax.random.fold_in(rng, 1), n),
+            jnp.arange(n, h.shape[0])])
+        h = lam * h + (1 - lam) * h[perm]
+        logits = GCNLayer(self.out_features, name="gcn2")(g, h, training)
+        return logits, perm, lam
 
     def sharpen(self, probs: jnp.ndarray) -> jnp.ndarray:
         p = probs ** (1.0 / self.temperature)

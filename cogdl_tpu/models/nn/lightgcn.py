@@ -23,7 +23,6 @@ class LightGCN(nn.Module):
     @nn.compact
     def __call__(self, graph: Graph, x: Optional[jnp.ndarray] = None,
                  training: bool = False):
-        n = self.num_nodes or graph.n_pad
         emb = self.param("emb", nn.initializers.normal(0.1),
                          (graph.n_pad, self.hidden_size))
         g = sym_norm(graph)

@@ -42,7 +42,6 @@ class SortPool(nn.Module):
         # sort key = last channel; gather per-graph top-k with one-hot trick:
         # for each graph g build score masked to its nodes, take top-k rows.
         key = h[:, -1]
-        mask = graph.node_mask()
         one_hot_g = jax.nn.one_hot(graph_id, num_graphs, dtype=h.dtype)  # [N, G]
         big_neg = -1e30
         # scores per graph: [G, N]

@@ -9,6 +9,7 @@ from typing import Dict
 
 SUPPORTED_WRAPPERS: Dict[str, str] = {
     "node_classification": "cogdl_tpu.wrappers.node_classification.NodeClfWrapper",
+    "gcnmix": "cogdl_tpu.wrappers.node_classification.GCNMixWrapper",
     "neighbor_sampling": "cogdl_tpu.wrappers.sampled_node_classification.SampledNodeClfWrapper",
     "cluster": "cogdl_tpu.wrappers.sampled_node_classification.ClusterNodeClfWrapper",
     "graph_classification": "cogdl_tpu.wrappers.graph_classification.GraphClfWrapper",
@@ -45,7 +46,7 @@ DEFAULT_WRAPPER = {
     "pprgo": "node_classification", "sagn": "sagn_staged",
     "m3s": "m3s_staged", "moe_gcn": "node_classification",
     "correct_smooth_mlp": "correct_smooth",
-    "gcnmix": "node_classification", "drgcn": "node_classification",
+    "gcnmix": "gcnmix", "drgcn": "node_classification",
     "drgat": "node_classification", "autognn": "node_classification",
     "prone++": "network_embedding",
     "gin": "graph_classification", "diffpool": "graph_classification",

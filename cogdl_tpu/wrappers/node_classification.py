@@ -97,3 +97,19 @@ class NodeClfWrapper:
             else:
                 out[f"{split}_acc"] = masked_accuracy(logits, graph.y, mask)
         return out
+
+
+class GCNMixWrapper(NodeClfWrapper):
+    """Manifold mixup with matching label mixing: the loss targets
+    lam·y + (1−lam)·y[perm], paired with the model's mixed hidden states."""
+
+    def loss(self, variables, graph, rng, training: bool = True):
+        from ..utils.evaluator import masked_cross_entropy
+
+        logits, perm, lam = self.model.apply(
+            variables, graph, graph.x, True,
+            method=self.model.mixup_forward, rngs={"dropout": rng})
+        mask = graph.train_mask & graph.node_mask()
+        l_a = masked_cross_entropy(logits, graph.y, mask)
+        l_b = masked_cross_entropy(logits, graph.y[perm], mask)
+        return lam * l_a + (1.0 - lam) * l_b, {}
