@@ -85,10 +85,15 @@ def train(
         return w.run_embedding()
 
     graph = ds.graph
+    out_features = ds.num_classes
+    if out_features is None:
+        # unlabeled datasets (e.g. ogbl link graphs): the model head is an
+        # embedding, not a classifier — size it like the hidden layers
+        out_features = model_kwargs.get("hidden_size", 64)
     mdl = build_model(
         model,
         in_features=ds.num_features,
-        out_features=ds.num_classes,
+        out_features=out_features,
         **model_kwargs,
     )
     w = wrapper_cls(mdl, dataset=ds, **wrapper_kwargs)

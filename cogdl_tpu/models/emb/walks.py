@@ -187,6 +187,9 @@ def train_sgns(
         return optax.apply_updates(params, upd), opt_state, loss
 
     n = pairs.shape[0]
+    # clamp so the wrap-pad below can always reach a full static batch
+    # (with fewer than batch_size/2 pairs one perm[:k] pad is too short)
+    batch_size = min(batch_size, n)
     nb = max(n // batch_size, 1)
     for ep in range(epochs):
         perm = rng.permutation(n)

@@ -103,8 +103,82 @@ class RecommendationPipeline(Pipeline):
         return recommend
 
 
+class DatasetVisualPipeline(Pipeline):
+    """reference DatasetVisualPipeline (pipelines.py:75): BFS ego-network of
+    ``depth`` hops around ``seed``, colored by hop distance, saved to
+    ``<name>.png``. Returns the outermost BFS frontier like the reference."""
+
+    def __call__(self, dataset: Union[str, Dataset, None] = None,
+                 seed: int = -1, depth: int = 3, out_file: str = None, **kw):
+        dataset = dataset or self.kwargs.get("dataset", "sbm")
+        ds = build_dataset(dataset) if isinstance(dataset, str) else dataset
+        g = ds.graph
+        E = g.num_edges
+        row = np.asarray(g.row)[:E]
+        col = np.asarray(g.col)[:E]
+        neighbors: Dict[int, set] = {}
+        for r, c in zip(row, col):
+            neighbors.setdefault(int(r), set()).add(int(c))
+            neighbors.setdefault(int(c), set()).add(int(r))
+        rng = np.random.default_rng(0)
+        if seed == -1:
+            seed = int(rng.choice(sorted(neighbors)))
+        q = [seed]
+        hop = {seed: 0}
+        for _ in range(depth):
+            nq = []
+            for u in q:
+                for v in neighbors.get(u, ()):
+                    if v not in hop:
+                        hop[v] = hop[u] + 1
+                        nq.append(v)
+            q = nq
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.cm as cm
+            import matplotlib.pyplot as plt
+
+            max_hop = max(hop.values()) + 1
+            cmap = cm.rainbow(np.linspace(0.0, 1.0, max_hop))
+            # radial layout: hop ring + angular spread
+            plt.figure(figsize=(6, 6))
+            by_hop: Dict[int, List[int]] = {}
+            for n, h in hop.items():
+                by_hop.setdefault(h, []).append(n)
+            pos = {}
+            for h, nodes in by_hop.items():
+                ang = np.linspace(0, 2 * np.pi, len(nodes), endpoint=False)
+                ang += rng.uniform(0, 2 * np.pi)
+                for a, n in zip(ang, nodes):
+                    pos[n] = (h * np.cos(a), h * np.sin(a))
+            for u in hop:
+                for v in neighbors.get(u, ()):
+                    if v in hop:
+                        plt.plot([pos[u][0], pos[v][0]],
+                                 [pos[u][1], pos[v][1]],
+                                 color="0.8", lw=0.5, zorder=1)
+            for h, nodes in by_hop.items():
+                xs = [pos[n][0] for n in nodes]
+                ys = [pos[n][1] for n in nodes]
+                plt.scatter(xs, ys, s=(max_hop - h) * 50, color=cmap[h],
+                            zorder=2, label=f"hop {h}")
+            plt.legend()
+            plt.axis("off")
+            out_file = out_file or f"{ds.name}.png"
+            plt.savefig(out_file)
+            plt.close()
+            print(f"Sampled ego network saved to {out_file}")
+        except ImportError:
+            print("matplotlib unavailable; returning BFS frontier only")
+        return q
+
+
 SUPPORTED_APPS = {
     "stats": DatasetStatsPipeline,
+    "dataset-stats": DatasetStatsPipeline,
+    "dataset-visual": DatasetVisualPipeline,
     "generate-emb": GenerateEmbeddingPipeline,
     "recommendation": RecommendationPipeline,
     "oagbert": "cogdl_tpu.oag.oagbert.OAGBertInferencePipeline",

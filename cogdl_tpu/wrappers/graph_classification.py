@@ -28,15 +28,24 @@ class GraphClfWrapper:
         self.dataset = dataset
         self.batch_size = batch_size
         graphs, labels = dataset.graphs, np.asarray(dataset.labels)
-        rng = np.random.default_rng(seed)
-        idx = rng.permutation(len(graphs))
-        n_tr = int(train_ratio * len(graphs))
-        n_va = int(val_ratio * len(graphs))
-        self._splits = {
-            "train": idx[:n_tr],
-            "val": idx[n_tr: n_tr + n_va],
-            "test": idx[n_tr + n_va:],
-        }
+        official = getattr(dataset, "split_idx", None)
+        if official:  # e.g. OGB scaffold splits (datasets/ogb.py build_graph)
+            self._splits = {
+                "train": np.asarray(official["train"]),
+                "val": np.asarray(official.get("valid",
+                                               official.get("val", []))),
+                "test": np.asarray(official.get("test", [])),
+            }
+        else:
+            rng = np.random.default_rng(seed)
+            idx = rng.permutation(len(graphs))
+            n_tr = int(train_ratio * len(graphs))
+            n_va = int(val_ratio * len(graphs))
+            self._splits = {
+                "train": idx[:n_tr],
+                "val": idx[n_tr: n_tr + n_va],
+                "test": idx[n_tr + n_va:],
+            }
         self._batches = {
             split: make_batches([graphs[i] for i in ids], labels[ids],
                                 batch_size, shuffle=(split == "train"),

@@ -38,6 +38,27 @@ class MultiplexEmbeddingWrapper:
         from sklearn.metrics import roc_auc_score
 
         graph = self.dataset.graph
+        official = getattr(self.dataset, "multiplex_eval", None)
+        if official:
+            # official valid/test pos+neg pairs (datasets/gatne_data.py):
+            # the graph already holds train edges only
+            embs = self.model.train_embeddings(graph)
+            out, aucs = {}, []
+            for t, splits in official.items():
+                emb = embs.get(int(t)) if isinstance(embs, dict) else embs
+                pos, neg = splits["test"]
+                if emb is None or pos.shape[1] < 2 or neg.shape[1] < 2:
+                    continue
+                sp = (emb[pos[0]] * emb[pos[1]]).sum(1)
+                sn = (emb[neg[0]] * emb[neg[1]]).sum(1)
+                auc = roc_auc_score(
+                    np.r_[np.ones(sp.size), np.zeros(sn.size)], np.r_[sp, sn])
+                out[f"auc_type{t}"] = float(auc)
+                aucs.append(auc)
+            mean_auc = float(np.mean(aucs)) if aucs else 0.0
+            out.update({"val_acc": mean_auc, "test_acc": mean_auc,
+                        "test_auc": mean_auc})
+            return out
         rng = np.random.default_rng(self.seed)
         E = graph.num_edges
         row = np.asarray(graph.row)[:E]

@@ -30,6 +30,27 @@ class LinkPredictionWrapper:
 
     def prepare_graph(self, graph: Graph) -> Graph:
         """Edge split: remove val/test edges from the training graph."""
+        official = getattr(self.dataset, "link_split", None)
+        if official:
+            # official OGB-style eval pairs (datasets/ogb.py build_link):
+            # the graph already holds training edges only
+            rng = np.random.default_rng(self.seed)
+            self._eval_edges = {}
+            for split in ("val", "test"):
+                pos, neg = official.get(
+                    "valid" if split == "val" else split, (None, None))
+                if pos is None:
+                    continue
+                pos = np.asarray(pos).reshape(-1, 2) if pos.shape[0] != 2 \
+                    else np.asarray(pos).T
+                if neg is None:
+                    neg = rng.integers(0, graph.num_nodes,
+                                       size=(len(pos), 2))
+                else:
+                    neg = np.asarray(neg).reshape(-1, 2) if neg.shape[0] != 2 \
+                        else np.asarray(neg).T
+                self._eval_edges[split] = (pos, neg)
+            return add_self_loops(graph)
         rng = np.random.default_rng(self.seed)
         E = graph.num_edges
         row = np.asarray(graph.row)[:E]

@@ -34,17 +34,27 @@ class RecommendationWrapper:
         self._user_pos = {}
         for u, i in zip(row[ui], col[ui]):
             self._user_pos.setdefault(int(u), set()).add(int(i))
-        # held-out eval: last item per user — and REMOVE those interactions
-        # from the training graph (they must be invisible to both the BPR
-        # positive sampling and the LightGCN propagation, or the evaluation
-        # measures memorisation of training edges)
+
+        official = getattr(self.dataset, "eval_user_items", None)
+        if official:
+            # official test positives (datasets/rec.py): the graph already
+            # holds train interactions only — nothing to remove
+            self._eval_pos = {
+                int(u): np.asarray(items, np.int64) + self.num_users
+                for u, items in official.items() if len(items)}
+            return graph
+
+        # fallback: hold out the last item per user — and REMOVE those
+        # interactions from the training graph (they must be invisible to
+        # both the BPR positive sampling and the LightGCN propagation, or
+        # the evaluation measures memorisation of training edges)
         self._eval_pos = {}
         for u, items in self._user_pos.items():
             if len(items) > 1:
                 it = sorted(items)[-1]
-                self._eval_pos[u] = it
+                self._eval_pos[u] = np.asarray([it], np.int64)
                 items.discard(it)
-        held = {(u, i) for u, i in self._eval_pos.items()}
+        held = {(u, int(i[0])) for u, i in self._eval_pos.items()}
         keep = np.ones(E, bool)
         for e in range(E):
             r, c = int(row[e]), int(col[e])
@@ -93,17 +103,18 @@ class RecommendationWrapper:
         U = emb[users]
         items = emb[self.num_users: self.num_users + self.num_items]
         scores = U @ items.T
-        hits, ndcg = 0.0, 0.0
+        recall, ndcg = 0.0, 0.0
+        discounts = 1.0 / np.log2(np.arange(2, self.topk + 2))
         for idx, u in enumerate(users):
             seen = np.asarray(sorted(self._user_pos.get(u, ())), np.int64)
             if seen.size:
                 scores[idx, seen - self.num_users] = -1e30
             top = np.argsort(-scores[idx])[: self.topk]
-            target = self._eval_pos[u] - self.num_users
-            where = np.nonzero(top == target)[0]
-            if where.size:
-                hits += 1
-                ndcg += 1.0 / np.log2(int(where[0]) + 2)
+            targets = self._eval_pos[u] - self.num_users
+            rel = np.isin(top, targets)
+            recall += rel.sum() / targets.size
+            ideal = discounts[: min(targets.size, top.size)].sum()
+            ndcg += (rel * discounts[: top.size]).sum() / ideal
         n = len(users)
-        return {"val_recall": hits / n, "test_recall": hits / n,
+        return {"val_recall": recall / n, "test_recall": recall / n,
                 "val_ndcg": ndcg / n, "test_ndcg": ndcg / n}

@@ -113,3 +113,86 @@ def test_embedding_families():
     for m in ("deepwalk", "netmf", "hope"):
         res = train("sbm", m, seed=0, hidden_size=16)
         assert res["test_acc"] > 0.6
+
+
+def test_recommendation_official_split(tmp_path):
+    """datasets/rec.py official eval positives flow into
+    RecommendationWrapper (no holdout from the train graph)."""
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    rng = np.random.default_rng(0)
+    with open(raw / "train.txt", "w") as f:
+        for u in range(12):
+            items = rng.choice(10, size=4, replace=False)
+            f.write(f"{u} " + " ".join(map(str, items)) + "\n")
+    with open(raw / "test.txt", "w") as f:
+        for u in range(12):
+            f.write(f"{u} {rng.integers(0, 10)}\n")
+    from cogdl_tpu.datasets import rec
+
+    ds = rec.build("yelp2018", str(tmp_path))
+    res = train(ds, "lightgcn", seed=0, epochs=5, eval_step=5,
+                hidden_size=16)
+    assert 0.0 <= res["test_recall"] <= 1.0
+
+
+def test_multiplex_official_split(tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    rng = np.random.default_rng(0)
+    with open(raw / "train.txt", "w") as f:
+        for t in ("1", "2"):
+            for _ in range(40):
+                u, v = rng.integers(0, 20, 2)
+                f.write(f"{t} {u} {v}\n")
+    for split in ("valid", "test"):
+        with open(raw / f"{split}.txt", "w") as f:
+            for t in ("1", "2"):
+                for _ in range(8):
+                    u, v = rng.integers(0, 20, 2)
+                    f.write(f"{t} {u} {v} {rng.integers(0, 2)}\n")
+    from cogdl_tpu.datasets import gatne_data
+
+    ds = gatne_data.build("amazon", str(tmp_path))
+    res = train(ds, "gatne", seed=0, hidden_size=16, epochs=2)
+    assert 0.0 <= res["test_auc"] <= 1.0
+
+
+def test_link_prediction_official_split(tmp_path):
+    raw = tmp_path / "raw"
+    (raw / "split").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    N = 40
+    np.save(raw / "edge_index.npy", rng.integers(0, N, (2, 150)))
+    np.save(raw / "node_feat.npy",
+            rng.normal(size=(N, 8)).astype(np.float32))
+    np.save(raw / "split" / "valid_pos.npy", rng.integers(0, N, (2, 10)))
+    np.save(raw / "split" / "test_pos.npy", rng.integers(0, N, (2, 10)))
+    np.save(raw / "split" / "test_neg.npy", rng.integers(0, N, (2, 10)))
+    from cogdl_tpu.datasets import ogb
+
+    ds = ogb.build_link("ogbl-collab", str(tmp_path))
+    res = train(ds, "gcn", wrapper="link_prediction", seed=0, epochs=5,
+                eval_step=5, hidden_size=16)
+    assert 0.0 <= res["test_auc"] <= 1.0
+
+
+def test_graph_classification_official_split(tmp_path):
+    raw = tmp_path / "raw"
+    (raw / "split").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    G, n, e = 12, 6, 10
+    np.savez(raw / "graphs.npz",
+             node_ptr=np.arange(G + 1) * n, edge_ptr=np.arange(G + 1) * e,
+             edge_index=rng.integers(0, n, (2, e * G)),
+             node_feat=rng.normal(size=(n * G, 4)).astype(np.float32),
+             labels=rng.integers(0, 2, G))
+    np.save(raw / "split" / "train.npy", np.arange(8))
+    np.save(raw / "split" / "valid.npy", np.arange(8, 10))
+    np.save(raw / "split" / "test.npy", np.arange(10, 12))
+    from cogdl_tpu.datasets import ogb
+
+    ds = ogb.build_graph("ogbg-molhiv", str(tmp_path))
+    res = train(ds, "gin", seed=0, epochs=3, eval_step=3, hidden_size=16,
+                batch_size=4)
+    assert 0.0 <= res["test_acc"] <= 1.0
