@@ -21,6 +21,7 @@ SUPPORTED_WRAPPERS: Dict[str, str] = {
     "dgi": "cogdl_tpu.wrappers.self_supervised.DGIWrapper",
     "grace": "cogdl_tpu.wrappers.self_supervised.GRACEWrapper",
     "graphmae": "cogdl_tpu.wrappers.self_supervised.GraphMAEWrapper",
+    "self_auxiliary": "cogdl_tpu.wrappers.self_supervised.SelfAuxiliaryWrapper",
     "unsup_graphsage": "cogdl_tpu.wrappers.self_supervised.UnsupGraphSAGEWrapper",
     "clustering": "cogdl_tpu.wrappers.clustering.ClusteringWrapper",
     "recommendation": "cogdl_tpu.wrappers.recommendation.RecommendationWrapper",

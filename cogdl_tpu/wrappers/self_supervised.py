@@ -16,6 +16,7 @@ import numpy as np
 
 from ..data.graph import Graph, add_self_loops
 from ..utils.probe import logreg_probe
+from .node_classification import NodeClfWrapper
 
 
 class DGIWrapper:
@@ -169,3 +170,202 @@ class UnsupGraphSAGEWrapper(DGIWrapper):
     def evaluate(self, variables, graph: Graph):
         emb = self.model.apply(variables, graph, graph.x, False)
         return logreg_probe(np.asarray(emb), graph)
+
+
+class SelfAuxiliaryWrapper(NodeClfWrapper):
+    """Joint supervised + self-supervised auxiliary training — rebuild of the
+    reference self_auxiliary_mw (cogdl/wrappers/model_wrapper/
+    node_classification/self_auxiliary_mw.py:16-99 and SSLTask family :87+).
+
+    TPU-native divergences from the reference:
+    - the task transform (edge masking / attribute masking / distance-pair
+      sampling) runs ONCE host-side with static shapes instead of per step
+      (per-step re-masking would retrace the jitted step every iteration);
+    - the auxiliary heads are plain param pytrees in ``variables['aux']``
+      optimized jointly with the encoder;
+    - the reference's AttributeMask stores its reconstruction targets AFTER
+      zeroing the features (self_auxiliary_mw.py:166-167 — the loss then
+      regresses zeros); here the targets are the pre-mask features.
+
+    auxiliary_task: "edgemask" | "attributemask" | "pairwise-distance".
+    """
+
+    auxiliary_task = "edgemask"
+    mask_ratio = 0.1
+    aux_weight = 1.0
+    num_pairs = 4000
+
+    def __init__(self, model, dataset=None, auxiliary_task: str = "edgemask",
+                 mask_ratio: float = 0.1, aux_weight: float = 1.0,
+                 num_pairs: int = 4000, seed: int = 0):
+        super().__init__(model, dataset)
+        self.auxiliary_task = auxiliary_task
+        self.mask_ratio = mask_ratio
+        self.aux_weight = aux_weight
+        self.num_pairs = num_pairs
+        self.seed = seed
+
+    # -- task transforms (host-side, static shapes) --------------------------
+    def prepare_graph(self, graph: Graph) -> Graph:
+        full = super().prepare_graph(graph)
+        rng = np.random.default_rng(self.seed)
+        E = graph.num_edges
+        row = np.asarray(graph.row)[:E]
+        col = np.asarray(graph.col)[:E]
+        N = graph.num_nodes
+        task = self.auxiliary_task
+
+        if task == "edgemask":
+            # mask canonical undirected pairs, drop BOTH directions
+            # (reference EdgeMask.transform_data, self_auxiliary_mw.py:105-123)
+            canon = np.unique(np.stack([np.minimum(row, col),
+                                        np.maximum(row, col)], 1), axis=0)
+            canon = canon[canon[:, 0] != canon[:, 1]]
+            k = max(1, int(self.mask_ratio * canon.shape[0]))
+            perm = rng.permutation(canon.shape[0])
+            masked = canon[perm[:k]]
+            held = set(map(tuple, masked.tolist()))
+            keep = np.array([(min(r, c), max(r, c)) not in held
+                             for r, c in zip(row, col)])
+            neg = []
+            while len(neg) < k:
+                u, v = rng.integers(0, N, 2)
+                if u != v and (min(u, v), max(u, v)) not in held:
+                    neg.append((u, v))
+            self._pairs = jnp.asarray(np.concatenate(
+                [masked, np.asarray(neg, np.int64)]))
+            self._pair_labels = jnp.asarray(np.concatenate(
+                [np.ones(k, np.int32), np.zeros(k, np.int32)]))
+            g_train = self._rebuild(graph, row[keep], col[keep])
+            self._train_graph = super().prepare_graph(g_train)
+        elif task == "attributemask":
+            # zero features of masked non-train nodes; regress originals
+            # (reference AttributeMask, self_auxiliary_mw.py:148-174)
+            train_mask = np.asarray(graph.train_mask)[:N]
+            unlabeled = np.nonzero(~train_mask)[0]
+            k = min(max(1, int(self.mask_ratio * N)), unlabeled.size)
+            masked = rng.permutation(unlabeled)[:k]
+            x = np.asarray(full.x)
+            self._masked_nodes = jnp.asarray(masked)
+            self._feat_targets = jnp.asarray(x[masked])
+            x = x.copy()
+            x[masked] = 0.0
+            self._train_graph = full.replace(x=jnp.asarray(x))
+        elif task == "pairwise-distance":
+            # BFS shortest-path distance classes 1 / 2 / >=3
+            # (reference PairwiseDistance, self_auxiliary_mw.py:176-305)
+            from ..data.sampling import graph_csr
+
+            indptr, indices, _ = graph_csr(full)
+            per_class = self.num_pairs // 3
+            pairs, labels = [], []
+            anchors = rng.permutation(N)[: min(N, 4 * per_class)]
+            buckets = [[], [], []]
+            for a in anchors:
+                dist = {int(a): 0}
+                frontier = [int(a)]
+                for d in (1, 2):
+                    nxt = []
+                    for u in frontier:
+                        for v in indices[indptr[u]: indptr[u + 1]]:
+                            v = int(v)
+                            if v < N and v not in dist:
+                                dist[v] = d
+                                nxt.append(v)
+                    frontier = nxt
+                for v, d in dist.items():
+                    if d > 0 and len(buckets[d - 1]) < per_class:
+                        buckets[d - 1].append((int(a), v))
+                while len(buckets[2]) < per_class:
+                    v = int(rng.integers(0, N))
+                    if v not in dist:
+                        buckets[2].append((int(a), v))
+                        break
+                if all(len(b) >= per_class for b in buckets):
+                    break
+            for cls, b in enumerate(buckets):
+                if not b:  # tiny/dense graphs may lack a distance class
+                    continue
+                arr = np.asarray(b, np.int64)
+                pairs.append(arr)
+                labels.append(np.full(arr.shape[0], cls, np.int32))
+            self._pairs = jnp.asarray(np.concatenate(pairs))
+            self._pair_labels = jnp.asarray(np.concatenate(labels))
+            self._num_dist_classes = 3
+            self._train_graph = full
+        else:
+            raise ValueError(
+                f"unknown auxiliary_task {task!r}; known: edgemask | "
+                "attributemask | pairwise-distance")
+        return full
+
+    def _rebuild(self, graph: Graph, row, col) -> Graph:
+        from ..data.graph import from_coo
+
+        return from_coo(
+            np.stack([row, col]), num_nodes=graph.num_nodes,
+            x=None if graph.x is None else np.asarray(graph.x)[: graph.num_nodes],
+            y=None if graph.y is None else np.asarray(graph.y)[: graph.num_nodes],
+            train_mask=np.asarray(graph.train_mask)[: graph.num_nodes],
+            val_mask=np.asarray(graph.val_mask)[: graph.num_nodes],
+            test_mask=np.asarray(graph.test_mask)[: graph.num_nodes],
+            meta=dict(graph.meta))
+
+    def train_batches(self, graph: Graph):
+        return [self._train_graph]
+
+    # -- parameters -----------------------------------------------------------
+    def init(self, rng, graph: Graph):
+        import jax
+
+        r1, r2 = jax.random.split(rng)
+        model_vars = self.model.init(
+            {"params": r1, "dropout": r1}, graph, graph.x, training=False)
+        emb = self.model.apply(model_vars, graph, graph.x,
+                               method=self.model.embed)
+        h = emb.shape[-1]
+        task = self.auxiliary_task
+        if task == "edgemask":
+            out_dim = 2  # reference: Linear(hidden, 2) (self_auxiliary_mw.py:102)
+        elif task == "attributemask":
+            out_dim = graph.x.shape[-1]
+        else:
+            out_dim = self._num_dist_classes
+        scale = 1.0 / np.sqrt(h)
+        aux = {"w": jax.random.normal(r2, (h, out_dim)) * scale,
+               "b": jnp.zeros((out_dim,))}
+        # the Trainer optimizes variables["params"] (trainer.py:92), so both
+        # the encoder params and the aux head must live under that key
+        return {"params": {"model": model_vars.get("params", {}),
+                           "aux": aux},
+                **{k: v for k, v in model_vars.items() if k != "params"}}
+
+    @staticmethod
+    def _split(variables):
+        model_vars = {"params": variables["params"]["model"],
+                      **{k: v for k, v in variables.items()
+                         if k != "params"}}
+        return model_vars, variables["params"]["aux"]
+
+    # -- joint loss -----------------------------------------------------------
+    def loss(self, variables, graph: Graph, rng, training: bool = True):
+        import jax
+
+        model_vars, aux = self._split(variables)
+        sup_loss, _ = super().loss(model_vars, graph, rng, training)
+        emb = self.model.apply(model_vars, graph, graph.x,
+                               method=self.model.embed)
+        task = self.auxiliary_task
+        if task == "attributemask":
+            pred = emb[self._masked_nodes] @ aux["w"] + aux["b"]
+            ssl = jnp.mean((pred - self._feat_targets) ** 2)
+        else:
+            diff = jnp.abs(emb[self._pairs[:, 0]] - emb[self._pairs[:, 1]])
+            logits = diff @ aux["w"] + aux["b"]
+            logp = jax.nn.log_softmax(logits)
+            ssl = -jnp.mean(jnp.take_along_axis(
+                logp, self._pair_labels[:, None].astype(jnp.int32), 1))
+        return sup_loss + self.aux_weight * ssl, {}
+
+    def evaluate(self, variables, graph: Graph):
+        return super().evaluate(self._split(variables)[0], graph)

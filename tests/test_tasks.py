@@ -196,3 +196,13 @@ def test_graph_classification_official_split(tmp_path):
     res = train(ds, "gin", seed=0, epochs=3, eval_step=3, hidden_size=16,
                 batch_size=4)
     assert 0.0 <= res["test_acc"] <= 1.0
+
+
+@pytest.mark.parametrize("task", ["edgemask", "attributemask",
+                                  "pairwise-distance"])
+def test_self_auxiliary_tasks(task):
+    """SSL auxiliary tasks (reference self_auxiliary_mw) train jointly with
+    the supervised loss and still classify."""
+    res = train("sbm", "gcn", wrapper="self_auxiliary", auxiliary_task=task,
+                seed=0, epochs=20, eval_step=10, hidden_size=16)
+    assert res["test_acc"] > 0.5
