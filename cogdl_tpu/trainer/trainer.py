@@ -45,6 +45,15 @@ class TrainerConfig:
     # epochs; inspect with scripts/profile_step.py --parse-only
     profile_dir: Optional[str] = None
     profile_epochs: int = 2
+    # GRB adversarial-training hook (reference Trainer.attack loop,
+    # trainer.py:346-379): per epoch, attack the CURRENT model and train on
+    # the perturbed graph; final metrics include accuracy under attack.
+    # Feature attacks (fgsm/pgd) keep shapes identical; injection writes
+    # into the graph's padding region — either way the jitted step never
+    # retraces.
+    attack: Optional[str] = None       # None | "fgsm" | "pgd" | "injection"
+    attack_every: int = 1
+    attack_eps: float = 0.05
 
 
 def build_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
@@ -81,6 +90,43 @@ class Trainer:
         if cfg is None:
             cfg = TrainerConfig(**kw)
         self.cfg = cfg
+
+    @staticmethod
+    def _model_apply(wrapper):
+        """Standard node-model application for the GRB attack hook; attacks
+        differentiate the loss wrt features, so they need the plain
+        (graph, x, training) forward."""
+        model = getattr(wrapper, "model", None)
+        if model is None or not hasattr(model, "apply"):
+            raise ValueError(
+                "TrainerConfig.attack requires a wrapper exposing a flax "
+                "node model (model.apply(variables, graph, x, training)) — "
+                f"got wrapper {type(wrapper).__name__}")
+
+        def apply(variables, g):
+            return model.apply(variables, g, g.x, training=False)
+
+        return apply
+
+    def _attack_graph(self, wrapper, graph, variables):
+        from ..utils import grb
+
+        cfg = self.cfg
+        apply = self._model_apply(wrapper)
+        # adversarial TRAINING perturbs the train nodes (the reference
+        # points the attack at the train mask before grafting,
+        # trainer.py:364-367)
+        mask = graph.train_mask & graph.node_mask()
+        if cfg.attack == "fgsm":
+            return grb.fgsm_attack_features(apply, variables, graph,
+                                            epsilon=cfg.attack_eps, mask=mask)
+        if cfg.attack == "pgd":
+            return grb.pgd_attack_features(apply, variables, graph,
+                                           epsilon=cfg.attack_eps, mask=mask)
+        if cfg.attack == "injection":
+            return grb.random_injection_attack(graph, seed=cfg.seed)
+        raise ValueError(
+            f"unknown attack {cfg.attack!r}; known: fgsm | pgd | injection")
 
     def run(self, wrapper, graph) -> Dict[str, float]:
         cfg = self.cfg
@@ -194,6 +240,10 @@ class Trainer:
                         profiling = False
                 if refresh and epoch > 0:
                     batches = wrapper.train_batches(graph)
+                if cfg.attack and epoch % max(cfg.attack_every, 1) == 0:
+                    adv = self._attack_graph(
+                        wrapper, graph, {"params": params, **model_state})
+                    batches = wrapper.train_batches(adv)
                 losses = []
                 for b in batches:
                     rng, step_rng = jax.random.split(rng)
@@ -242,6 +292,14 @@ class Trainer:
             logger.finish()
         final = eval_step(best_params, best_model_state, graph)
         result = {k: float(v) for k, v in final.items()}
+        if cfg.attack:
+            from ..utils.grb import evaluate_under_attack
+
+            apply = self._model_apply(wrapper)
+            result.update({
+                f"attack_{k}": v for k, v in evaluate_under_attack(
+                    apply, {"params": best_params, **best_model_state},
+                    graph).items()})
         result["best_epoch"] = best_epoch
         result["train_time"] = time.time() - t0
         result["_variables"] = {"params": best_params, **best_model_state}

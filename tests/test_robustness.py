@@ -91,3 +91,15 @@ def test_transforms_shapes():
     g2 = drop_edge(ds.graph, 0.5, rng)
     assert g2.e_pad == ds.graph.e_pad
     assert float(g2.edge_weight.sum()) != float(ds.graph.edge_weight.sum())
+
+
+def test_trainer_adversarial_training_hook():
+    """TrainerConfig.attack: per-epoch adversarial training + final metrics
+    under attack (reference Trainer.attack loop, trainer.py:346-379)."""
+    from cogdl_tpu.experiments import train
+
+    for atk in ("fgsm", "injection"):
+        res = train("sbm", "gcn", seed=0, epochs=10, eval_step=5,
+                    hidden_size=16, attack=atk, attack_every=2)
+        assert "attack_clean_acc" in res
+        assert res["test_acc"] > 0.5
