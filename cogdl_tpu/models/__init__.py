@@ -106,6 +106,17 @@ def build_model(name: str, **kwargs) -> Any:
     cls = getattr(importlib.import_module(module_path), cls_name)
     if hasattr(cls, "build_model"):
         return cls.build_model(**kwargs)
+    # drop kwargs the model doesn't declare — the reference's per-model
+    # add_args parsing has the same effect (options.py:149-185): a shared
+    # hyper-parameter like hidden_size is simply ignored by models without
+    # that knob (SGC, AGC, ...)
+    import inspect
+
+    sig = inspect.signature(cls.__init__)
+    params = sig.parameters.values()
+    if not any(p.kind == inspect.Parameter.VAR_KEYWORD for p in params):
+        accepted = {p.name for p in params}
+        kwargs = {k: v for k, v in kwargs.items() if k in accepted}
     return cls(**kwargs)
 
 
