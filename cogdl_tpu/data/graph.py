@@ -26,6 +26,7 @@ moved to device once. All subsequent transforms are jax-pure.
 from __future__ import annotations
 
 import dataclasses
+from contextlib import contextmanager
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
@@ -491,3 +492,102 @@ def pad_to(g: Graph, n_pad: int, e_pad: int) -> Graph:
         extras=g.extras,
         meta=g.meta,
     )
+
+
+# -- exports / subgraphs / scoped mutation (reference data.py:411-925) --------
+
+def to_scipy(g: Graph):
+    """scipy CSR of the real (unpadded) adjacency — reference
+    Adjacency.to_scipy_csr (data/data.py:411)."""
+    import scipy.sparse as sp
+
+    E = g.num_edges
+    row = np.asarray(g.row)[:E]
+    col = np.asarray(g.col)[:E]
+    w = (np.ones(E, np.float32) if g.edge_weight is None
+         else np.asarray(g.edge_weight)[:E])
+    N = g.num_nodes
+    return sp.csr_matrix((w, (row, col)), shape=(N, N))
+
+
+def to_networkx(g: Graph):
+    """networkx DiGraph export — reference Adjacency.to_networkx
+    (data/data.py:424)."""
+    import networkx as nx
+
+    E = g.num_edges
+    G = nx.DiGraph()
+    G.add_nodes_from(range(g.num_nodes))
+    row = np.asarray(g.row)[:E]
+    col = np.asarray(g.col)[:E]
+    if g.edge_weight is not None:
+        w = np.asarray(g.edge_weight)[:E]
+        G.add_weighted_edges_from(zip(col.tolist(), row.tolist(), w.tolist()))
+    else:
+        G.add_edges_from(zip(col.tolist(), row.tolist()))
+    return G
+
+
+def subgraph(g: Graph, nodes) -> Graph:
+    """Node-induced subgraph with relabeled ids — reference Graph.subgraph /
+    csr_subgraph (data/data.py:850-905). Host-side; returns a freshly padded
+    Graph whose node data rows follow ``nodes`` order."""
+    nodes = np.asarray(nodes, np.int64)
+    E = g.num_edges
+    row = np.asarray(g.row)[:E]
+    col = np.asarray(g.col)[:E]
+    new_id = np.full(g.n_pad, -1, np.int64)
+    new_id[nodes] = np.arange(nodes.size)
+    keep = (new_id[row] >= 0) & (new_id[col] >= 0)
+    ea, et = _edge_data(g)
+    w = None if g.edge_weight is None else np.asarray(g.edge_weight)[:E][keep]
+    ng = from_coo(
+        np.stack([new_id[row[keep]], new_id[col[keep]]]),
+        num_nodes=nodes.size, edge_weight=w,
+        edge_attr=None if ea is None else ea[keep],
+        edge_type=None if et is None else et[keep],
+        meta={k: v for k, v in g.meta if k not in (
+            "norm", "spmm_panel_rows", "spmm_r_tile", "spmm_gather_bf16")},
+    )
+
+    def take(a):
+        if a is None:
+            return None
+        out = np.asarray(a)[nodes]
+        return _repad_nodes(jnp.asarray(out), ng.n_pad)
+
+    return ng.replace(x=take(g.x), y=take(g.y), train_mask=take(g.train_mask),
+                      val_mask=take(g.val_mask), test_mask=take(g.test_mask))
+
+
+def edge_subgraph(g: Graph, edge_idx, relabel: bool = True) -> Graph:
+    """Subgraph induced by an EDGE index set — reference Graph.edge_subgraph
+    (data/data.py:907-925). With ``relabel`` the endpoint set is compacted
+    like the reference's ``require_idx`` path."""
+    edge_idx = np.asarray(edge_idx, np.int64)
+    E = g.num_edges
+    row = np.asarray(g.row)[:E][edge_idx]
+    col = np.asarray(g.col)[:E][edge_idx]
+    if relabel:
+        nodes = np.unique(np.concatenate([row, col]))
+        return subgraph(g, nodes) if nodes.size else g
+    ea, et = _edge_data(g)
+    w = (None if g.edge_weight is None
+         else np.asarray(g.edge_weight)[:E][edge_idx])
+    return _rebuild_structure(
+        g, row, col, w,
+        None if ea is None else ea[edge_idx],
+        None if et is None else et[edge_idx])
+
+
+@contextmanager
+def local_graph(g: Graph, **overrides):
+    """Scoped-mutation analog of the reference's ``Graph.local_graph``
+    context manager (data/data.py:594-604). Graphs here are immutable
+    pytrees, so "temporary mutation" is just a modified copy whose lifetime
+    the ``with`` block makes explicit:
+
+    >>> with local_graph(g, edge_weight=w2) as g2:
+    ...     out = model(g2)
+    """
+    yield g.replace(**overrides)

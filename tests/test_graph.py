@@ -138,3 +138,56 @@ def test_meta_is_static():
     f(g)
     f(g.with_meta(num_classes=7))
     assert len(traces) == 1  # same static meta → no retrace
+
+
+def test_to_scipy_and_networkx_export():
+    from cogdl_tpu.data.graph import from_coo, to_networkx, to_scipy
+
+    ei = np.array([[1, 2, 3], [0, 1, 2]])
+    g = from_coo(ei, num_nodes=4, edge_weight=np.array([1., 2., 3.]))
+    A = to_scipy(g)
+    assert A.shape == (4, 4) and A[1, 0] == 1.0 and A[3, 2] == 3.0
+    G = to_networkx(g)
+    assert G.number_of_nodes() == 4
+    assert G.has_edge(0, 1)  # col (source) -> row (destination)
+
+
+def test_subgraph_relabels_and_keeps_data():
+    from cogdl_tpu.data.graph import from_coo, subgraph
+
+    rng = np.random.default_rng(0)
+    N = 20
+    ei = rng.integers(0, N, (2, 80))
+    y = rng.integers(0, 3, N)
+    g = from_coo(ei, num_nodes=N, x=rng.normal(size=(N, 4)).astype(np.float32),
+                 y=y)
+    nodes = np.array([3, 7, 11, 15])
+    sg = subgraph(g, nodes)
+    assert sg.num_nodes == 4
+    assert np.array_equal(np.asarray(sg.y)[:4], y[nodes])
+    # all surviving edges connect selected nodes
+    E = sg.num_edges
+    assert (np.asarray(sg.row)[:E] < 4).all()
+
+
+def test_edge_subgraph():
+    from cogdl_tpu.data.graph import edge_subgraph, from_coo
+
+    ei = np.array([[1, 2, 3, 0], [0, 1, 2, 3]])
+    g = from_coo(ei, num_nodes=4)
+    sg = edge_subgraph(g, [0, 1], relabel=True)
+    assert sg.num_edges == 2 and sg.num_nodes == 3
+    sg2 = edge_subgraph(g, [0, 1], relabel=False)
+    assert sg2.num_nodes == 4
+
+
+def test_local_graph_scoped_override():
+    import jax.numpy as jnp
+
+    from cogdl_tpu.data.graph import from_coo, local_graph
+
+    g = from_coo(np.array([[1], [0]]), num_nodes=2,
+                 edge_weight=np.array([1.0]))
+    with local_graph(g, edge_weight=g.edge_weight * 5) as g2:
+        assert float(g2.edge_weight[0]) == 5.0
+    assert float(g.edge_weight[0]) == 1.0
