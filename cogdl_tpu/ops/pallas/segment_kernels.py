@@ -285,6 +285,13 @@ def _one_direction(x, col_k, w_k, row_k, ct, bp=None, panel_rows: int = 0,
     dtype_in = x.dtype
     if F % F_BLK != 0:
         x = jnp.pad(x, ((0, 0), (0, F_BLK - F % F_BLK)))
+        # XLA rewrites pad-then-gather into gather-then-pad (fewer gathered
+        # bytes in its cost model), but gathers here are ROW-count-bound
+        # (CLAUDE.md memory economics) and the hoisted pad then streams over
+        # E_k edge rows instead of n_pad table rows — measured ~11 ms/step
+        # of pure pad at 100k nodes with F=47 outputs. The barrier pins the
+        # pad to the table side.
+        x = jax.lax.optimization_barrier(x)
     if gather_bf16 and x.dtype == jnp.float32:
         # bf16 gather tables: rows cost the same DMA time regardless of
         # width, but halving bytes doubles how many rows fit a VMEM-staged
