@@ -420,16 +420,23 @@ def mh_spmm_pallas(attention, h, fw_col, fw_orig, fw_ones, fw_row, fw_ct,
 # ---------------------------------------------------------------------------
 # Fused GAT: attention scores + softmax + aggregation, fully kernel-tier
 # ---------------------------------------------------------------------------
-# TPU gather economics (profiled on v5e): gathering E rows of a 128-lane
-# (512 B) f32 table runs near HBM bandwidth (~7 ms for 3.3M rows), a
-# misaligned 136/144-lane table costs ~7× that (~48 ms — each row drags a
-# full second (8,128) tile), and per-(edge, head) 4 B flat lookups or
-# unsorted segment scatters run at ~0.5 GB/s (~230 ms each — 15 of them made
-# the first fused attempt slower than the unfused route). Rules baked in:
-#   1. every per-edge gather reads a 128-lane-aligned row — score halves are
-#      never gathered from narrow [N, H] tables but recomputed as
-#      einsum(h_gathered, a) on rows already in flight;
-#   2. every segment reduction is a sorted-segment MXU kernel pass;
+# TPU gather economics (profiled on v5e, scripts/microbench_gather6.py):
+# row gathers are ROW-COUNT-bound — a 136/144-lane table costs the same per
+# row as a 128-lane one (~5.5 ns/row at 114k-row tables), a second gather
+# costs a second full row sweep even on the same table (staging does not
+# amortise: 2 gathers ≈ 8 ns/row combined), and per-(edge, head) 4 B flat
+# lookups or unsorted segment scatters run at ~0.5 GB/s (~230 ms each — 15
+# of them made the first fused attempt slower than the unfused route).
+# Design rules baked in:
+#   1. exactly ONE per-edge gather per kernel pass: quantities indexed by
+#      the layout's GROUPING KEY (dst in the fw layout, src in the bw
+#      layout) are never gathered — they arrive as an [r_tile, W] node-table
+#      block selected by the chunk→tile map, and per-slot values are
+#      extracted on the MXU as Pᵀ·block (P is the one-hot routing matrix the
+#      aggregation builds anyway);
+#   2. no per-edge intermediate ([E, H] scores, [E, HD] weighted messages)
+#      ever touches HBM — scores, softmax numerator/denominator, and grads
+#      are computed in VMEM and leave the kernel only as segment sums;
 #   3. softmax max-subtraction uses the per-(node,head) upper bound
 #      m[r,h] = leakyrelu(sd[r,h] + max_c ss[c,h]) — an exact shift
 #      (softmax is invariant to per-segment constants, so stop_gradient(m)
@@ -437,11 +444,14 @@ def mh_spmm_pallas(attention, h, fw_col, fw_orig, fw_ones, fw_row, fw_ct,
 #   4. attention dropout masks are a counter-based hash of the ORIGINAL edge
 #      id, so the backward pass can regenerate them in the transposed edge
 #      layout without permuting [E, H] tensors;
-#   5. narrow per-edge state the backward needs in forward order (ex, slope)
-#      is stored as [E_k, H] residuals (~100 MB) instead of regathered.
+#   5. head-broadcasts ([T,H] → [T,H·D]) and narrow-lane extraction ride
+#      small constant 0/1 matmuls (iota-built in registers) instead of
+#      in-kernel reshapes.
 # The hand-derived VJP mirrors the reference's fused dgNN GAT backward
 # (third_party dgNN, cogdl/operators/fused_gat.py) but with layout-order
-# kernel passes in both edge orders instead of CUDA atomics.
+# kernel passes in both edge orders instead of CUDA atomics: three passes
+# total (fwd: num+den; bwd fw-layout: dsd; bwd bw-layout: dh2+dss), one
+# gather each.
 
 
 def _pad_lanes(a: jnp.ndarray, mult: int = F_BLK) -> jnp.ndarray:
@@ -485,6 +495,168 @@ def _edge_scores(sd_e, ss_e, ssmax, ones, alpha):
     return slope, ex
 
 
+def _pad_to(a: jnp.ndarray, w: int) -> jnp.ndarray:
+    return a if a.shape[1] == w else jnp.pad(a, ((0, 0), (0, w - a.shape[1])))
+
+
+def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
+                          alpha: float, inv_keep):
+    """One fused GAT pass over a prepared edge layout.
+
+    mode 'fwd' : stream=[h2|ss] by src, node=sd (dst key)
+                 → out [r, HDp+128] = [Σ exn·msg | Σ ex]
+    mode 'dsd' : stream=[h2|ss] by src, node=[dagg|dden|sd] (dst key)
+                 → out [r, 128] = Σ ds  (∂L/∂sd, segmented by dst)
+    mode 'dsrc': stream=[dagg|dden|sd] by dst, node=[h2|ss] (src key)
+                 → out [r, HDp+128] = [Σ exn·dagg | Σ ds]  (∂h2, ∂ss by src)
+
+    All H-wide quantities live in full 128-lane registers; lanes ≥ H carry
+    zeros or benign values that the 0/1 selection matmuls mask out.
+    """
+    from jax.experimental import pallas as pl
+
+    with_drop = inv_keep is not None
+    HD = H * D
+
+    def mm(a, b, ca, cb):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((ca,), (cb,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def kernel(*refs):
+        ct_ref = refs[0]
+        stream_ref, row_ref, w_ref, node_ref, smax_ref = refs[1:6]
+        keep_ref = refs[6] if with_drop else None
+        out_ref = refs[-1]
+
+        c = pl.program_id(0)
+        tile = ct_ref[c]
+        is_first = jnp.logical_or(
+            c == 0, ct_ref[jnp.maximum(c - 1, 0)] != tile)
+
+        @pl.when(is_first)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        rows = row_ref[:][None, :]                       # [1, T] abs key row
+        w = w_ref[:]                                     # [T] slot validity
+        base = tile * r_tile
+        r_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (r_tile, T_CHUNK), 0) + base
+        pv = jnp.where(rows == r_ids, w[None, :], 0.0)   # [r, T] routing
+
+        nd = mm(pv, node_ref[:], 0, 0)                   # [T, Wn] per-slot
+        stream = stream_ref[:]                           # [T, Ws]
+        smax = smax_ref[0, :]                            # [128]
+        keepn = keep_ref[:] * inv_keep if with_drop else None
+
+        # B[h, l] = 1 iff lane l belongs to head h — head broadcast (dim 0
+        # contraction) and per-head reduction (dim 1 contraction)
+        hi = jax.lax.broadcasted_iota(jnp.int32, (128, HDp), 0)
+        lj = jax.lax.broadcasted_iota(jnp.int32, (128, HDp), 1)
+        bmat = jnp.where(
+            jnp.logical_and(lj // D == hi, jnp.logical_and(hi < H, lj < HD)),
+            1.0, 0.0)
+
+        # tables arrive COMPACT ([h2|ss] = HD+H lanes, [dagg|dden|sd] =
+        # HD+2H) — gathers are cheaper below 2 physical lane tiles and pads
+        # would burn HBM. Pieces are extracted into full 128-lane registers
+        # by iota-built 0/1 matmuls (arbitrary-offset lane slices are
+        # relayouts; MXU selections are ~free next to the routing matmuls).
+        def ext_wide(x):
+            ws = x.shape[1]
+            if HD == HDp and ws >= HDp:
+                return x[:, :HDp]
+            wi = jax.lax.broadcasted_iota(jnp.int32, (ws, HDp), 0)
+            lj2 = jax.lax.broadcasted_iota(jnp.int32, (ws, HDp), 1)
+            return mm(x, jnp.where(
+                jnp.logical_and(wi == lj2, lj2 < HD), 1.0, 0.0), 1, 0)
+
+        def ext_h(x, off):
+            ws = x.shape[1]
+            wi = jax.lax.broadcasted_iota(jnp.int32, (ws, 128), 0)
+            li = jax.lax.broadcasted_iota(jnp.int32, (ws, 128), 1)
+            return mm(x, jnp.where(
+                jnp.logical_and(wi == li + off, li < H), 1.0, 0.0), 1, 0)
+
+        if mode == "fwd":
+            sd_e = nd                                    # [T, 128]
+            msg = ext_wide(stream)
+            ss_e = ext_h(stream, HD)
+            _, ex = _edge_scores(sd_e, ss_e, smax, w, alpha)
+            exn = ex * keepn if with_drop else ex
+            exw = mm(exn, bmat, 1, 0)                    # [T, HDp]
+            out_ref[:, :HDp] += mm(pv, msg * exw, 1, 0)
+            out_ref[:, HDp:] += mm(pv, ex, 1, 0)
+            return
+
+        # both backward modes: unpack [dagg|dden|sd] and [h2|ss]
+        if mode == "dsd":
+            dst, src = nd, stream
+        else:
+            dst, src = stream, nd
+        dagg_e = ext_wide(dst)
+        dden_e = ext_h(dst, HD)
+        sd_e = ext_h(dst, HD + H)
+        msg = ext_wide(src)
+        ss_e = ext_h(src, HD)
+        slope, ex = _edge_scores(sd_e, ss_e, smax, w, alpha)
+        dex = mm(dagg_e * msg, bmat, 1, 1)               # [T, 128] per-head Σ
+        if with_drop:
+            dex = dex * keepn
+        ds = (dex + dden_e) * ex * slope
+        if mode == "dsd":
+            out_ref[:] += mm(pv, ds, 1, 0)
+        else:
+            exn = ex * keepn if with_drop else ex
+            exw = mm(exn, bmat, 1, 0)
+            out_ref[:, :HDp] += mm(pv, dagg_e * exw, 1, 0)
+            out_ref[:, HDp:] += mm(pv, ds, 1, 0)
+
+    return kernel
+
+
+def _gat_pass(mode, H, D, alpha, inv_keep, stream, row_k, w_k, node_tab,
+              smax_tab, keep, ct, n_pad, r_tile: int = R_TILE,
+              interpret: Optional[bool] = None):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    E_k, Ws = stream.shape
+    Wn = node_tab.shape[1]
+    HD = H * D
+    HDp = -(-HD // F_BLK) * F_BLK
+    n_chunks = E_k // T_CHUNK
+    Wout = 128 if mode == "dsd" else HDp + 128
+    in_specs = [
+        pl.BlockSpec((T_CHUNK, Ws), lambda c, ct: (c, 0)),
+        pl.BlockSpec((T_CHUNK,), lambda c, ct: (c,)),
+        pl.BlockSpec((T_CHUNK,), lambda c, ct: (c,)),
+        pl.BlockSpec((r_tile, Wn), lambda c, ct: (ct[c], 0)),
+        pl.BlockSpec((8, 128), lambda c, ct: (0, 0)),
+    ]
+    args = [stream, row_k, w_k, node_tab, smax_tab]
+    if keep is not None:
+        in_specs.append(pl.BlockSpec((T_CHUNK, 128), lambda c, ct: (c, 0)))
+        args.append(keep)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(n_chunks,), in_specs=in_specs,
+        out_specs=pl.BlockSpec((r_tile, Wout), lambda c, ct: (ct[c], 0)))
+    return pl.pallas_call(
+        _make_gat_pass_kernel(mode, H, D, HDp, r_tile, alpha, inv_keep),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, Wout), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * E_k * (r_tile * (Ws + Wn + Wout) + 3 * 128 * 128),
+            bytes_accessed=E_k * (Ws + 8) * 4 + n_pad * (Wn + Wout) * 4,
+            transcendentals=E_k * 128,
+        ),
+        interpret=interpret,
+    )(ct, *args)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def gat_fused(H: int, D: int, alpha: float, attn_drop: float,
               sd, ss, h2, seed,
@@ -502,32 +674,53 @@ def gat_fused(H: int, D: int, alpha: float, attn_drop: float,
     return out
 
 
+def _gat_tables(H, D, sd=None, ss=None, h2=None, dagg=None, dden=None):
+    """Build the two COMPACT node tables the passes share: T1 = [h2|ss]
+    (HD+H lanes), T2 = [dagg|dden|sd] (HD+2H lanes) — either may be requested
+    alone. No lane padding: a 136-lane table gathers ~2.6× faster than the
+    same table zero-padded to 256 (microbench_gather6), and the kernels
+    extract pieces with in-register selection matmuls instead. Barriers
+    serialize the tables' liveness for VMEM staging."""
+    t1 = t2 = None
+    if h2 is not None:
+        t1 = jax.lax.optimization_barrier(jnp.concatenate([h2, ss], axis=1))
+    if dagg is not None:
+        t2 = jax.lax.optimization_barrier(
+            jnp.concatenate([dagg, dden, sd], axis=1))
+    return t1, t2
+
+
+def _smax_tab(ssf):
+    return jnp.tile(_pad_lanes(jnp.max(ssf, axis=0)[None, :]), (8, 1))
+
+
+def _keep_stream(orig, H, seed, attn_drop):
+    if attn_drop <= 0.0:
+        return None, None
+    # NOTE: pads an [E_k, H] edge stream to 128 lanes (a real cost at scale)
+    # — acceptable while dropout hashing lives outside the kernel
+    keep = _pad_lanes(_hash_keep(orig, H, seed, 1.0 - attn_drop))
+    return keep, 1.0 / (1.0 - attn_drop)
+
+
 def _gat_fwd(H, D, alpha, attn_drop, sd, ss, h2, seed,
              fw_col, fw_row, fw_ones, fw_ct, fw_orig,
              bw_col, bw_row, bw_ones, bw_ct, bw_orig):
     n_pad = sd.shape[0]
     HD = H * D
+    HDp = -(-HD // F_BLK) * F_BLK
     h2f = h2.astype(jnp.float32)
-    sd_p = _pad_lanes(sd.astype(jnp.float32))          # [n_pad, 128]
-    # one wide row-gather serves both the message and the src-score half
-    t_src = jnp.concatenate([h2f, ss.astype(jnp.float32)], axis=1)
-    src_e = jnp.take(t_src, fw_col, axis=0, mode="clip")            # [E_k, HD+H]
-    msg, ss_e = src_e[:, :HD], src_e[:, HD:]
-    # serialize the two table gathers (each ~60 MB — only one fits VMEM)
-    sd_p, src_e = jax.lax.optimization_barrier((sd_p, src_e))
-    sd_e = jnp.take(sd_p, fw_row, axis=0, mode="clip")[:, :H]
-    ssmax = jnp.max(ss.astype(jnp.float32), axis=0)
-    _, ex = _edge_scores(sd_e, ss_e, ssmax, fw_ones, alpha)
-    exn = ex
-    if attn_drop > 0.0:
-        keep = _hash_keep(fw_orig, H, seed, 1.0 - attn_drop)
-        exn = ex * keep / (1.0 - attn_drop)
-    wmsg = (msg.reshape(-1, H, D) * exn[:, :, None]).reshape(-1, HD)
-    num = _seg_pass(wmsg, fw_row, fw_ones, fw_ct, n_pad, HD)
-    den = _seg_pass(_pad_lanes(ex), fw_row, fw_ones, fw_ct, n_pad, H)
-    den = jnp.maximum(den, 1e-16)
-    out = (num.reshape(n_pad, H, D) / den[:, :, None]).reshape(n_pad, HD)
-    out = out.astype(h2.dtype)
+    sdf = sd.astype(jnp.float32)
+    ssf = ss.astype(jnp.float32)
+    t1, _ = _gat_tables(H, D, sd=sdf, ss=ssf, h2=h2f)
+    stream = jnp.take(t1, fw_col, axis=0, mode="clip")   # the pass's 1 gather
+    keep, inv = _keep_stream(fw_orig, H, seed, attn_drop)
+    node = jax.lax.optimization_barrier(_pad_lanes(sdf))
+    outc = _gat_pass("fwd", H, D, alpha, inv, stream, fw_row, fw_ones,
+                     node, _smax_tab(ssf), keep, fw_ct, n_pad)
+    den = jnp.maximum(outc[:, HDp:HDp + H], 1e-16)
+    out = (outc[:, :HD].reshape(n_pad, H, D)
+           / den[:, :, None]).reshape(n_pad, HD).astype(h2.dtype)
     res = (sd, ss, h2, seed, den, out,
            fw_col, fw_row, fw_ones, fw_ct, fw_orig,
            bw_col, bw_row, bw_ones, bw_ct, bw_orig)
@@ -540,60 +733,39 @@ def _gat_bwd(H, D, alpha, attn_drop, res, g):
      bw_col, bw_row, bw_ones, bw_ct, bw_orig) = res
     n_pad = sd.shape[0]
     HD = H * D
+    HDp = -(-HD // F_BLK) * F_BLK
     g = g.astype(jnp.float32).reshape(n_pad, H, D)
     h2f = h2.astype(jnp.float32)
     sdf = sd.astype(jnp.float32)
     ssf = ss.astype(jnp.float32)
-    ssmax = jnp.max(ssf, axis=0)
-    inv_keep = 1.0 / (1.0 - attn_drop) if attn_drop > 0.0 else 1.0
+    smax = _smax_tab(ssf)
 
     # node-level grads of the normalised aggregation
     dagg = (g / den[:, :, None]).reshape(n_pad, HD)               # d(num)
     dden = -jnp.sum(g * out.astype(jnp.float32).reshape(n_pad, H, D),
                     axis=2) / den                                  # [n_pad,H]
 
-    # tables gathered per edge (both passes index them by the edge's dst):
-    # [ dagg (HD) | dden (H) | sd (H) ]
-    t_dst = jnp.concatenate([dagg, dden, sdf], axis=1)
-    t_src = jnp.concatenate([h2f, ssf], axis=1)
+    # the two passes share two tables, each playing stream in one pass and
+    # node-block in the other:
+    #   T1 = [h2 | ss] (src quantities), T2 = [dagg | dden | sd] (dst)
+    t1, t2 = _gat_tables(H, D, sd=sdf, ss=ssf, h2=h2f, dagg=dagg, dden=dden)
 
-    def edge_terms(col_idx, row_idx, ones, orig):
-        """Recompute per-edge attention pieces and score grads in the given
-        edge layout (dst-indexed tables via row_idx, src via col_idx)."""
-        dsts = jnp.take(t_dst, row_idx, axis=0, mode="clip")
-        # serialize the two ~60 MB table gathers (VMEM staging, see fwd)
-        srcs_t, dsts = jax.lax.optimization_barrier((t_src, dsts))
-        dagg_e = dsts[:, :HD].reshape(-1, H, D)
-        dden_e = dsts[:, HD:HD + H]
-        sd_e = dsts[:, HD + H:]
-        srcs = jnp.take(srcs_t, col_idx, axis=0, mode="clip")
-        msg = srcs[:, :HD].reshape(-1, H, D)
-        ss_e = srcs[:, HD:]
-        slope, ex = _edge_scores(sd_e, ss_e, ssmax, ones, alpha)
-        if attn_drop > 0.0:
-            keepn = _hash_keep(orig, H, seed, 1.0 - attn_drop) * inv_keep
-        else:
-            keepn = 1.0
-        exn = ex * keepn
-        dex = jnp.sum(dagg_e * msg, axis=2) * keepn + dden_e
-        ds = dex * ex * slope                                      # [E_k, H]
-        return ds, exn, dagg_e
+    # fw-layout pass (grouping key = dst): gather T1 by source → dsd
+    stream_b = jnp.take(t1, fw_col, axis=0, mode="clip")
+    keep_b, inv = _keep_stream(fw_orig, H, seed, attn_drop)
+    dsd = _gat_pass("dsd", H, D, alpha, inv, stream_b, fw_row, fw_ones,
+                    t2, smax, keep_b, fw_ct, n_pad)[:, :H]
 
-    # forward-layout pass → dsd (segment by dst)
-    ds_fw, _, _ = edge_terms(fw_col, fw_row, fw_ones, fw_orig)
-    dsd = _seg_pass(_pad_lanes(ds_fw), fw_row, fw_ones, fw_ct, n_pad, H)
+    # phase barrier: serialize the two passes' gathers (each sweeps E rows)
+    t1, t2, dsd = jax.lax.optimization_barrier((t1, t2, dsd))
 
-    # phase barrier: serialize the two layout passes so their gather tables
-    # (t_dst + t_src, ~65 MB each) don't have overlapping liveness — gives
-    # XLA a chance to VMEM-stage one pair at a time
-    t_dst, t_src, dsd = jax.lax.optimization_barrier((t_dst, t_src, dsd))
-
-    # transposed-layout pass → dss and dh (segment by src; in the bw layout
-    # the grouping key bw_row is the edge's SOURCE and bw_col its dst)
-    ds_bw, exn_bw, dagg_bw = edge_terms(bw_row, bw_col, bw_ones, bw_orig)
-    dss = _seg_pass(_pad_lanes(ds_bw), bw_row, bw_ones, bw_ct, n_pad, H)
-    dmsg = (dagg_bw * exn_bw[:, :, None]).reshape(-1, HD)
-    dh2 = _seg_pass(dmsg, bw_row, bw_ones, bw_ct, n_pad, HD)
+    # bw-layout pass (grouping key = src): gather T2 by destination → dh2+dss
+    stream_c = jnp.take(t2, bw_col, axis=0, mode="clip")
+    keep_c, _ = _keep_stream(bw_orig, H, seed, attn_drop)
+    outc = _gat_pass("dsrc", H, D, alpha, inv, stream_c, bw_row, bw_ones,
+                     t1, smax, keep_c, bw_ct, n_pad)
+    dh2 = outc[:, :HD]
+    dss = outc[:, HDp:HDp + H]
 
     z = jnp.zeros_like
     return (dsd.astype(sd.dtype), dss.astype(ss.dtype), dh2.astype(h2.dtype),
