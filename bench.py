@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--repeats", type=int, default=2,
                     help="report the fastest of N timed repeats")
+    ap.add_argument("--attn-drop", type=float, default=0.0,
+                    help="GAT attention dropout (exercises the in-kernel "
+                    "hash-mask path)")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 activations (f32 master weights); "
                     "EXPERIMENTAL on this backend - scan+bf16 crashes")
@@ -109,7 +112,8 @@ def main():
     kw = dict(in_features=args.feat_dim, out_features=graph.num_classes,
               hidden_size=args.hidden, dropout=0.0)
     if args.model == "gat":
-        kw.update(nhead=8, hidden_size=args.hidden // 8, attn_drop=0.0)
+        kw.update(nhead=8, hidden_size=args.hidden // 8,
+                  attn_drop=args.attn_drop)
     model = build_model(args.model, **kw)
     rng = jax.random.PRNGKey(0)
     variables = model.init(rng, graph, graph.x, training=False)

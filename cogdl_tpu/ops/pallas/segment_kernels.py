@@ -442,8 +442,9 @@ def mh_spmm_pallas(attention, h, fw_col, fw_orig, fw_ones, fw_row, fw_ct,
 #      (softmax is invariant to per-segment constants, so stop_gradient(m)
 #      has zero true gradient), avoiding a segment-max entirely;
 #   4. attention dropout masks are a counter-based hash of the ORIGINAL edge
-#      id, so the backward pass can regenerate them in the transposed edge
-#      layout without permuting [E, H] tensors;
+#      id, computed IN-REGISTER inside each pass (fixed-shift murmur mixer),
+#      so fwd and both bwd layouts regenerate the same mask and no [E, H]
+#      keep stream ever touches HBM;
 #   5. head-broadcasts ([T,H] → [T,H·D]) and narrow-lane extraction ride
 #      small constant 0/1 matmuls (iota-built in registers) instead of
 #      in-kernel reshapes.
@@ -459,21 +460,6 @@ def _pad_lanes(a: jnp.ndarray, mult: int = F_BLK) -> jnp.ndarray:
     if f % mult == 0:
         return a
     return jnp.pad(a, ((0, 0), (0, mult - f % mult)))
-
-
-def _hash_keep(orig: jnp.ndarray, H: int, seed: jnp.ndarray,
-               keep_prob: float) -> jnp.ndarray:
-    """[E_k, H] deterministic dropout keep-mask from original edge ids
-    (PCG-style integer hash — recomputable in any edge layout)."""
-    x = (orig[:, None].astype(jnp.uint32) * jnp.uint32(H)
-         + jnp.arange(H, dtype=jnp.uint32)[None, :])
-    x = x ^ seed.astype(jnp.uint32)
-    x = x * jnp.uint32(747796405) + jnp.uint32(2891336453)
-    w = ((x >> ((x >> jnp.uint32(28)) + jnp.uint32(4))) ^ x) \
-        * jnp.uint32(277803737)
-    x = (w >> jnp.uint32(22)) ^ w
-    thresh = jnp.uint32(int(keep_prob * float(2**32 - 1)))
-    return (x < thresh).astype(jnp.float32)
 
 
 def _seg_pass(vals: jnp.ndarray, row_k, ones, ct, n_pad: int,
@@ -500,7 +486,7 @@ def _pad_to(a: jnp.ndarray, w: int) -> jnp.ndarray:
 
 
 def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
-                          alpha: float, inv_keep):
+                          alpha: float, attn_drop: float):
     """One fused GAT pass over a prepared edge layout.
 
     mode 'fwd' : stream=[h2|ss] by src, node=sd (dst key)
@@ -515,7 +501,10 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
     """
     from jax.experimental import pallas as pl
 
-    with_drop = inv_keep is not None
+    with_drop = attn_drop > 0.0
+    inv_keep = 1.0 / (1.0 - attn_drop) if with_drop else None
+    # keep iff hash(edge, head, seed) < keep_prob · 2³²
+    thresh = int((1.0 - attn_drop) * float(2 ** 32 - 1))
     HD = H * D
 
     def mm(a, b, ca, cb):
@@ -526,7 +515,7 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
     def kernel(*refs):
         ct_ref = refs[0]
         stream_ref, row_ref, w_ref, node_ref, smax_ref = refs[1:6]
-        keep_ref = refs[6] if with_drop else None
+        base_ref = refs[6] if with_drop else None
         out_ref = refs[-1]
 
         c = pl.program_id(0)
@@ -548,7 +537,22 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
         nd = mm(pv, node_ref[:], 0, 0)                   # [T, Wn] per-slot
         stream = stream_ref[:]                           # [T, Ws]
         smax = smax_ref[0, :]                            # [128]
-        keepn = keep_ref[:] * inv_keep if with_drop else None
+
+        keepn = None
+        if with_drop:
+            # counter-based dropout, fully in-register: murmur-style mixer
+            # of (orig edge id ^ seed) · H + head — fixed shifts only, and
+            # identical in every layout, so fwd and both bwd passes see the
+            # same mask without any [E, H] keep stream touching HBM
+            hx = (base_ref[:].astype(jnp.uint32)[:, None] * jnp.uint32(H)
+                  + jax.lax.broadcasted_iota(jnp.uint32, (T_CHUNK, 128), 1))
+            hx = hx * jnp.uint32(747796405) + jnp.uint32(2891336453)
+            hx = hx ^ (hx >> jnp.uint32(16))
+            hx = hx * jnp.uint32(0x85EBCA6B)
+            hx = hx ^ (hx >> jnp.uint32(13))
+            hx = hx * jnp.uint32(0xC2B2AE35)
+            hx = hx ^ (hx >> jnp.uint32(16))
+            keepn = jnp.where(hx < jnp.uint32(thresh), inv_keep, 0.0)
 
         # B[h, l] = 1 iff lane l belongs to head h — head broadcast (dim 0
         # contraction) and per-head reduction (dim 1 contraction)
@@ -616,8 +620,8 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
     return kernel
 
 
-def _gat_pass(mode, H, D, alpha, inv_keep, stream, row_k, w_k, node_tab,
-              smax_tab, keep, ct, n_pad, r_tile: int = R_TILE,
+def _gat_pass(mode, H, D, alpha, attn_drop, stream, row_k, w_k, node_tab,
+              smax_tab, base, ct, n_pad, r_tile: int = R_TILE,
               interpret: Optional[bool] = None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -638,14 +642,14 @@ def _gat_pass(mode, H, D, alpha, inv_keep, stream, row_k, w_k, node_tab,
         pl.BlockSpec((8, 128), lambda c, ct: (0, 0)),
     ]
     args = [stream, row_k, w_k, node_tab, smax_tab]
-    if keep is not None:
-        in_specs.append(pl.BlockSpec((T_CHUNK, 128), lambda c, ct: (c, 0)))
-        args.append(keep)
+    if attn_drop > 0.0:
+        in_specs.append(pl.BlockSpec((T_CHUNK,), lambda c, ct: (c,)))
+        args.append(base)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=(n_chunks,), in_specs=in_specs,
         out_specs=pl.BlockSpec((r_tile, Wout), lambda c, ct: (ct[c], 0)))
     return pl.pallas_call(
-        _make_gat_pass_kernel(mode, H, D, HDp, r_tile, alpha, inv_keep),
+        _make_gat_pass_kernel(mode, H, D, HDp, r_tile, alpha, attn_drop),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, Wout), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -694,13 +698,15 @@ def _smax_tab(ssf):
     return jnp.tile(_pad_lanes(jnp.max(ssf, axis=0)[None, :]), (8, 1))
 
 
-def _keep_stream(orig, H, seed, attn_drop):
+def _drop_base(orig, seed, attn_drop):
+    """Per-slot dropout counter: original edge id XOR the step seed — the
+    only dropout state that crosses HBM (the mask itself is hashed from this
+    in-register inside each pass)."""
     if attn_drop <= 0.0:
-        return None, None
-    # NOTE: pads an [E_k, H] edge stream to 128 lanes (a real cost at scale)
-    # — acceptable while dropout hashing lives outside the kernel
-    keep = _pad_lanes(_hash_keep(orig, H, seed, 1.0 - attn_drop))
-    return keep, 1.0 / (1.0 - attn_drop)
+        return None
+    return jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(orig, jnp.uint32)
+        ^ seed.astype(jnp.uint32), jnp.int32)
 
 
 def _gat_fwd(H, D, alpha, attn_drop, sd, ss, h2, seed,
@@ -714,10 +720,10 @@ def _gat_fwd(H, D, alpha, attn_drop, sd, ss, h2, seed,
     ssf = ss.astype(jnp.float32)
     t1, _ = _gat_tables(H, D, sd=sdf, ss=ssf, h2=h2f)
     stream = jnp.take(t1, fw_col, axis=0, mode="clip")   # the pass's 1 gather
-    keep, inv = _keep_stream(fw_orig, H, seed, attn_drop)
     node = jax.lax.optimization_barrier(_pad_lanes(sdf))
-    outc = _gat_pass("fwd", H, D, alpha, inv, stream, fw_row, fw_ones,
-                     node, _smax_tab(ssf), keep, fw_ct, n_pad)
+    outc = _gat_pass("fwd", H, D, alpha, attn_drop, stream, fw_row, fw_ones,
+                     node, _smax_tab(ssf),
+                     _drop_base(fw_orig, seed, attn_drop), fw_ct, n_pad)
     den = jnp.maximum(outc[:, HDp:HDp + H], 1e-16)
     out = (outc[:, :HD].reshape(n_pad, H, D)
            / den[:, :, None]).reshape(n_pad, HD).astype(h2.dtype)
@@ -752,18 +758,18 @@ def _gat_bwd(H, D, alpha, attn_drop, res, g):
 
     # fw-layout pass (grouping key = dst): gather T1 by source → dsd
     stream_b = jnp.take(t1, fw_col, axis=0, mode="clip")
-    keep_b, inv = _keep_stream(fw_orig, H, seed, attn_drop)
-    dsd = _gat_pass("dsd", H, D, alpha, inv, stream_b, fw_row, fw_ones,
-                    t2, smax, keep_b, fw_ct, n_pad)[:, :H]
+    dsd = _gat_pass("dsd", H, D, alpha, attn_drop, stream_b, fw_row, fw_ones,
+                    t2, smax, _drop_base(fw_orig, seed, attn_drop),
+                    fw_ct, n_pad)[:, :H]
 
     # phase barrier: serialize the two passes' gathers (each sweeps E rows)
     t1, t2, dsd = jax.lax.optimization_barrier((t1, t2, dsd))
 
     # bw-layout pass (grouping key = src): gather T2 by destination → dh2+dss
     stream_c = jnp.take(t2, bw_col, axis=0, mode="clip")
-    keep_c, _ = _keep_stream(bw_orig, H, seed, attn_drop)
-    outc = _gat_pass("dsrc", H, D, alpha, inv, stream_c, bw_row, bw_ones,
-                     t1, smax, keep_c, bw_ct, n_pad)
+    outc = _gat_pass("dsrc", H, D, alpha, attn_drop, stream_c, bw_row,
+                     bw_ones, t1, smax, _drop_base(bw_orig, seed, attn_drop),
+                     bw_ct, n_pad)
     dh2 = outc[:, :HD]
     dss = outc[:, HDp:HDp + H]
 
