@@ -61,12 +61,6 @@ def main():
                     "products scale, costs 2 extra spmm passes)")
     args = ap.parse_args()
     if args.products:
-        if args.model == "gat":
-            raise SystemExit(
-                "--products --model gat is not supported on one chip: the "
-                "fused GAT path has no panel-local dispatch yet, and its "
-                "full message stream (~74 GB) exceeds HBM. Use GCN/SAGE at "
-                "products scale, or GAT at <=200k nodes.")
         args.nodes, args.avg_degree = 2_450_000, 50
         if args.r_tile is None:
             args.r_tile = 256   # measured best at products (4.31 s vs 5.42)

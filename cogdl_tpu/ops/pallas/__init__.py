@@ -81,6 +81,10 @@ def maybe_pallas_spmm(graph, x) -> Optional[jnp.ndarray]:
     extras = graph.extras
     if not extras or "spmm_fw_col" not in extras:
         return None
+    if "spmm_fw_w" not in extras:
+        # layouts prepared with store_w=False (attention-only graphs) carry
+        # no weight stream — plain spmm falls back to the XLA tier
+        return None
     if x.ndim != 2 or not _is_tpu():
         return None
     panel_rows = graph.meta_get("spmm_panel_rows", 0)
@@ -123,10 +127,9 @@ def maybe_gat_fused(graph, score_dst, score_src, h, alpha=0.2,
     when both direction layouts are prepared (TPU). Returns [n_pad, H, D]."""
     extras = graph.extras
     if (not extras or "spmm_fw_orig" not in extras
-            or "spmm_bw_orig" not in extras or not _is_tpu()
-            or extras["spmm_fw_col"].ndim != 1):   # no paneled layouts here
+            or "spmm_bw_orig" not in extras or not _is_tpu()):
         return None
-    from .segment_kernels import gat_fused
+    from .segment_kernels import gat_fused_p
 
     H, D = h.shape[1], h.shape[2]
     if attn_drop > 0.0 and dropout_rng is not None:
@@ -135,13 +138,21 @@ def maybe_gat_fused(graph, score_dst, score_src, h, alpha=0.2,
     else:
         attn_drop = 0.0
         seed = jnp.uint32(0)
-    out = gat_fused(
-        H, D, alpha, float(attn_drop),
+    panel_rows = int(graph.meta_get("spmm_panel_rows", 0))
+    r_tile = int(graph.meta_get("spmm_r_tile", R_TILE))
+    zb = jnp.zeros(0, jnp.int32)
+    zf = jnp.zeros(0, jnp.float32)
+    out = gat_fused_p(
+        H, D, alpha, float(attn_drop), panel_rows, r_tile,
         score_dst, score_src, h.reshape(-1, H * D), seed,
-        extras["spmm_fw_col"], extras["spmm_fw_row"], extras["spmm_fw_ones"],
+        extras["spmm_fw_col"], extras["spmm_fw_row"],
+        extras.get("spmm_fw_ones", zf),
         extras["spmm_fw_ct"], extras["spmm_fw_orig"],
-        extras["spmm_bw_col"], extras["spmm_bw_row"], extras["spmm_bw_ones"],
-        extras["spmm_bw_ct"], extras["spmm_bw_orig"])
+        extras.get("spmm_fw_bp", zb),
+        extras["spmm_bw_col"], extras["spmm_bw_row"],
+        extras.get("spmm_bw_ones", zf),
+        extras["spmm_bw_ct"], extras["spmm_bw_orig"],
+        extras.get("spmm_bw_bp", zb))
     return out.reshape(-1, H, D)
 
 

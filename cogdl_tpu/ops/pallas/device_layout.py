@@ -99,8 +99,14 @@ def build_spmm_layout_jax(
         E_k = exact_chunks * T_CHUNK
     n_chunks = E_k // T_CHUNK
 
+    # three sort keys: (group, col, row). col gives gather locality; row as
+    # tertiary key makes the slot stream FULLY deterministic — a transposed
+    # build of a symmetric edge set then produces the identical
+    # col/row/w/ct arrays slot-for-slot (prepare_spmm_device relies on this
+    # to share one layout between directions and keep only two orig maps;
+    # true duplicate edges remain interchangeable).
     gid_s, col_s, row_s, w_s, orig_s = jax.lax.sort(
-        (gid, col, row, weight, orig), num_keys=2, is_stable=True)
+        (gid, col, row, weight, orig), num_keys=3, is_stable=True)
 
     ones = jnp.ones(E, jnp.int32)
     counts = jax.ops.segment_sum(ones, gid_s, num_segments=n_groups,
@@ -168,8 +174,11 @@ def build_spmm_layout_jax(
         out["row_k"] = row_k.reshape(n_blocks, S)
         out["chunk_tile"] = ct.reshape(n_blocks, block_chunks)
     if with_orig:
-        out["orig_k"] = jnp.full(E_k, -1, jnp.int32).at[pos].set(
+        orig_k = jnp.full(E_k, -1, jnp.int32).at[pos].set(
             orig_s, unique_indices=True)
+        if panel_rows > 0:
+            orig_k = orig_k.reshape(out["col_k"].shape)
+        out["orig_k"] = orig_k
     return out
 
 
@@ -223,14 +232,28 @@ def prepare_spmm_device(graph, symmetric: bool = False,
                         with_orig: bool = False,
                         panel_rows: Optional[int] = None,
                         gather_bf16: bool = False,
-                        r_tile: int = R_TILE):
+                        r_tile: int = R_TILE,
+                        store_w: Optional[bool] = None,
+                        block_chunks: int = BLOCK_CHUNKS):
     """Device-side ``prepare_spmm``: attach kernel layouts built on the
     accelerator. ``symmetric=True`` (undirected graph with symmetric
     normalisation, i.e. Aᵀ = A) shares the forward layout with the backward
-    pass — half the build time and half the HBM.
+    pass — half the build time and half the HBM. With ``with_orig`` the
+    slot→edge maps still differ per direction (slot s read transposed is a
+    DIFFERENT original edge), so only the two ``orig`` arrays are kept
+    separate; col/row/w/ct buffers are aliased.
 
     ``with_orig=True`` additionally stores the slot→original-edge map the
-    fused GAT path needs (costs one more E_k-sized array).
+    fused GAT path needs (costs one more E_k-sized array). Blocked (paneled)
+    with_orig layouts derive slot validity from ``orig ≥ 0`` in-stream, so no
+    ``ones`` array is stored.
+
+    ``store_w`` (default: ``not with_orig``): keep the per-slot weight
+    stream. The fused GAT path never reads weights — at products scale the
+    two w streams are ~1.7 GB of HBM. Without it, the plain ``spmm``
+    dispatcher falls back to the XLA tier on this graph (guarded, correct,
+    slow) — set ``store_w=True`` for models that mix attention with plain
+    aggregation on one graph.
 
     ``panel_rows`` (None → auto from the node count): source-panel layouts
     for huge graphs — see :func:`build_spmm_layout_jax`."""
@@ -241,14 +264,16 @@ def prepare_spmm_device(graph, symmetric: bool = False,
     E = graph.num_edges
     row, col, w = graph.row[:E], graph.col[:E], graph.edge_weight[:E]
     if panel_rows is None:
-        panel_rows = default_panel_rows(
-            n_pad, feat_bytes=256 if gather_bf16 else 512, r_tile=r_tile)
-    if with_orig:
-        # the fused-GAT path gathers node tables in both edge orders and has
-        # no panel-local dispatch yet — keep global column indices; its
-        # kernel passes also run at the default tile height only
-        panel_rows = 0
-        r_tile = R_TILE
+        # the fused-GAT path (with_orig) gathers COMPACT node tables of up
+        # to HD+2H lanes — size panels for 576 B/row (144 f32 lanes) so the
+        # widest table's panel still VMEM-stages
+        feat_bytes = (576 if with_orig
+                      else (256 if gather_bf16 else 512))
+        panel_rows = default_panel_rows(n_pad, feat_bytes=feat_bytes,
+                                        r_tile=r_tile)
+
+    if store_w is None:
+        store_w = not with_orig
 
     build = jax.jit(build_spmm_layout_jax,
                     static_argnames=("n_pad", "with_orig", "panel_rows",
@@ -256,23 +281,36 @@ def prepare_spmm_device(graph, symmetric: bool = False,
                                      "r_tile"))
 
     def build_dir(r, c):
-        nc = count_layout_chunks(r, c, n_pad, panel_rows, r_tile=r_tile)
+        nc = count_layout_chunks(r, c, n_pad, panel_rows, r_tile=r_tile,
+                                 block_chunks=block_chunks)
         return build(r, c, w, n_pad=n_pad, with_orig=with_orig,
-                     panel_rows=panel_rows, exact_chunks=nc, r_tile=r_tile)
+                     panel_rows=panel_rows, exact_chunks=nc, r_tile=r_tile,
+                     block_chunks=block_chunks)
 
     fwd = build_dir(row, col)
     # symmetric layout sharing is valid for plain SpMM, but the fused-GAT
     # path (with_orig) keys dropout masks on original edge ids, and slot s
-    # read transposed is a *different* original edge — build bw properly then
-    bwd = fwd if (symmetric and not with_orig) else build_dir(col, row)
+    # read transposed is a *different* original edge — for a symmetric edge
+    # set the transposed layout's col/row/w/ct come out IDENTICAL (same
+    # sorted (group, col) stream), so only its orig map is kept (the rest of
+    # the second build is transient and freed)
+    if symmetric and with_orig:
+        bwd = {**fwd, "orig_k": build_dir(col, row)["orig_k"]}
+    elif symmetric:
+        bwd = fwd
+    else:
+        bwd = build_dir(col, row)
 
     extras = dict(graph.extras or {})
     extras.update({
-        "spmm_fw_col": fwd["col_k"], "spmm_fw_w": fwd["w_k"],
+        "spmm_fw_col": fwd["col_k"],
         "spmm_fw_row": fwd["row_k"], "spmm_fw_ct": fwd["chunk_tile"],
-        "spmm_bw_col": bwd["col_k"], "spmm_bw_w": bwd["w_k"],
+        "spmm_bw_col": bwd["col_k"],
         "spmm_bw_row": bwd["row_k"], "spmm_bw_ct": bwd["chunk_tile"],
     })
+    if store_w:
+        extras["spmm_fw_w"] = fwd["w_k"]
+        extras["spmm_bw_w"] = bwd["w_k"]
     if panel_rows > 0:
         extras["spmm_fw_bp"] = fwd["block_panel"]
         extras["spmm_bw_bp"] = bwd["block_panel"]
@@ -286,6 +324,8 @@ def prepare_spmm_device(graph, symmetric: bool = False,
         # directions, so each orig_k already indexes the original edge list
         for pre, lay in (("fw", fwd), ("bw", bwd)):
             extras[f"spmm_{pre}_orig"] = lay["orig_k"]
-            extras[f"spmm_{pre}_ones"] = (
-                lay["orig_k"] >= 0).astype(jnp.float32)
+            if lay["orig_k"].ndim == 1:
+                # blocked layouts derive validity from orig ≥ 0 in-stream
+                extras[f"spmm_{pre}_ones"] = (
+                    lay["orig_k"] >= 0).astype(jnp.float32)
     return graph.replace(extras=extras)

@@ -429,3 +429,142 @@ def test_segment_matmul_direct():
     np.testing.assert_allclose(out[0], 2.0)   # 1*1 + 0.5*2
     np.testing.assert_allclose(out[5], 14.0)  # 2*7
     np.testing.assert_allclose(out[1], 0.0)
+
+
+class TestGatFusedBlocked:
+    """Blocked + source-panel fused GAT — the ogbn-products-scale path:
+    mega-block streamed passes, panel-local gathers, symmetric layout
+    sharing with per-direction orig maps, validity derived from orig ≥ 0
+    (no stored ones/w streams)."""
+
+    H, D = 4, 8
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from cogdl_tpu.data.graph import pad_to
+        from cogdl_tpu.ops.pallas.device_layout import prepare_spmm_device
+
+        g = add_self_loops(sbm_graph(num_nodes=250, seed=11))
+        n_pad = ((g.n_pad + 127) // 128) * 128
+        g = pad_to(g, n_pad, g.e_pad)
+        g = prepare_spmm_device(g, symmetric=True, with_orig=True,
+                                panel_rows=128, block_chunks=2)
+        ex = g.extras
+        assert "spmm_fw_w" not in ex          # store_w defaults off here
+        assert "spmm_fw_ones" not in ex       # validity from orig ≥ 0
+        assert ex["spmm_fw_col"].ndim == 2    # blocked layout
+        assert ex["spmm_bw_col"] is ex["spmm_fw_col"]   # shared buffers
+        assert ex["spmm_bw_orig"] is not ex["spmm_fw_orig"]
+        rng = np.random.default_rng(13)
+        n = g.n_pad
+        sd = jnp.asarray(rng.normal(size=(n, self.H)).astype(np.float32))
+        ss = jnp.asarray(rng.normal(size=(n, self.H)).astype(np.float32))
+        h = jnp.asarray(
+            rng.normal(size=(n, self.H, self.D)).astype(np.float32))
+        return g, sd, ss, h
+
+    @staticmethod
+    def _ref(g, sd, ss, h, alpha=0.2):
+        from cogdl_tpu import ops
+
+        e = jnp.take(sd, g.row, axis=0) + jnp.take(ss, g.col, axis=0)
+        e = jax.nn.leaky_relu(e, alpha)
+        att = ops.edge_softmax(g, e)
+        return ops.mh_spmm(g, att, h)
+
+    def _fused(self, g, sd, ss, h, attn_drop=0.0, seed=0):
+        from cogdl_tpu.ops.pallas.segment_kernels import gat_fused_p
+
+        ex = g.extras
+        zf = jnp.zeros(0, jnp.float32)
+        out = gat_fused_p(
+            self.H, self.D, 0.2, attn_drop,
+            int(g.meta_get("spmm_panel_rows")),
+            int(g.meta_get("spmm_r_tile")),
+            sd, ss, h.reshape(-1, self.H * self.D), jnp.uint32(seed),
+            ex["spmm_fw_col"], ex["spmm_fw_row"], zf,
+            ex["spmm_fw_ct"], ex["spmm_fw_orig"], ex["spmm_fw_bp"],
+            ex["spmm_bw_col"], ex["spmm_bw_row"], zf,
+            ex["spmm_bw_ct"], ex["spmm_bw_orig"], ex["spmm_bw_bp"])
+        return out.reshape(-1, self.H, self.D)
+
+    def test_forward_parity(self, setup):
+        g, sd, ss, h = setup
+        ref = self._ref(g, sd, ss, h)
+        out = self._fused(g, sd, ss, h)
+        np.testing.assert_allclose(np.asarray(out)[: g.num_nodes],
+                                   np.asarray(ref)[: g.num_nodes],
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_grad_parity(self, setup):
+        g, sd, ss, h = setup
+        w = jnp.asarray(np.random.default_rng(3).normal(
+            size=(g.n_pad, self.H, self.D)).astype(np.float32))
+        mask = g.node_mask()[:, None, None]
+
+        def loss_fused(sd, ss, h):
+            return jnp.sum(jnp.where(mask, self._fused(g, sd, ss, h) * w, 0.0))
+
+        def loss_ref(sd, ss, h):
+            return jnp.sum(jnp.where(mask, self._ref(g, sd, ss, h) * w, 0.0))
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(sd, ss, h)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(sd, ss, h)
+        for a, b, name in zip(gf, gr, ("dsd", "dss", "dh")):
+            a, b = np.asarray(a)[: g.num_nodes], np.asarray(b)[: g.num_nodes]
+            np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4,
+                                       err_msg=name)
+
+    def test_dropout_determinism(self, setup):
+        g, sd, ss, h = setup
+        o1 = self._fused(g, sd, ss, h, attn_drop=0.5, seed=99)
+        o2 = self._fused(g, sd, ss, h, attn_drop=0.5, seed=99)
+        o3 = self._fused(g, sd, ss, h, attn_drop=0.5, seed=100)
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+        assert np.abs(np.asarray(o1) - np.asarray(o3)).max() > 1e-6
+
+    def test_dropout_grads_finite(self, setup):
+        g, sd, ss, h = setup
+
+        def loss(sd, ss, h):
+            return jnp.sum(self._fused(g, sd, ss, h, attn_drop=0.3,
+                                       seed=4) ** 2)
+
+        grads = jax.grad(loss, argnums=(0, 1, 2))(sd, ss, h)
+        for a in grads:
+            assert np.isfinite(np.asarray(a)).all()
+
+
+def test_symmetric_transposed_layout_identical():
+    """The symmetric-sharing contract: for a symmetric edge set, a build of
+    the transposed edges yields slot-for-slot identical col/row/w/ct (the
+    3-key deterministic sort), differing only in the orig map."""
+    from cogdl_tpu.data.graph import pad_to
+    from cogdl_tpu.ops.pallas.device_layout import (
+        build_spmm_layout_jax,
+        count_layout_chunks,
+    )
+
+    g = add_self_loops(sbm_graph(num_nodes=250, seed=21))
+    g = pad_to(g, ((g.n_pad + 127) // 128) * 128, g.e_pad)
+    E = g.num_edges
+    row, col, w = g.row[:E], g.col[:E], g.edge_weight[:E]
+    nc = count_layout_chunks(row, col, g.n_pad, 128, block_chunks=2)
+    kw = dict(n_pad=g.n_pad, with_orig=True, panel_rows=128,
+              exact_chunks=nc, block_chunks=2)
+    fw = build_spmm_layout_jax(row, col, w, **kw)
+    bw = build_spmm_layout_jax(col, row, w, **kw)
+    for k in ("col_k", "row_k", "w_k", "chunk_tile", "block_panel"):
+        np.testing.assert_array_equal(np.asarray(fw[k]), np.asarray(bw[k]),
+                                      err_msg=k)
+    # orig maps pair the SAME (row, col) slot with the transposed edge
+    fo, bo = np.asarray(fw["orig_k"]).ravel(), np.asarray(bw["orig_k"]).ravel()
+    rowv = np.asarray(row)
+    colv = np.asarray(col)
+    valid = fo >= 0
+    np.testing.assert_array_equal(valid, bo >= 0)
+    # fw slot s holds edge (row=dst, col=src); bw's orig at s names the
+    # original edge whose (row, col) TRANSPOSED matches the slot
+    rk = np.asarray(fw["row_k"]).ravel()[valid]
+    np.testing.assert_array_equal(rowv[fo[valid]], rk)
+    np.testing.assert_array_equal(colv[bo[valid]], rk)
