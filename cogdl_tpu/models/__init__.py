@@ -29,6 +29,7 @@ SUPPORTED_MODELS: Dict[str, str] = {
     "compgcn": "cogdl_tpu.models.nn.compgcn.CompGCN",
     "han": "cogdl_tpu.models.nn.han.HAN",
     "gtn": "cogdl_tpu.models.nn.gtn.GTN",
+    "simple_hgn": "cogdl_tpu.models.nn.simple_hgn.SimpleHGN",
     "lightgcn": "cogdl_tpu.models.nn.lightgcn.LightGCN",
     "pprgo": "cogdl_tpu.models.nn.pprgo.PPRGo",
     "graph_unet": "cogdl_tpu.models.nn.graph_unet.GraphUnet",

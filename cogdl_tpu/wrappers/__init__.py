@@ -58,6 +58,7 @@ DEFAULT_WRAPPER = {
     "lightgcn": "recommendation", "stgcn": "traffic_prediction",
     "stgat": "traffic_prediction",
     "han": "heterogeneous_gnn", "gtn": "heterogeneous_gnn",
+    "simple_hgn": "heterogeneous_gnn",
     "rgcn": "heterogeneous_gnn", "compgcn": "heterogeneous_gnn",
     "gatne": "multiplex_embedding",
     "graph2vec": "graph_embedding", "dgk": "graph_embedding",
