@@ -110,7 +110,11 @@ def main():
                   attn_drop=args.attn_drop)
     model = build_model(args.model, **kw)
     rng = jax.random.PRNGKey(0)
-    variables = model.init(rng, graph, graph.x, training=False)
+    # jit the init: params depend only on shapes, so XLA DCEs the whole
+    # forward — eager init at products scale materialises every multi-GB
+    # intermediate op-by-op and OOMs before training even starts
+    variables = jax.jit(model.init, static_argnames="training")(
+        rng, graph, graph.x, training=False)
     tx = optax.adam(1e-2)
     opt_state = tx.init(variables["params"])
 
