@@ -144,3 +144,54 @@ def test_distributed_train_step_decreases_loss(g):
                 dv["node_mask"], dv["row_local"], dv["col"], dv["w"])
             losses.append(float(jnp.mean(loss)))
     assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_expert_parallel_moe_step(g):
+    """MoE-GCN with expert-major weights sharded over the mesh — the
+    TPU-native FastMoE/EP story (reference models/nn/moe_gcn.py wraps
+    FastMoE's NCCL experts; here GSPMD partitions the expert-batched
+    einsums and inserts the psum)."""
+    from jax.sharding import NamedSharding
+
+    from cogdl_tpu.models import build_model
+    from cogdl_tpu.utils.evaluator import masked_cross_entropy
+
+    mesh = make_mesh(8)
+    n_exp = 16
+    model = build_model("moe_gcn", in_features=g.num_features,
+                        out_features=g.num_classes, hidden_size=32,
+                        num_experts=n_exp, dropout=0.0)
+    variables = model.init(jax.random.PRNGKey(0), g, g.x, training=False)
+
+    def expert_shard(path, a):
+        if ("moe" in jax.tree_util.keystr(path)
+                and a.ndim >= 1 and a.shape[0] == n_exp):
+            return jax.device_put(
+                a, NamedSharding(mesh, P("graph", *([None] * (a.ndim - 1)))))
+        return jax.device_put(a, NamedSharding(mesh, P()))
+
+    variables = jax.tree_util.tree_map_with_path(expert_shard, variables)
+    assert "graph" in str(variables["params"]["moe0"]["w1"].sharding.spec)
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(variables["params"])
+
+    @jax.jit
+    def step(variables, opt_state):
+        def loss_fn(params):
+            logits = model.apply({**variables, "params": params}, g, g.x,
+                                 training=False)
+            return masked_cross_entropy(logits, g.y,
+                                        g.train_mask & g.node_mask())
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        upd, opt_state = tx.update(grads, opt_state, variables["params"])
+        return ({**variables,
+                 "params": optax.apply_updates(variables["params"], upd)},
+                opt_state, loss)
+
+    losses = []
+    with mesh:
+        for _ in range(6):
+            variables, opt_state, loss = step(variables, opt_state)
+            losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.9, losses
