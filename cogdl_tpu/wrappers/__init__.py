@@ -21,6 +21,7 @@ SUPPORTED_WRAPPERS: Dict[str, str] = {
     "dgi": "cogdl_tpu.wrappers.self_supervised.DGIWrapper",
     "grace": "cogdl_tpu.wrappers.self_supervised.GRACEWrapper",
     "graphmae": "cogdl_tpu.wrappers.self_supervised.GraphMAEWrapper",
+    "bgrl": "cogdl_tpu.wrappers.self_supervised.BGRLWrapper",
     "self_auxiliary": "cogdl_tpu.wrappers.self_supervised.SelfAuxiliaryWrapper",
     "unsup_graphsage": "cogdl_tpu.wrappers.self_supervised.UnsupGraphSAGEWrapper",
     "clustering": "cogdl_tpu.wrappers.clustering.ClusteringWrapper",
@@ -54,6 +55,7 @@ DEFAULT_WRAPPER = {
     "sortpool": "graph_classification", "patchy_san": "patchy_san",
     "infograph": "infograph",
     "dgi": "dgi", "grace": "grace", "mvgrl": "dgi", "graphmae": "graphmae",
+    "bgrl": "bgrl",
     "unsup_graphsage": "unsup_graphsage",
     "lightgcn": "recommendation", "stgcn": "traffic_prediction",
     "stgat": "traffic_prediction",

@@ -112,6 +112,116 @@ class GraphMAEWrapper(DGIWrapper):
         return loss, {}
 
 
+class BGRLWrapper(DGIWrapper):
+    """Bootstrapped (BYOL-style) pretraining: student+predictor chases an
+    EMA teacher over two augmented views; no negatives (reference
+    examples/bgrl/train.py). The teacher pytree (encoder params + BN stats)
+    rides the Trainer's model_state and is EMA-updated in the jitted step
+    with a cosine-annealed decay (models.py:27 EMA.update_average)."""
+
+    def __init__(self, model, dataset=None, drop_edge_rates=(0.2, 0.3),
+                 drop_feature_rates=(0.2, 0.3), ema_decay: float = 0.99,
+                 ema_total_steps: int = 1000):
+        super().__init__(model, dataset)
+        self.drop_edge_rates = tuple(drop_edge_rates)
+        self.drop_feature_rates = tuple(drop_feature_rates)
+        self.ema_decay = float(ema_decay)
+        self.ema_total_steps = int(ema_total_steps)
+
+    def init(self, rng, graph: Graph):
+        variables = self.model.init(
+            {"params": rng, "dropout": rng}, graph, graph.x, True,
+            method=self.model.student)
+        variables = dict(variables)
+        teacher = {"params": variables["params"]["enc"]}
+        if "batch_stats" in variables:
+            teacher["batch_stats"] = variables["batch_stats"]["enc"]
+        variables["teacher"] = jax.tree.map(jnp.array, teacher)
+        variables["ema"] = {"step": jnp.zeros((), jnp.float32)}
+        return variables
+
+    def _views(self, graph, rng):
+        from ..utils.transforms import drop_edge, drop_feature
+
+        rs = jax.random.split(rng, 4)
+        out = []
+        for i in range(2):
+            g = drop_edge(graph, self.drop_edge_rates[i], rs[2 * i])
+            x = drop_feature(graph.x, self.drop_feature_rates[i],
+                             rs[2 * i + 1])
+            out.append((g, x))
+        return out
+
+    def loss(self, variables, graph: Graph, rng, training: bool = True):
+        rv, rd = jax.random.split(rng)
+        (g1, x1), (g2, x2) = self._views(graph, rv)
+        has_bn = "batch_stats" in variables
+        svars = {"params": variables["params"]}
+        if has_bn:
+            svars["batch_stats"] = variables["batch_stats"]
+
+        def student(sv, g, x):
+            out = self.model.apply(
+                sv, g, x, True, method=self.model.student,
+                rngs={"dropout": rd}, mutable=["batch_stats"] if has_bn
+                else False)
+            return out if has_bn else (out, {})
+
+        p1, upd1 = student(svars, g1, x1)
+        if has_bn:
+            svars = {**svars, **upd1}
+        p2, upd2 = student(svars, g2, x2)
+
+        tvars = {"params": {"enc": variables["teacher"]["params"]}}
+        if has_bn:
+            tvars["batch_stats"] = {
+                "enc": variables["teacher"]["batch_stats"]}
+        t1 = self.model.apply(tvars, g1, x1, False,
+                              method=self.model.embed)
+        t2 = self.model.apply(tvars, g2, x2, False,
+                              method=self.model.embed)
+
+        def cos_loss(p, t):
+            t = jax.lax.stop_gradient(t)
+            pn = p * jax.lax.rsqrt(jnp.maximum(
+                jnp.sum(p * p, -1, keepdims=True), 1e-12))
+            tn = t * jax.lax.rsqrt(jnp.maximum(
+                jnp.sum(t * t, -1, keepdims=True), 1e-12))
+            return 2.0 - 2.0 * jnp.sum(pn * tn, axis=-1)
+
+        m = graph.node_mask().astype(p1.dtype)
+        loss = jnp.sum((cos_loss(p1, t2) + cos_loss(p2, t1)) * m) / (
+            2.0 * jnp.maximum(m.sum(), 1.0))
+
+        # EMA teacher update (cosine-annealed decay -> 1.0), inside the step
+        step = variables["ema"]["step"]
+        frac = jnp.minimum(step / max(self.ema_total_steps, 1), 1.0)
+        beta = 1.0 - (1.0 - self.ema_decay) * (
+            jnp.cos(jnp.pi * frac) + 1.0) / 2.0
+
+        def ema(t, s):
+            return t * beta + (1.0 - beta) * jax.lax.stop_gradient(s)
+
+        new_teacher = {"params": jax.tree.map(
+            ema, variables["teacher"]["params"], variables["params"]["enc"])}
+        updates = {}
+        if has_bn:
+            new_stats = upd2["batch_stats"]
+            new_teacher["batch_stats"] = jax.tree.map(
+                ema, variables["teacher"]["batch_stats"], new_stats["enc"])
+            updates["batch_stats"] = new_stats
+        updates["teacher"] = new_teacher
+        updates["ema"] = {"step": step + 1.0}
+        return loss, updates
+
+    def evaluate(self, variables, graph: Graph):
+        emb = self.model.apply(
+            {k: variables[k] for k in ("params", "batch_stats")
+             if k in variables},
+            graph, graph.x, False, method=self.model.embed)
+        return logreg_probe(np.asarray(emb), graph)
+
+
 class UnsupGraphSAGEWrapper(DGIWrapper):
     """Unsupervised GraphSAGE: random-walk co-occurrence positives + uniform
     negatives with the sigmoid loss (reference unsup_graphsage_mw and

@@ -28,6 +28,7 @@ FAMILY_SETUP = {
     "dgi": ("sbm", dict(epochs=3, eval_step=3)),
     "grace": ("sbm", dict(epochs=3, eval_step=3)),
     "graphmae": ("sbm", dict(epochs=3, eval_step=3)),
+    "bgrl": ("sbm", dict(epochs=3, eval_step=3)),
     "unsup_graphsage": ("sbm", dict(epochs=2, eval_step=2)),
     "clustering": ("sbm", dict(epochs=3, eval_step=3)),
     "recommendation": ("rec-synthetic", dict(epochs=3, eval_step=3)),
