@@ -301,7 +301,12 @@ def from_coo(
     ea = _pad_edges(ea)
     et = _pad_edges(et)
 
-    meta_t = tuple(sorted((meta or {}).items()))
+    meta_d = dict(meta or {})
+    if et is not None and E > 0 and "num_relations" not in meta_d:
+        # record the relation count so typed models (RGCN/Simple-HGN) size
+        # their embedding tables correctly instead of clipping ids
+        meta_d["num_relations"] = int(et[:E].max()) + 1
+    meta_t = tuple(sorted(meta_d.items()))
     return Graph(
         row_ptr=jnp.asarray(row_ptr),
         row=jnp.asarray(row_p),

@@ -71,8 +71,10 @@ class ResGNNLayer(nn.Module):
         if self.norm == "layernorm":
             h = nn.LayerNorm(name="norm")(x)
         else:
-            h = nn.BatchNorm(use_running_average=not training,
-                             name="norm")(x)
+            from .utils import MaskedBatchNorm
+
+            h = MaskedBatchNorm(name="norm")(
+                x, graph.node_mask(), use_running_average=not training)
         h = nn.relu(h)
         if self.dropout > 0 and training:
             h = nn.Dropout(rate=self.dropout, deterministic=False)(h)

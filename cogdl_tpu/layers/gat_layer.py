@@ -62,7 +62,10 @@ class GATLayer(nn.Module):
                 out.shape[-1], use_bias=False, name="res_proj")(x)
             out = out + res
         if self.norm == "batchnorm":
-            out = nn.BatchNorm(use_running_average=not training, name="norm")(out)
+            from .utils import MaskedBatchNorm
+
+            out = MaskedBatchNorm(name="norm")(
+                out, graph.node_mask(), use_running_average=not training)
         elif self.norm == "layernorm":
             out = nn.LayerNorm(name="norm")(out)
         if self.activation is not None:

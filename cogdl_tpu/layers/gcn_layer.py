@@ -32,7 +32,10 @@ class GCNLayer(nn.Module):
         # as ordering linear-vs-spmm by dimensionality); XLA fuses the rest.
         out = spmm(graph, h)
         if self.norm == "batchnorm":
-            out = nn.BatchNorm(use_running_average=not training, name="norm")(out)
+            from .utils import MaskedBatchNorm
+
+            out = MaskedBatchNorm(name="norm")(
+                out, graph.node_mask(), use_running_average=not training)
         elif self.norm == "layernorm":
             out = nn.LayerNorm(name="norm")(out)
         if self.residual:

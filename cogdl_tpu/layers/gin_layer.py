@@ -32,6 +32,9 @@ class GINLayer(nn.Module):
         hidden = self.hidden_features or self.out_features
         h = nn.Dense(hidden, name="fc1")(h)
         if self.batchnorm:
-            h = nn.BatchNorm(use_running_average=not training, name="bn")(h)
+            from .utils import MaskedBatchNorm
+
+            h = MaskedBatchNorm(name="bn")(
+                h, graph.node_mask(), use_running_average=not training)
         h = nn.relu(h)
         return nn.Dense(self.out_features, name="fc2")(h)

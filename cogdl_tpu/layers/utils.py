@@ -26,3 +26,48 @@ def get_activation(name: str):
         return _ACTIVATIONS[name]
     except KeyError:
         raise ValueError(f"unknown activation {name!r}; known: {sorted(_ACTIVATIONS)}")
+
+
+import flax.linen as nn
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm whose batch statistics ignore pad rows.
+
+    Graphs here are statically padded; all-zero pad rows pull the batch mean
+    toward 0 and shrink the variance in proportion to the padding fraction,
+    which the reference (unpadded tensors) never sees. Pass the graph's
+    node mask; running stats live in the ``batch_stats`` collection with
+    nn.BatchNorm's semantics (mutable during training applies).
+    """
+
+    momentum: float = 0.99
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mask=None, use_running_average: bool = True):
+        f = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(f, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(f, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (f,))
+        bias = self.param("bias", nn.initializers.zeros, (f,))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            if mask is None:
+                mean = xf.mean(axis=0)
+                var = xf.var(axis=0)
+            else:
+                m = mask.astype(jnp.float32)[:, None]
+                n = jnp.maximum(m.sum(), 1.0)
+                mean = (xf * m).sum(axis=0) / n
+                var = (jnp.square(xf - mean) * m).sum(axis=0) / n
+            if not self.is_initializing():
+                mom = self.momentum
+                ra_mean.value = mom * ra_mean.value + (1 - mom) * mean
+                ra_var.value = mom * ra_var.value + (1 - mom) * var
+        inv = jax.lax.rsqrt(var + self.epsilon).astype(x.dtype)
+        return (x - mean.astype(x.dtype)) * inv * scale + bias

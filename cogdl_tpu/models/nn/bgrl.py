@@ -32,14 +32,17 @@ class BGRLEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, graph: Graph, x: jnp.ndarray, training: bool = False):
+        from ...layers.utils import MaskedBatchNorm
+
         g = sym_norm(graph)
+        mask = graph.node_mask()   # pad rows must not skew batch statistics
         x = GCNLayer(self.hidden_size, bias=False, name="gcn1")(g, x, training)
-        x = nn.BatchNorm(use_running_average=not training, momentum=0.99,
-                         name="bn1")(x)
+        x = MaskedBatchNorm(momentum=0.99, name="bn1")(
+            x, mask, use_running_average=not training)
         x = nn.PReLU()(x)
         x = GCNLayer(self.rep_size, bias=False, name="gcn2")(g, x, training)
-        x = nn.BatchNorm(use_running_average=not training, momentum=0.99,
-                         name="bn2")(x)
+        x = MaskedBatchNorm(momentum=0.99, name="bn2")(
+            x, mask, use_running_average=not training)
         return nn.PReLU()(x)
 
 

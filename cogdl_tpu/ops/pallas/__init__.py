@@ -50,7 +50,13 @@ def prepare_spmm(graph):
     # original edge order so fw/bw dropout masks agree per edge
     bw_orig = np.where(bwd["orig_k"] >= 0, order[bwd["orig_k"]], -1)
 
-    extras = dict(graph.extras or {})
+    # drop any stale layout pieces from an earlier prepare (see
+    # device_layout.prepare_spmm_device) and reset the dispatch meta — this
+    # host layout is single-panel at the default tile height
+    extras = {k: v for k, v in (graph.extras or {}).items()
+              if not k.startswith("spmm_")}
+    graph = graph.with_meta(spmm_panel_rows=0, spmm_gather_bf16=False,
+                            spmm_r_tile=R_TILE)
     extras.update({
         "spmm_fw_orig": jnp.asarray(fwd["orig_k"]),
         "spmm_fw_ones": jnp.asarray((fwd["orig_k"] >= 0).astype(np.float32)),

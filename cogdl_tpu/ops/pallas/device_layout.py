@@ -301,7 +301,11 @@ def prepare_spmm_device(graph, symmetric: bool = False,
     else:
         bwd = build_dir(col, row)
 
-    extras = dict(graph.extras or {})
+    # re-preparing a graph must not leave stale layout pieces behind: a
+    # leftover w/ones/bp stream from an earlier build would be paired with
+    # the NEW col/row/ct by the dispatch guards
+    extras = {k: v for k, v in (graph.extras or {}).items()
+              if not k.startswith("spmm_")}
     extras.update({
         "spmm_fw_col": fwd["col_k"],
         "spmm_fw_row": fwd["row_k"], "spmm_fw_ct": fwd["chunk_tile"],

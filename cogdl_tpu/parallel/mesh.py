@@ -82,3 +82,23 @@ def shard_graph(graph: Graph, mesh: Mesh, axis: str = GRAPH_AXIS) -> Graph:
         val_mask=put(graph.val_mask, node_sh),
         test_mask=put(graph.test_mask, node_sh),
     )
+
+
+def shard_expert_params(mesh: Mesh, variables, num_experts: int,
+                        axis: str = GRAPH_AXIS, match: str = "moe"):
+    """Expert parallelism: place expert-major weight tensors ([E, ...] leaves
+    under modules whose path contains ``match``) sharded along the mesh axis,
+    everything else replicated. GSPMD then runs each device's expert slice
+    locally and inserts the psum over the expert axis — the TPU-native
+    FastMoE story (reference models/nn/moe_gcn.py wraps FastMoE's NCCL
+    experts)."""
+    from jax.sharding import PartitionSpec as P
+
+    def place(path, a):
+        if (match in jax.tree_util.keystr(path)
+                and getattr(a, "ndim", 0) >= 1 and a.shape[0] == num_experts):
+            spec = P(axis, *([None] * (a.ndim - 1)))
+            return jax.device_put(a, NamedSharding(mesh, spec))
+        return jax.device_put(a, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map_with_path(place, variables)

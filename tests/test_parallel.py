@@ -151,9 +151,8 @@ def test_expert_parallel_moe_step(g):
     TPU-native FastMoE/EP story (reference models/nn/moe_gcn.py wraps
     FastMoE's NCCL experts; here GSPMD partitions the expert-batched
     einsums and inserts the psum)."""
-    from jax.sharding import NamedSharding
-
     from cogdl_tpu.models import build_model
+    from cogdl_tpu.parallel import shard_expert_params
     from cogdl_tpu.utils.evaluator import masked_cross_entropy
 
     mesh = make_mesh(8)
@@ -162,15 +161,7 @@ def test_expert_parallel_moe_step(g):
                         out_features=g.num_classes, hidden_size=32,
                         num_experts=n_exp, dropout=0.0)
     variables = model.init(jax.random.PRNGKey(0), g, g.x, training=False)
-
-    def expert_shard(path, a):
-        if ("moe" in jax.tree_util.keystr(path)
-                and a.ndim >= 1 and a.shape[0] == n_exp):
-            return jax.device_put(
-                a, NamedSharding(mesh, P("graph", *([None] * (a.ndim - 1)))))
-        return jax.device_put(a, NamedSharding(mesh, P()))
-
-    variables = jax.tree_util.tree_map_with_path(expert_shard, variables)
+    variables = shard_expert_params(mesh, variables, n_exp)
     assert "graph" in str(variables["params"]["moe0"]["w1"].sharding.spec)
     tx = optax.adam(1e-2)
     opt_state = tx.init(variables["params"])
