@@ -90,6 +90,7 @@ def main():
         if _is_tpu():
             graph = prepare_spmm_device(graph, symmetric=True,
                                         with_orig=args.model == "gat",
+                                        with_dropout=args.attn_drop > 0,
                                         gather_bf16=args.bf16_gather,
                                         r_tile=args.r_tile)
             # the kernel path reads only the layout extras — free the raw

@@ -132,13 +132,21 @@ def maybe_gat_fused(graph, score_dst, score_src, h, alpha=0.2,
     """Fully fused kernel-tier GAT (scores+softmax+aggregate, custom VJP)
     when both direction layouts are prepared (TPU). Returns [n_pad, H, D]."""
     extras = graph.extras
-    if (not extras or "spmm_fw_orig" not in extras
-            or "spmm_bw_orig" not in extras or not _is_tpu()):
+    if not extras or not _is_tpu():
+        return None
+    packed = "spmm_fw_pack" in extras
+    if not packed and ("spmm_fw_orig" not in extras
+                       or "spmm_bw_orig" not in extras):
         return None
     from .segment_kernels import gat_fused_p
 
     H, D = h.shape[1], h.shape[2]
     if attn_drop > 0.0 and dropout_rng is not None:
+        if packed and "spmm_fw_orig" not in extras:
+            raise ValueError(
+                "attention dropout on a blocked fused-GAT layout needs the "
+                "orig maps: prepare_spmm_device(..., with_orig=True, "
+                "with_dropout=True)")
         seed = jax.random.randint(dropout_rng, (), 0, 2**31 - 1,
                                   dtype=jnp.int32).astype(jnp.uint32)
     else:
@@ -148,16 +156,18 @@ def maybe_gat_fused(graph, score_dst, score_src, h, alpha=0.2,
     r_tile = int(graph.meta_get("spmm_r_tile", R_TILE))
     zb = jnp.zeros(0, jnp.int32)
     zf = jnp.zeros(0, jnp.float32)
+    fw_col = extras["spmm_fw_pack"] if packed else extras["spmm_fw_col"]
+    bw_col = extras["spmm_bw_pack"] if packed else extras["spmm_bw_col"]
     out = gat_fused_p(
         H, D, alpha, float(attn_drop), panel_rows, r_tile,
         score_dst, score_src, h.reshape(-1, H * D), seed,
-        extras["spmm_fw_col"], extras["spmm_fw_row"],
+        fw_col, extras.get("spmm_fw_row", zb),
         extras.get("spmm_fw_ones", zf),
-        extras["spmm_fw_ct"], extras["spmm_fw_orig"],
+        extras["spmm_fw_ct"], extras.get("spmm_fw_orig", zb),
         extras.get("spmm_fw_bp", zb),
-        extras["spmm_bw_col"], extras["spmm_bw_row"],
+        bw_col, extras.get("spmm_bw_row", zb),
         extras.get("spmm_bw_ones", zf),
-        extras["spmm_bw_ct"], extras["spmm_bw_orig"],
+        extras["spmm_bw_ct"], extras.get("spmm_bw_orig", zb),
         extras.get("spmm_bw_bp", zb))
     return out.reshape(-1, H, D)
 
@@ -167,6 +177,7 @@ def maybe_pallas_mh_spmm(graph, attention, h):
     extras = graph.extras
     if (not extras or "spmm_fw_orig" not in extras or not _is_tpu()
             or attention.ndim != 2 or h.ndim != 3
+            or "spmm_fw_col" not in extras
             or extras["spmm_fw_col"].ndim != 1):   # no paneled layouts here
         return None
     from .segment_kernels import mh_spmm_pallas

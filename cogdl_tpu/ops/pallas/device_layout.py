@@ -179,6 +179,19 @@ def build_spmm_layout_jax(
         if panel_rows > 0:
             orig_k = orig_k.reshape(out["col_k"].shape)
         out["orig_k"] = orig_k
+    if panel_rows > 0 and with_orig:
+        # packed slot stream for the fused-GAT blocked path: one int32 per
+        # slot carries (panel-local col | row offset within the dst tile |
+        # validity bit) — a third of the col+row+ones footprint (~2.8 GB at
+        # ogbn-products). The fw and bw streams of a symmetric edge set are
+        # identical, so prepare_spmm_device stores ONE pack array.
+        assert panel_rows <= (1 << 18), panel_rows
+        assert r_tile <= 256, r_tile
+        off = row_k - jnp.take(ct, jnp.arange(E_k, dtype=jnp.int32)
+                               // T_CHUNK) * r_tile
+        pack = (col_k | (off << 18)
+                | slot_used.astype(jnp.int32) << 26)
+        out["pack_k"] = pack.reshape(out["col_k"].shape)
     return out
 
 
@@ -234,6 +247,7 @@ def prepare_spmm_device(graph, symmetric: bool = False,
                         gather_bf16: bool = False,
                         r_tile: int = R_TILE,
                         store_w: Optional[bool] = None,
+                        with_dropout: bool = False,
                         block_chunks: int = BLOCK_CHUNKS):
     """Device-side ``prepare_spmm``: attach kernel layouts built on the
     accelerator. ``symmetric=True`` (undirected graph with symmetric
@@ -254,6 +268,13 @@ def prepare_spmm_device(graph, symmetric: bool = False,
     dispatcher falls back to the XLA tier on this graph (guarded, correct,
     slow) — set ``store_w=True`` for models that mix attention with plain
     aggregation on one graph.
+
+    Blocked (paneled) with_orig layouts store a single PACKED int32 slot
+    stream (panel-local col | dst-tile row offset | validity) shared by both
+    directions; the per-direction ``orig`` maps (the only state attention
+    dropout needs) are stored only when ``with_dropout=True`` — they are
+    ~1.8 GB at products scale, and ``maybe_gat_fused`` raises if dropout is
+    requested on a graph prepared without them.
 
     ``panel_rows`` (None → auto from the node count): source-panel layouts
     for huge graphs — see :func:`build_spmm_layout_jax`."""
@@ -306,11 +327,15 @@ def prepare_spmm_device(graph, symmetric: bool = False,
     # the NEW col/row/ct by the dispatch guards
     extras = {k: v for k, v in (graph.extras or {}).items()
               if not k.startswith("spmm_")}
+    packed = with_orig and panel_rows > 0
+    if not packed or store_w:
+        # the plain spmm route reads col/row/w streams
+        extras.update({
+            "spmm_fw_col": fwd["col_k"], "spmm_fw_row": fwd["row_k"],
+            "spmm_bw_col": bwd["col_k"], "spmm_bw_row": bwd["row_k"],
+        })
     extras.update({
-        "spmm_fw_col": fwd["col_k"],
-        "spmm_fw_row": fwd["row_k"], "spmm_fw_ct": fwd["chunk_tile"],
-        "spmm_bw_col": bwd["col_k"],
-        "spmm_bw_row": bwd["row_k"], "spmm_bw_ct": bwd["chunk_tile"],
+        "spmm_fw_ct": fwd["chunk_tile"], "spmm_bw_ct": bwd["chunk_tile"],
     })
     if store_w:
         extras["spmm_fw_w"] = fwd["w_k"]
@@ -323,13 +348,16 @@ def prepare_spmm_device(graph, symmetric: bool = False,
     graph = graph.with_meta(spmm_panel_rows=panel_rows,
                             spmm_gather_bf16=bool(gather_bf16),
                             spmm_r_tile=r_tile)
-    if with_orig:
-        # the device builder consumes edges in original order for BOTH
-        # directions, so each orig_k already indexes the original edge list
+    if packed:
+        extras["spmm_fw_pack"] = fwd["pack_k"]
+        extras["spmm_bw_pack"] = bwd["pack_k"]   # aliased when symmetric
+        if with_dropout:
+            extras["spmm_fw_orig"] = fwd["orig_k"]
+            extras["spmm_bw_orig"] = bwd["orig_k"]
+    elif with_orig:
+        # 1-D (single-panel) fused-GAT layouts: per-direction orig + ones
         for pre, lay in (("fw", fwd), ("bw", bwd)):
             extras[f"spmm_{pre}_orig"] = lay["orig_k"]
-            if lay["orig_k"].ndim == 1:
-                # blocked layouts derive validity from orig ≥ 0 in-stream
-                extras[f"spmm_{pre}_ones"] = (
-                    lay["orig_k"] >= 0).astype(jnp.float32)
+            extras[f"spmm_{pre}_ones"] = (
+                lay["orig_k"] >= 0).astype(jnp.float32)
     return graph.replace(extras=extras)

@@ -486,7 +486,8 @@ def _pad_to(a: jnp.ndarray, w: int) -> jnp.ndarray:
 
 
 def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
-                          alpha: float, attn_drop: float):
+                          alpha: float, attn_drop: float,
+                          packed: bool = False):
     """One fused GAT pass over a prepared edge layout.
 
     mode 'fwd' : stream=[h2|ss] by src, node=sd (dst key)
@@ -514,8 +515,12 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
 
     def kernel(*refs):
         ct_ref = refs[0]
-        stream_ref, row_ref, w_ref, node_ref, smax_ref = refs[1:6]
-        base_ref = refs[6] if with_drop else None
+        if packed:
+            stream_ref, pack_ref, node_ref, smax_ref = refs[1:5]
+            base_ref = refs[5] if with_drop else None
+        else:
+            stream_ref, row_ref, w_ref, node_ref, smax_ref = refs[1:6]
+            base_ref = refs[6] if with_drop else None
         out_ref = refs[-1]
 
         c = pl.program_id(0)
@@ -527,9 +532,19 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        rows = row_ref[:][None, :]                       # [1, T] abs key row
-        w = w_ref[:]                                     # [T] slot validity
         base = tile * r_tile
+        if packed:
+            # one int32 per slot: (col | row_off << 18 | valid << 26) —
+            # rows and validity unpack in-register (values < 2^27, so the
+            # uint32 shifts are exact)
+            pk = pack_ref[:].astype(jnp.uint32)          # [T]
+            rows = (base
+                    + ((pk >> jnp.uint32(18)) & jnp.uint32(0xFF)).astype(
+                        jnp.int32))[None, :]
+            w = ((pk >> jnp.uint32(26)) & jnp.uint32(1)).astype(jnp.float32)
+        else:
+            rows = row_ref[:][None, :]                   # [1, T] abs key row
+            w = w_ref[:]                                 # [T] slot validity
         r_ids = jax.lax.broadcasted_iota(
             jnp.int32, (r_tile, T_CHUNK), 0) + base
         pv = jnp.where(rows == r_ids, w[None, :], 0.0)   # [r, T] routing
@@ -622,13 +637,15 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
 
 def _gat_pass(mode, H, D, alpha, attn_drop, stream, row_k, w_k, node_tab,
               smax_tab, base, ct, n_pad, r_tile: int = R_TILE,
-              local_out: bool = False,
+              local_out: bool = False, pack: Optional[jnp.ndarray] = None,
               interpret: Optional[bool] = None):
     """One fused pass over (a block of) the layout. ``ct`` holds ABSOLUTE
     tile ids — the node table is always indexed globally; with
     ``local_out=True`` the output BlockSpec rebases tiles by ``ct[0]`` so the
     pass writes an ``n_pad``-row *local slab* (the mega-block driver
-    accumulates slabs into the global buffer)."""
+    accumulates slabs into the global buffer). ``pack`` replaces
+    ``row_k``/``w_k`` with one int32 stream (rows/validity unpack
+    in-register)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -640,14 +657,23 @@ def _gat_pass(mode, H, D, alpha, attn_drop, stream, row_k, w_k, node_tab,
     HDp = -(-HD // F_BLK) * F_BLK
     n_chunks = E_k // T_CHUNK
     Wout = 128 if mode == "dsd" else HDp + 128
-    in_specs = [
-        pl.BlockSpec((T_CHUNK, Ws), lambda c, ct: (c, 0)),
-        pl.BlockSpec((T_CHUNK,), lambda c, ct: (c,)),
-        pl.BlockSpec((T_CHUNK,), lambda c, ct: (c,)),
+    packed = pack is not None
+    in_specs = [pl.BlockSpec((T_CHUNK, Ws), lambda c, ct: (c, 0))]
+    args = [stream]
+    if packed:
+        in_specs.append(pl.BlockSpec((T_CHUNK,), lambda c, ct: (c,)))
+        args.append(pack)
+    else:
+        in_specs += [
+            pl.BlockSpec((T_CHUNK,), lambda c, ct: (c,)),
+            pl.BlockSpec((T_CHUNK,), lambda c, ct: (c,)),
+        ]
+        args += [row_k, w_k]
+    in_specs += [
         pl.BlockSpec((r_tile, Wn), lambda c, ct: (ct[c], 0)),
         pl.BlockSpec((8, 128), lambda c, ct: (0, 0)),
     ]
-    args = [stream, row_k, w_k, node_tab, smax_tab]
+    args += [node_tab, smax_tab]
     if attn_drop > 0.0:
         in_specs.append(pl.BlockSpec((T_CHUNK,), lambda c, ct: (c,)))
         args.append(base)
@@ -659,7 +685,8 @@ def _gat_pass(mode, H, D, alpha, attn_drop, stream, row_k, w_k, node_tab,
         num_scalar_prefetch=1, grid=(n_chunks,), in_specs=in_specs,
         out_specs=out_spec)
     return pl.pallas_call(
-        _make_gat_pass_kernel(mode, H, D, HDp, r_tile, alpha, attn_drop),
+        _make_gat_pass_kernel(mode, H, D, HDp, r_tile, alpha, attn_drop,
+                              packed=packed),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, Wout), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -686,6 +713,11 @@ def _gat_apply(mode, H, D, alpha, attn_drop, table, node_tab, smax_tab,
         return _gat_pass(mode, H, D, alpha, attn_drop, stream, row, ones,
                          node_tab, smax_tab, base, ct, n_pad, r_tile=r_tile)
 
+    # blocked layouts are PACKED: ``col`` carries one int32 per slot
+    # (panel-local col | dst-tile row offset << 18 | validity << 26) — a
+    # third of the col+row+ones footprint at products scale; ``row``/``ones``
+    # are unused dummies. ``orig`` (per-direction) exists only when the graph
+    # was prepared with_dropout.
     n_blocks, bc = ct.shape
     n_local = bc * r_tile
     Wt = table.shape[1]
@@ -694,17 +726,21 @@ def _gat_apply(mode, H, D, alpha, attn_drop, table, node_tab, smax_tab,
     Wout = 128 if mode == "dsd" else HDp + 128
     if bp is None or panel_rows <= 0:
         bp = jnp.zeros(n_blocks, jnp.int32)
-    # slot validity derives from the orig map (≥ 0 ⟺ real edge) — huge
-    # layouts skip storing a dedicated ones stream (0.85 GB at products)
-    ones = None if (ones is None or ones.ndim != 2) else ones
+    with_drop = attn_drop > 0.0
+    if with_drop and (orig is None or orig.ndim != 2):
+        raise ValueError(
+            "attention dropout on a blocked fused-GAT layout needs the "
+            "orig maps: prepare_spmm_device(..., with_orig=True, "
+            "with_dropout=True)")
 
     def body(out, b):
-        if ones is None:
-            col_b, row_b, ct_b, orig_b, pid = b
-            ones_b = (orig_b >= 0).astype(jnp.float32)
+        if with_drop:
+            pack_b, ct_b, orig_b, pid = b
         else:
-            col_b, row_b, ones_b, ct_b, orig_b, pid = b
+            pack_b, ct_b, pid = b
+            orig_b = None
         first = ct_b[0]
+        col_b = pack_b & jnp.int32((1 << 18) - 1)
         if panel_rows > 0:
             # clamp the last panel's window instead of padding the table
             start = jnp.minimum(pid * panel_rows, table.shape[0] - panel_rows)
@@ -716,9 +752,9 @@ def _gat_apply(mode, H, D, alpha, attn_drop, table, node_tab, smax_tab,
         if stream.dtype != jnp.float32:
             stream = stream.astype(jnp.float32)
         base = _drop_base(orig_b, seed, attn_drop)
-        local = _gat_pass(mode, H, D, alpha, attn_drop, stream, row_b,
-                          ones_b, node_tab, smax_tab, base, ct_b, n_local,
-                          r_tile=r_tile, local_out=True)
+        local = _gat_pass(mode, H, D, alpha, attn_drop, stream, None,
+                          None, node_tab, smax_tab, base, ct_b, n_local,
+                          r_tile=r_tile, local_out=True, pack=pack_b)
         # local tiles this block's chunks never visited hold undefined
         # kernel memory — zero them before accumulating
         visited = jnp.zeros(bc, jnp.bool_).at[ct_b - first].set(
@@ -729,8 +765,7 @@ def _gat_apply(mode, H, D, alpha, attn_drop, table, node_tab, smax_tab,
         out = jax.lax.dynamic_update_slice(out, slab + local, (off, 0))
         return out, None
 
-    xs = ((col, row, ct, orig, bp) if ones is None
-          else (col, row, ones, ct, orig, bp))
+    xs = (col, ct, orig, bp) if with_drop else (col, ct, bp)
     out = jnp.zeros((n_pad + n_local, Wout), jnp.float32)
     out, _ = jax.lax.scan(body, out, xs)
     return out[:n_pad]

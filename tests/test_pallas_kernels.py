@@ -433,9 +433,9 @@ def test_segment_matmul_direct():
 
 class TestGatFusedBlocked:
     """Blocked + source-panel fused GAT — the ogbn-products-scale path:
-    mega-block streamed passes, panel-local gathers, symmetric layout
-    sharing with per-direction orig maps, validity derived from orig ≥ 0
-    (no stored ones/w streams)."""
+    mega-block streamed passes, panel-local gathers, ONE packed int32 slot
+    stream (col | row offset | validity) shared by both directions with
+    per-direction orig maps (stored only when dropout is requested)."""
 
     H, D = 4, 8
 
@@ -448,12 +448,14 @@ class TestGatFusedBlocked:
         n_pad = ((g.n_pad + 127) // 128) * 128
         g = pad_to(g, n_pad, g.e_pad)
         g = prepare_spmm_device(g, symmetric=True, with_orig=True,
+                                with_dropout=True,
                                 panel_rows=128, block_chunks=2)
         ex = g.extras
         assert "spmm_fw_w" not in ex          # store_w defaults off here
-        assert "spmm_fw_ones" not in ex       # validity from orig ≥ 0
-        assert ex["spmm_fw_col"].ndim == 2    # blocked layout
-        assert ex["spmm_bw_col"] is ex["spmm_fw_col"]   # shared buffers
+        assert "spmm_fw_ones" not in ex       # validity rides the pack bit
+        assert "spmm_fw_col" not in ex        # packed stream replaces col/row
+        assert ex["spmm_fw_pack"].ndim == 2   # blocked layout
+        assert ex["spmm_bw_pack"] is ex["spmm_fw_pack"]   # shared buffer
         assert ex["spmm_bw_orig"] is not ex["spmm_fw_orig"]
         rng = np.random.default_rng(13)
         n = g.n_pad
@@ -476,15 +478,16 @@ class TestGatFusedBlocked:
         from cogdl_tpu.ops.pallas.segment_kernels import gat_fused_p
 
         ex = g.extras
+        zb = jnp.zeros(0, jnp.int32)
         zf = jnp.zeros(0, jnp.float32)
         out = gat_fused_p(
             self.H, self.D, 0.2, attn_drop,
             int(g.meta_get("spmm_panel_rows")),
             int(g.meta_get("spmm_r_tile")),
             sd, ss, h.reshape(-1, self.H * self.D), jnp.uint32(seed),
-            ex["spmm_fw_col"], ex["spmm_fw_row"], zf,
+            ex["spmm_fw_pack"], zb, zf,
             ex["spmm_fw_ct"], ex["spmm_fw_orig"], ex["spmm_fw_bp"],
-            ex["spmm_bw_col"], ex["spmm_bw_row"], zf,
+            ex["spmm_bw_pack"], zb, zf,
             ex["spmm_bw_ct"], ex["spmm_bw_orig"], ex["spmm_bw_bp"])
         return out.reshape(-1, self.H, self.D)
 
@@ -554,7 +557,8 @@ def test_symmetric_transposed_layout_identical():
               exact_chunks=nc, block_chunks=2)
     fw = build_spmm_layout_jax(row, col, w, **kw)
     bw = build_spmm_layout_jax(col, row, w, **kw)
-    for k in ("col_k", "row_k", "w_k", "chunk_tile", "block_panel"):
+    for k in ("col_k", "row_k", "w_k", "chunk_tile", "block_panel",
+              "pack_k"):
         np.testing.assert_array_equal(np.asarray(fw[k]), np.asarray(bw[k]),
                                       err_msg=k)
     # orig maps pair the SAME (row, col) slot with the transposed edge
