@@ -84,6 +84,8 @@ SUPPORTED_DATASETS: Dict[str, str] = {
     "cora_geom": "cogdl_tpu.datasets.geom.build",
     "citeseer_geom": "cogdl_tpu.datasets.geom.build",
     "pubmed_geom": "cogdl_tpu.datasets.geom.build",
+    # DGraphFin finance graph (reference examples/dgraph)
+    "dgraphfin": "cogdl_tpu.datasets.dgraphfin.build",
     # rd2cd collection (reference datasets/rd2cd_data.py)
     "Github": "cogdl_tpu.datasets.rd2cd.build",
     "Elliptic": "cogdl_tpu.datasets.rd2cd.build",

@@ -509,3 +509,29 @@ def test_registry_covers_reference_names():
     ]
     missing = [n for n in reference_names if n not in SUPPORTED_DATASETS]
     assert not missing, f"registry missing reference names: {missing}"
+
+
+def test_dgraphfin_format_roundtrip(tmp_path):
+    from cogdl_tpu.datasets import dgraphfin
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    rng = np.random.default_rng(0)
+    N = 40
+    tr = rng.choice(N, 10, replace=False)
+    rest = np.setdiff1d(np.arange(N), tr)
+    va, te = rest[:10], rest[10:20]
+    np.savez(raw / "dgraphfin.npz",
+             x=rng.normal(size=(N, 17)).astype(np.float32),
+             y=rng.integers(0, 2, N),
+             edge_index=rng.integers(0, N, (90, 2)),
+             train_mask=tr, valid_mask=va, test_mask=te)
+    ds = dgraphfin.build("dgraphfin", str(tmp_path))
+    g = ds.graph
+    assert int(np.asarray(g.train_mask).sum()) == 10
+    assert int(np.asarray(g.val_mask).sum()) == 10
+    assert int(np.asarray(g.test_mask).sum()) == 10
+    assert g.num_edges == 90 and ds.num_classes == 2
+    # feature normalization applied
+    xr = np.asarray(g.x)[:N]
+    np.testing.assert_allclose(xr.mean(0), 0.0, atol=1e-4)
