@@ -535,13 +535,17 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
         base = tile * r_tile
         if packed:
             # one int32 per slot: (col | row_off << 18 | valid << 26) —
-            # rows and validity unpack in-register (values < 2^27, so the
-            # uint32 shifts are exact)
-            pk = pack_ref[:].astype(jnp.uint32)          # [T]
-            rows = (base
-                    + ((pk >> jnp.uint32(18)) & jnp.uint32(0xFF)).astype(
-                        jnp.int32))[None, :]
-            w = ((pk >> jnp.uint32(26)) & jnp.uint32(1)).astype(jnp.float32)
+            # rows and validity unpack in-register. Values are < 2^27 so
+            # u32 shifts are exact; Mosaic has no u32→i32/f32 casts, so the
+            # results come back via free bitcasts (and validity via i32→f32,
+            # which it does support).
+            pk = jax.lax.bitcast_convert_type(pack_ref[:], jnp.uint32)
+            off = jax.lax.bitcast_convert_type(
+                (pk >> jnp.uint32(18)) & jnp.uint32(0xFF), jnp.int32)
+            rows = (base + off)[None, :]
+            w = jax.lax.bitcast_convert_type(
+                (pk >> jnp.uint32(26)) & jnp.uint32(1),
+                jnp.int32).astype(jnp.float32)
         else:
             rows = row_ref[:][None, :]                   # [1, T] abs key row
             w = w_ref[:]                                 # [T] slot validity
