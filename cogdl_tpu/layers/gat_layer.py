@@ -45,7 +45,7 @@ class GATLayer(nn.Module):
         drop = self.attn_drop if training else 0.0
         rng = self.make_rng("dropout") if (drop > 0 and training) else None
         # fused layout-order path (TPU): no [E, H] tensors materialised
-        out = maybe_gat_fused(graph, score_dst, score_src, h,
+        out = maybe_gat_fused(graph, score_dst, score_src, h, a_src,
                               alpha=self.alpha, attn_drop=drop,
                               dropout_rng=rng)
         if out is None:

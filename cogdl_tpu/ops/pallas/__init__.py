@@ -127,10 +127,14 @@ def maybe_pallas_spmm(graph, x) -> Optional[jnp.ndarray]:
     )
 
 
-def maybe_gat_fused(graph, score_dst, score_src, h, alpha=0.2,
+def maybe_gat_fused(graph, score_dst, score_src, h, a_src, alpha=0.2,
                     attn_drop=0.0, dropout_rng=None):
     """Fully fused kernel-tier GAT (scores+softmax+aggregate, custom VJP)
-    when both direction layouts are prepared (TPU). Returns [n_pad, H, D]."""
+    when both direction layouts are prepared (TPU). ``a_src`` is the src
+    attention vector [H, D] (or [1, H, D]); the kernels gather h alone and
+    recompute the src score half in-register from it — ``score_src`` must
+    equal ``Σ_d a_src·h`` (it is consumed only for the softmax bound).
+    Returns [n_pad, H, D]."""
     extras = graph.extras
     if not extras or not _is_tpu():
         return None
@@ -138,9 +142,10 @@ def maybe_gat_fused(graph, score_dst, score_src, h, alpha=0.2,
     if not packed and ("spmm_fw_orig" not in extras
                        or "spmm_bw_orig" not in extras):
         return None
-    from .segment_kernels import gat_fused_p
+    from .segment_kernels import build_ar, gat_fused_p
 
     H, D = h.shape[1], h.shape[2]
+    ar = build_ar(jnp.asarray(a_src).reshape(H, D), H, D)
     if attn_drop > 0.0 and dropout_rng is not None:
         if packed and "spmm_fw_orig" not in extras:
             raise ValueError(
@@ -160,7 +165,7 @@ def maybe_gat_fused(graph, score_dst, score_src, h, alpha=0.2,
     bw_col = extras["spmm_bw_pack"] if packed else extras["spmm_bw_col"]
     out = gat_fused_p(
         H, D, alpha, float(attn_drop), panel_rows, r_tile,
-        score_dst, score_src, h.reshape(-1, H * D), seed,
+        score_dst, score_src, h.reshape(-1, H * D), ar, seed,
         fw_col, extras.get("spmm_fw_row", zb),
         extras.get("spmm_fw_ones", zf),
         extras["spmm_fw_ct"], extras.get("spmm_fw_orig", zb),

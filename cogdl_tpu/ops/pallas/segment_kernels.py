@@ -516,11 +516,12 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
     def kernel(*refs):
         ct_ref = refs[0]
         if packed:
-            stream_ref, pack_ref, node_ref, smax_ref = refs[1:5]
-            base_ref = refs[5] if with_drop else None
-        else:
-            stream_ref, row_ref, w_ref, node_ref, smax_ref = refs[1:6]
+            stream_ref, pack_ref, node_ref, smax_ref, ar_ref = refs[1:6]
             base_ref = refs[6] if with_drop else None
+        else:
+            (stream_ref, row_ref, w_ref, node_ref, smax_ref,
+             ar_ref) = refs[1:7]
+            base_ref = refs[7] if with_drop else None
         out_ref = refs[-1]
 
         c = pl.program_id(0)
@@ -602,10 +603,16 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
             return mm(x, jnp.where(
                 jnp.logical_and(wi == li + off, li < H), 1.0, 0.0), 1, 0)
 
+        # the src half of the score is RECOMPUTED from the gathered h2 row:
+        # ss_e[t, h] = Σ_l msg[t, l] · ar[l, h] (ar is the block-diagonal
+        # a_src matrix). This removes the [h2|ss] concat table entirely —
+        # at products scale that table cost ~4.8 GB of double-layout temps.
+        ar = ar_ref[:]
+
         if mode == "fwd":
             sd_e = nd                                    # [T, 128]
             msg = ext_wide(stream)
-            ss_e = ext_h(stream, HD)
+            ss_e = mm(msg, ar, 1, 0)
             _, ex = _edge_scores(sd_e, ss_e, smax, w, alpha)
             exn = ex * keepn if with_drop else ex
             exw = mm(exn, bmat, 1, 0)                    # [T, HDp]
@@ -613,7 +620,7 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
             out_ref[:, HDp:] += mm(pv, ex, 1, 0)
             return
 
-        # both backward modes: unpack [dagg|dden|sd] and [h2|ss]
+        # both backward modes: unpack [dagg|dden|sd] (dst side) and h2 (src)
         if mode == "dsd":
             dst, src = nd, stream
         else:
@@ -622,7 +629,7 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
         dden_e = ext_h(dst, HD)
         sd_e = ext_h(dst, HD + H)
         msg = ext_wide(src)
-        ss_e = ext_h(src, HD)
+        ss_e = mm(msg, ar, 1, 0)
         slope, ex = _edge_scores(sd_e, ss_e, smax, w, alpha)
         dex = mm(dagg_e * msg, bmat, 1, 1)               # [T, 128] per-head Σ
         if with_drop:
@@ -640,7 +647,7 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
 
 
 def _gat_pass(mode, H, D, alpha, attn_drop, stream, row_k, w_k, node_tab,
-              smax_tab, base, ct, n_pad, r_tile: int = R_TILE,
+              smax_tab, ar, base, ct, n_pad, r_tile: int = R_TILE,
               local_out: bool = False, pack: Optional[jnp.ndarray] = None,
               interpret: Optional[bool] = None):
     """One fused pass over (a block of) the layout. ``ct`` holds ABSOLUTE
@@ -676,8 +683,9 @@ def _gat_pass(mode, H, D, alpha, attn_drop, stream, row_k, w_k, node_tab,
     in_specs += [
         pl.BlockSpec((r_tile, Wn), lambda c, ct: (ct[c], 0)),
         pl.BlockSpec((8, 128), lambda c, ct: (0, 0)),
+        pl.BlockSpec((HDp, 128), lambda c, ct: (0, 0)),
     ]
-    args += [node_tab, smax_tab]
+    args += [node_tab, smax_tab, ar]
     if attn_drop > 0.0:
         in_specs.append(pl.BlockSpec((T_CHUNK,), lambda c, ct: (c,)))
         args.append(base)
@@ -702,7 +710,7 @@ def _gat_pass(mode, H, D, alpha, attn_drop, stream, row_k, w_k, node_tab,
     )(ct, *args)
 
 
-def _gat_apply(mode, H, D, alpha, attn_drop, table, node_tab, smax_tab,
+def _gat_apply(mode, H, D, alpha, attn_drop, table, node_tab, smax_tab, ar,
                col, row, ones, ct, orig, bp, seed, n_pad,
                panel_rows: int = 0, r_tile: int = R_TILE):
     """Gather the pass's stream from ``table`` and run the fused pass —
@@ -715,7 +723,8 @@ def _gat_apply(mode, H, D, alpha, attn_drop, table, node_tab, smax_tab,
         stream = jnp.take(table, col, axis=0, mode="clip")
         base = _drop_base(orig, seed, attn_drop)
         return _gat_pass(mode, H, D, alpha, attn_drop, stream, row, ones,
-                         node_tab, smax_tab, base, ct, n_pad, r_tile=r_tile)
+                         node_tab, smax_tab, ar, base, ct, n_pad,
+                         r_tile=r_tile)
 
     # blocked layouts are PACKED: ``col`` carries one int32 per slot
     # (panel-local col | dst-tile row offset << 18 | validity << 26) — a
@@ -757,7 +766,7 @@ def _gat_apply(mode, H, D, alpha, attn_drop, table, node_tab, smax_tab,
             stream = stream.astype(jnp.float32)
         base = _drop_base(orig_b, seed, attn_drop)
         local = _gat_pass(mode, H, D, alpha, attn_drop, stream, None,
-                          None, node_tab, smax_tab, base, ct_b, n_local,
+                          None, node_tab, smax_tab, ar, base, ct_b, n_local,
                           r_tile=r_tile, local_out=True, pack=pack_b)
         # local tiles this block's chunks never visited hold undefined
         # kernel memory — zero them before accumulating
@@ -775,52 +784,66 @@ def _gat_apply(mode, H, D, alpha, attn_drop, table, node_tab, smax_tab,
     return out[:n_pad]
 
 
+def build_ar(a_src: jnp.ndarray, H: int, D: int) -> jnp.ndarray:
+    """Block-diagonal src-attention matrix for the in-kernel score
+    recompute: ``ar[h·D+d, h] = a_src[h, d]`` so that
+    ``ss_e = msg @ ar`` reproduces ``Σ_d a_src[h,d]·h2[c,h·D+d]``."""
+    HD = H * D
+    HDp = -(-HD // F_BLK) * F_BLK
+    assert H <= 128, H
+    rows = jnp.arange(HD)
+    cols = rows // D
+    return jnp.zeros((HDp, 128), jnp.float32).at[rows, cols].set(
+        a_src.reshape(HD).astype(jnp.float32))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def gat_fused_p(H: int, D: int, alpha: float, attn_drop: float,
                 panel_rows: int, r_tile: int,
-                sd, ss, h2, seed,
+                sd, ss, h2, ar, seed,
                 fw_col, fw_row, fw_ones, fw_ct, fw_orig, fw_bp,
                 bw_col, bw_row, bw_ones, bw_ct, bw_orig, bw_bp):
     """out[r,h,:] = Σ_e∈r softmax_e(leakyrelu(sd[r,h]+ss[col_e,h]))·h[col_e,h,:]
 
     sd/ss: [n_pad, H] score halves (aᵀ_dst·h_r, aᵀ_src·h_c); h2: [n_pad, H·D]
-    transformed features; seed: uint32 scalar for dropout. Layout arrays from
-    the prepared extras (fw = dst-grouped, bw = src-grouped); blocked 2-D
-    layouts stream in mega-blocks, optionally with ``panel_rows`` source
-    panels (``*_bp`` maps blocks to panels). Returns [n_pad, H·D]."""
+    transformed features; ``ar``: the :func:`build_ar` matrix — the kernels
+    gather h2 alone and recompute the src score half in-register (``ss``
+    itself is consumed only for the softmax bound), so ``ss`` MUST equal
+    ``h2 @ ar`` for correct results; seed: uint32 scalar for dropout.
+    Layout arrays from the prepared extras (fw = dst-grouped, bw =
+    src-grouped); blocked 2-D layouts stream in mega-blocks, optionally with
+    ``panel_rows`` source panels (``*_bp`` maps blocks to panels). Returns
+    [n_pad, H·D]."""
     out, _ = _gat_fwd(H, D, alpha, attn_drop, panel_rows, r_tile,
-                      sd, ss, h2, seed,
+                      sd, ss, h2, ar, seed,
                       fw_col, fw_row, fw_ones, fw_ct, fw_orig, fw_bp,
                       bw_col, bw_row, bw_ones, bw_ct, bw_orig, bw_bp)
     return out
 
 
 def gat_fused(H: int, D: int, alpha: float, attn_drop: float,
-              sd, ss, h2, seed,
+              sd, ss, h2, ar, seed,
               fw_col, fw_row, fw_ones, fw_ct, fw_orig,
               bw_col, bw_row, bw_ones, bw_ct, bw_orig):
     """Single-panel convenience wrapper around :func:`gat_fused_p`."""
     zb = jnp.zeros(0, jnp.int32)
     return gat_fused_p(H, D, alpha, attn_drop, 0, R_TILE,
-                       sd, ss, h2, seed,
+                       sd, ss, h2, ar, seed,
                        fw_col, fw_row, fw_ones, fw_ct, fw_orig, zb,
                        bw_col, bw_row, bw_ones, bw_ct, bw_orig, zb)
 
 
-def _gat_tables(H, D, sd=None, ss=None, h2=None, dagg=None, dden=None):
-    """Build the two COMPACT node tables the passes share: T1 = [h2|ss]
-    (HD+H lanes), T2 = [dagg|dden|sd] (HD+2H lanes) — either may be requested
-    alone. No lane padding: a 136-lane table gathers ~2.6× faster than the
-    same table zero-padded to 256 (microbench_gather6), and the kernels
-    extract pieces with in-register selection matmuls instead. Barriers
-    serialize the tables' liveness for VMEM staging."""
-    t1 = t2 = None
-    if h2 is not None:
-        t1 = jax.lax.optimization_barrier(jnp.concatenate([h2, ss], axis=1))
-    if dagg is not None:
-        t2 = jax.lax.optimization_barrier(
-            jnp.concatenate([dagg, dden, sd], axis=1))
-    return t1, t2
+def _gat_t2(sd, dagg, dden):
+    """The one COMPACT node table the backward passes share:
+    T2 = [dagg|dden|sd] (HD+2H lanes). No lane padding: a 144-lane table
+    gathers ~2.6× faster than the same table zero-padded to 256
+    (microbench_gather6), and the kernels extract pieces with in-register
+    selection matmuls instead. (The former T1 = [h2|ss] is gone: passes
+    gather h2 directly and recompute the src score half in-register via the
+    block-diagonal a_src matrix.) The barrier serializes the table's
+    liveness for VMEM staging."""
+    return jax.lax.optimization_barrier(
+        jnp.concatenate([dagg, dden, sd], axis=1))
 
 
 def _smax_tab(ssf):
@@ -838,31 +861,32 @@ def _drop_base(orig, seed, attn_drop):
         ^ seed.astype(jnp.uint32), jnp.int32)
 
 
-def _gat_fwd(H, D, alpha, attn_drop, panel_rows, r_tile, sd, ss, h2, seed,
+def _gat_fwd(H, D, alpha, attn_drop, panel_rows, r_tile, sd, ss, h2, ar,
+             seed,
              fw_col, fw_row, fw_ones, fw_ct, fw_orig, fw_bp,
              bw_col, bw_row, bw_ones, bw_ct, bw_orig, bw_bp):
     n_pad = sd.shape[0]
     HD = H * D
     HDp = -(-HD // F_BLK) * F_BLK
-    h2f = h2.astype(jnp.float32)
+    h2f = jax.lax.optimization_barrier(h2.astype(jnp.float32))
     sdf = sd.astype(jnp.float32)
     ssf = ss.astype(jnp.float32)
-    t1, _ = _gat_tables(H, D, sd=sdf, ss=ssf, h2=h2f)
+    arf = ar.astype(jnp.float32)
     node = jax.lax.optimization_barrier(_pad_lanes(sdf))
-    outc = _gat_apply("fwd", H, D, alpha, attn_drop, t1, node,
-                      _smax_tab(ssf), fw_col, fw_row, fw_ones, fw_ct,
+    outc = _gat_apply("fwd", H, D, alpha, attn_drop, h2f, node,
+                      _smax_tab(ssf), arf, fw_col, fw_row, fw_ones, fw_ct,
                       fw_orig, fw_bp, seed, n_pad, panel_rows, r_tile)
     den = jnp.maximum(outc[:, HDp:HDp + H], 1e-16)
     out = (outc[:, :HD].reshape(n_pad, H, D)
            / den[:, :, None]).reshape(n_pad, HD).astype(h2.dtype)
-    res = (sd, ss, h2, seed, den, out,
+    res = (sd, ss, h2, ar, seed, den, out,
            fw_col, fw_row, fw_ones, fw_ct, fw_orig, fw_bp,
            bw_col, bw_row, bw_ones, bw_ct, bw_orig, bw_bp)
     return out, res
 
 
 def _gat_bwd(H, D, alpha, attn_drop, panel_rows, r_tile, res, g):
-    (sd, ss, h2, seed, den, out,
+    (sd, ss, h2, ar, seed, den, out,
      fw_col, fw_row, fw_ones, fw_ct, fw_orig, fw_bp,
      bw_col, bw_row, bw_ones, bw_ct, bw_orig, bw_bp) = res
     n_pad = sd.shape[0]
@@ -872,6 +896,7 @@ def _gat_bwd(H, D, alpha, attn_drop, panel_rows, r_tile, res, g):
     h2f = h2.astype(jnp.float32)
     sdf = sd.astype(jnp.float32)
     ssf = ss.astype(jnp.float32)
+    arf = ar.astype(jnp.float32)
     smax = _smax_tab(ssf)
 
     # node-level grads of the normalised aggregation
@@ -879,21 +904,20 @@ def _gat_bwd(H, D, alpha, attn_drop, panel_rows, r_tile, res, g):
     dden = -jnp.sum(g * out.astype(jnp.float32).reshape(n_pad, H, D),
                     axis=2) / den                                  # [n_pad,H]
 
-    # the two passes share two tables, each playing stream in one pass and
-    # node-block in the other:
-    #   T1 = [h2 | ss] (src quantities), T2 = [dagg | dden | sd] (dst)
-    t1, t2 = _gat_tables(H, D, sd=sdf, ss=ssf, h2=h2f, dagg=dagg, dden=dden)
+    # ONE built table: T2 = [dagg | dden | sd] (dst quantities); the src
+    # side is h2 itself (scores recomputed in-register via ar)
+    t2 = _gat_t2(sdf, dagg, dden)
 
-    # fw-layout pass (grouping key = dst): gather T1 by source → dsd
-    dsd = _gat_apply("dsd", H, D, alpha, attn_drop, t1, t2, smax,
+    # fw-layout pass (grouping key = dst): gather h2 by source → dsd
+    dsd = _gat_apply("dsd", H, D, alpha, attn_drop, h2f, t2, smax, arf,
                      fw_col, fw_row, fw_ones, fw_ct, fw_orig, fw_bp,
                      seed, n_pad, panel_rows, r_tile)[:, :H]
 
     # phase barrier: serialize the two passes' gathers (each sweeps E rows)
-    t1, t2, dsd = jax.lax.optimization_barrier((t1, t2, dsd))
+    t2, dsd = jax.lax.optimization_barrier((t2, dsd))
 
     # bw-layout pass (grouping key = src): gather T2 by destination → dh2+dss
-    outc = _gat_apply("dsrc", H, D, alpha, attn_drop, t2, t1, smax,
+    outc = _gat_apply("dsrc", H, D, alpha, attn_drop, t2, h2f, smax, arf,
                       bw_col, bw_row, bw_ones, bw_ct, bw_orig, bw_bp,
                       seed, n_pad, panel_rows, r_tile)
     dh2 = outc[:, :HD]
@@ -901,7 +925,7 @@ def _gat_bwd(H, D, alpha, attn_drop, panel_rows, r_tile, res, g):
 
     z = jnp.zeros_like
     return (dsd.astype(sd.dtype), dss.astype(ss.dtype), dh2.astype(h2.dtype),
-            z(seed),
+            z(ar), z(seed),
             z(fw_col), z(fw_row), z(fw_ones), z(fw_ct), z(fw_orig), z(fw_bp),
             z(bw_col), z(bw_row), z(bw_ones), z(bw_ct), z(bw_orig), z(bw_bp))
 

@@ -330,10 +330,14 @@ class TestGatFused:
         rng = np.random.default_rng(7)
         n = g.n_pad
         sd = jnp.asarray(rng.normal(size=(n, self.H)).astype(np.float32))
-        ss = jnp.asarray(rng.normal(size=(n, self.H)).astype(np.float32))
         h = jnp.asarray(
             rng.normal(size=(n, self.H, self.D)).astype(np.float32))
-        return g, sd, ss, h
+        # the fused path recomputes the src score half from h via a_src —
+        # ss is DERIVED, not free (see gat_fused_p docstring)
+        a_src = jnp.asarray(
+            rng.normal(size=(self.H, self.D)).astype(np.float32))
+        ss = jnp.einsum("nhd,hd->nh", h, a_src)
+        return g, sd, ss, h, a_src
 
     @staticmethod
     def _ref(g, sd, ss, h, alpha=0.2):
@@ -345,13 +349,14 @@ class TestGatFused:
         att = ops.edge_softmax(g, e)
         return ops.mh_spmm(g, att, h)
 
-    def _fused(self, g, sd, ss, h, attn_drop=0.0, seed=0):
-        from cogdl_tpu.ops.pallas.segment_kernels import gat_fused
+    def _fused(self, g, sd, ss, h, a_src, attn_drop=0.0, seed=0):
+        from cogdl_tpu.ops.pallas.segment_kernels import build_ar, gat_fused
 
         ex = g.extras
+        ar = build_ar(a_src, self.H, self.D)
         out = gat_fused(
             self.H, self.D, 0.2, attn_drop, sd, ss,
-            h.reshape(-1, self.H * self.D), jnp.uint32(seed),
+            h.reshape(-1, self.H * self.D), ar, jnp.uint32(seed),
             ex["spmm_fw_col"], ex["spmm_fw_row"], ex["spmm_fw_ones"],
             ex["spmm_fw_ct"], ex["spmm_fw_orig"],
             ex["spmm_bw_col"], ex["spmm_bw_row"], ex["spmm_bw_ones"],
@@ -359,21 +364,22 @@ class TestGatFused:
         return out.reshape(-1, self.H, self.D)
 
     def test_forward_parity(self, setup):
-        g, sd, ss, h = setup
+        g, sd, ss, h, a_src = setup
         ref = self._ref(g, sd, ss, h)
-        out = self._fused(g, sd, ss, h)
+        out = self._fused(g, sd, ss, h, a_src)
         np.testing.assert_allclose(np.asarray(out)[: g.num_nodes],
                                    np.asarray(ref)[: g.num_nodes],
                                    rtol=1e-4, atol=1e-5)
 
     def test_grad_parity(self, setup):
-        g, sd, ss, h = setup
+        g, sd, ss, h, a_src = setup
         w = jnp.asarray(np.random.default_rng(9).normal(
             size=(g.n_pad, self.H, self.D)).astype(np.float32))
         mask = g.node_mask()[:, None, None]
 
         def loss_fused(sd, ss, h):
-            return jnp.sum(jnp.where(mask, self._fused(g, sd, ss, h) * w, 0.0))
+            return jnp.sum(jnp.where(
+                mask, self._fused(g, sd, ss, h, a_src) * w, 0.0))
 
         def loss_ref(sd, ss, h):
             return jnp.sum(jnp.where(mask, self._ref(g, sd, ss, h) * w, 0.0))
@@ -386,10 +392,10 @@ class TestGatFused:
                                        err_msg=name)
 
     def test_dropout_statistics_and_determinism(self, setup):
-        g, sd, ss, h = setup
-        o1 = self._fused(g, sd, ss, h, attn_drop=0.5, seed=123)
-        o2 = self._fused(g, sd, ss, h, attn_drop=0.5, seed=123)
-        o3 = self._fused(g, sd, ss, h, attn_drop=0.5, seed=321)
+        g, sd, ss, h, a_src = setup
+        o1 = self._fused(g, sd, ss, h, a_src, attn_drop=0.5, seed=123)
+        o2 = self._fused(g, sd, ss, h, a_src, attn_drop=0.5, seed=123)
+        o3 = self._fused(g, sd, ss, h, a_src, attn_drop=0.5, seed=321)
         np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
         assert np.abs(np.asarray(o1) - np.asarray(o3)).max() > 1e-6
         # dropped aggregation stays unbiased in expectation: compare means
@@ -399,10 +405,10 @@ class TestGatFused:
         assert 0.5 * m_ref < m_drop < 2.0 * m_ref
 
     def test_dropout_grads_finite(self, setup):
-        g, sd, ss, h = setup
+        g, sd, ss, h, a_src = setup
 
         def loss(sd, ss, h):
-            return jnp.sum(self._fused(g, sd, ss, h, attn_drop=0.3,
+            return jnp.sum(self._fused(g, sd, ss, h, a_src, attn_drop=0.3,
                                        seed=11) ** 2)
 
         grads = jax.grad(loss, argnums=(0, 1, 2))(sd, ss, h)
@@ -460,10 +466,12 @@ class TestGatFusedBlocked:
         rng = np.random.default_rng(13)
         n = g.n_pad
         sd = jnp.asarray(rng.normal(size=(n, self.H)).astype(np.float32))
-        ss = jnp.asarray(rng.normal(size=(n, self.H)).astype(np.float32))
         h = jnp.asarray(
             rng.normal(size=(n, self.H, self.D)).astype(np.float32))
-        return g, sd, ss, h
+        a_src = jnp.asarray(
+            rng.normal(size=(self.H, self.D)).astype(np.float32))
+        ss = jnp.einsum("nhd,hd->nh", h, a_src)
+        return g, sd, ss, h, a_src
 
     @staticmethod
     def _ref(g, sd, ss, h, alpha=0.2):
@@ -474,17 +482,21 @@ class TestGatFusedBlocked:
         att = ops.edge_softmax(g, e)
         return ops.mh_spmm(g, att, h)
 
-    def _fused(self, g, sd, ss, h, attn_drop=0.0, seed=0):
-        from cogdl_tpu.ops.pallas.segment_kernels import gat_fused_p
+    def _fused(self, g, sd, ss, h, a_src, attn_drop=0.0, seed=0):
+        from cogdl_tpu.ops.pallas.segment_kernels import (
+            build_ar,
+            gat_fused_p,
+        )
 
         ex = g.extras
         zb = jnp.zeros(0, jnp.int32)
         zf = jnp.zeros(0, jnp.float32)
+        ar = build_ar(a_src, self.H, self.D)
         out = gat_fused_p(
             self.H, self.D, 0.2, attn_drop,
             int(g.meta_get("spmm_panel_rows")),
             int(g.meta_get("spmm_r_tile")),
-            sd, ss, h.reshape(-1, self.H * self.D), jnp.uint32(seed),
+            sd, ss, h.reshape(-1, self.H * self.D), ar, jnp.uint32(seed),
             ex["spmm_fw_pack"], zb, zf,
             ex["spmm_fw_ct"], ex["spmm_fw_orig"], ex["spmm_fw_bp"],
             ex["spmm_bw_pack"], zb, zf,
@@ -492,21 +504,22 @@ class TestGatFusedBlocked:
         return out.reshape(-1, self.H, self.D)
 
     def test_forward_parity(self, setup):
-        g, sd, ss, h = setup
+        g, sd, ss, h, a_src = setup
         ref = self._ref(g, sd, ss, h)
-        out = self._fused(g, sd, ss, h)
+        out = self._fused(g, sd, ss, h, a_src)
         np.testing.assert_allclose(np.asarray(out)[: g.num_nodes],
                                    np.asarray(ref)[: g.num_nodes],
                                    rtol=1e-4, atol=1e-5)
 
     def test_grad_parity(self, setup):
-        g, sd, ss, h = setup
+        g, sd, ss, h, a_src = setup
         w = jnp.asarray(np.random.default_rng(3).normal(
             size=(g.n_pad, self.H, self.D)).astype(np.float32))
         mask = g.node_mask()[:, None, None]
 
         def loss_fused(sd, ss, h):
-            return jnp.sum(jnp.where(mask, self._fused(g, sd, ss, h) * w, 0.0))
+            return jnp.sum(jnp.where(
+                mask, self._fused(g, sd, ss, h, a_src) * w, 0.0))
 
         def loss_ref(sd, ss, h):
             return jnp.sum(jnp.where(mask, self._ref(g, sd, ss, h) * w, 0.0))
@@ -519,18 +532,18 @@ class TestGatFusedBlocked:
                                        err_msg=name)
 
     def test_dropout_determinism(self, setup):
-        g, sd, ss, h = setup
-        o1 = self._fused(g, sd, ss, h, attn_drop=0.5, seed=99)
-        o2 = self._fused(g, sd, ss, h, attn_drop=0.5, seed=99)
-        o3 = self._fused(g, sd, ss, h, attn_drop=0.5, seed=100)
+        g, sd, ss, h, a_src = setup
+        o1 = self._fused(g, sd, ss, h, a_src, attn_drop=0.5, seed=99)
+        o2 = self._fused(g, sd, ss, h, a_src, attn_drop=0.5, seed=99)
+        o3 = self._fused(g, sd, ss, h, a_src, attn_drop=0.5, seed=100)
         np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
         assert np.abs(np.asarray(o1) - np.asarray(o3)).max() > 1e-6
 
     def test_dropout_grads_finite(self, setup):
-        g, sd, ss, h = setup
+        g, sd, ss, h, a_src = setup
 
         def loss(sd, ss, h):
-            return jnp.sum(self._fused(g, sd, ss, h, attn_drop=0.3,
+            return jnp.sum(self._fused(g, sd, ss, h, a_src, attn_drop=0.3,
                                        seed=4) ** 2)
 
         grads = jax.grad(loss, argnums=(0, 1, 2))(sd, ss, h)
