@@ -31,6 +31,7 @@ SUPPORTED_MODELS: Dict[str, str] = {
     "gtn": "cogdl_tpu.models.nn.gtn.GTN",
     "simple_hgn": "cogdl_tpu.models.nn.simple_hgn.SimpleHGN",
     "bgrl": "cogdl_tpu.models.nn.bgrl.BGRL",
+    "graphmae2": "cogdl_tpu.models.nn.graphmae2.GraphMAE2",
     "lightgcn": "cogdl_tpu.models.nn.lightgcn.LightGCN",
     "pprgo": "cogdl_tpu.models.nn.pprgo.PPRGo",
     "graph_unet": "cogdl_tpu.models.nn.graph_unet.GraphUnet",

@@ -22,6 +22,7 @@ SUPPORTED_WRAPPERS: Dict[str, str] = {
     "grace": "cogdl_tpu.wrappers.self_supervised.GRACEWrapper",
     "graphmae": "cogdl_tpu.wrappers.self_supervised.GraphMAEWrapper",
     "bgrl": "cogdl_tpu.wrappers.self_supervised.BGRLWrapper",
+    "graphmae2": "cogdl_tpu.wrappers.self_supervised.GraphMAE2Wrapper",
     "self_auxiliary": "cogdl_tpu.wrappers.self_supervised.SelfAuxiliaryWrapper",
     "unsup_graphsage": "cogdl_tpu.wrappers.self_supervised.UnsupGraphSAGEWrapper",
     "clustering": "cogdl_tpu.wrappers.clustering.ClusteringWrapper",
@@ -55,7 +56,7 @@ DEFAULT_WRAPPER = {
     "sortpool": "graph_classification", "patchy_san": "patchy_san",
     "infograph": "infograph",
     "dgi": "dgi", "grace": "grace", "mvgrl": "dgi", "graphmae": "graphmae",
-    "bgrl": "bgrl",
+    "bgrl": "bgrl", "graphmae2": "graphmae2",
     "unsup_graphsage": "unsup_graphsage",
     "lightgcn": "recommendation", "stgcn": "traffic_prediction",
     "stgat": "traffic_prediction",

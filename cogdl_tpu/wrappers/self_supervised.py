@@ -112,6 +112,68 @@ class GraphMAEWrapper(DGIWrapper):
         return loss, {}
 
 
+class GraphMAE2Wrapper(GraphMAEWrapper):
+    """GraphMAE2 (reference examples/graphmae2): masked reconstruction with
+    multi-remask decoding + a latent loss against an EMA teacher
+    (encoder+projector), teacher pytree in model_state like BGRL."""
+
+    def __init__(self, model, dataset=None, ema_decay: float = 0.996):
+        super().__init__(model, dataset)
+        self.ema_decay = float(ema_decay)
+
+    def init(self, rng, graph: Graph):
+        variables = dict(self.model.init(
+            {"params": rng, "dropout": rng}, graph, graph.x, rng,
+            method=self.model.init_all))
+        vp = variables["params"]
+        variables["teacher"] = jax.tree.map(
+            jnp.array, {"enc": vp["enc"], "proj": vp["proj"]})
+        return variables
+
+    def loss(self, variables, graph: Graph, rng, training: bool = True):
+        r1, r2, rd = jax.random.split(rng, 3)
+        svars = {"params": variables["params"]}
+        m = self.model
+
+        def run(fn, *args):
+            return m.apply(svars, *args, rngs={"dropout": rd}, method=fn)
+
+        x_masked, mask = run(m.mask_inputs, graph.x, graph.node_mask(), r1)
+        enc_rep = run(m.encode, graph, x_masked, training)
+        # latent loss on KEPT real nodes vs the EMA teacher on unmasked x
+        latent_pred = run(m.student_latent, enc_rep)
+        # setup declares the mask tokens eagerly, so the teacher variables
+        # must carry them (unused by teacher_latent; gradients stopped)
+        vp = variables["params"]
+        tvars = {"params": {
+            **variables["teacher"],
+            "mask_token": jax.lax.stop_gradient(vp["mask_token"]),
+            "dec_mask_token": jax.lax.stop_gradient(vp["dec_mask_token"]),
+        }}
+        latent_tgt = jax.lax.stop_gradient(m.apply(
+            tvars, graph, graph.x, method=m.teacher_latent))
+        keep = (graph.node_mask()[:, None] & ~mask).squeeze(-1).astype(
+            jnp.float32)
+        lat = jnp.sum(sce_loss2(latent_pred, latent_tgt) * keep) / (
+            jnp.maximum(keep.sum(), 1.0))
+        rec = run(m.remask_decode, graph, enc_rep, mask, r2, training)
+        loss = rec + m.lam * lat
+
+        beta = self.ema_decay
+        new_teacher = jax.tree.map(
+            lambda t, s: t * beta + (1 - beta) * jax.lax.stop_gradient(s),
+            variables["teacher"],
+            {"enc": variables["params"]["enc"],
+             "proj": variables["params"]["proj"]})
+        return loss, {"teacher": new_teacher}
+
+
+def sce_loss2(pred, target, gamma: float = 1.0):
+    from ..models.nn.graphmae2 import sce_loss
+
+    return sce_loss(pred, target, gamma)
+
+
 class BGRLWrapper(DGIWrapper):
     """Bootstrapped (BYOL-style) pretraining: student+predictor chases an
     EMA teacher over two augmented views; no negatives (reference

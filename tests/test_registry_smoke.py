@@ -29,6 +29,7 @@ FAMILY_SETUP = {
     "grace": ("sbm", dict(epochs=3, eval_step=3)),
     "graphmae": ("sbm", dict(epochs=3, eval_step=3)),
     "bgrl": ("sbm", dict(epochs=3, eval_step=3)),
+    "graphmae2": ("sbm", dict(epochs=3, eval_step=3)),
     "unsup_graphsage": ("sbm", dict(epochs=2, eval_step=2)),
     "clustering": ("sbm", dict(epochs=3, eval_step=3)),
     "recommendation": ("rec-synthetic", dict(epochs=3, eval_step=3)),
