@@ -59,7 +59,15 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="rematerialise the forward (saves ~2.5 GB HBM at "
                     "products scale, costs 2 extra spmm passes)")
+    ap.add_argument("--sampled", action="store_true",
+                    help="neighbor-sampled GraphSAGE training throughput "
+                    "(native C++ sampler + prefetch pipeline; the "
+                    "reference's GraphSAGE/ClusterGCN scaling story)")
+    ap.add_argument("--batch-size", type=int, default=1024)
+    ap.add_argument("--fanouts", default="15,10")
     args = ap.parse_args()
+    if args.sampled:
+        return bench_sampled(args)
     if args.products:
         args.nodes, args.avg_degree = 2_450_000, 50
         if args.r_tile is None:
@@ -178,6 +186,77 @@ def main():
         "vs_baseline": round(edges_per_sec / BASELINE_EDGES_PER_SEC, 4),
         "step_ms": round(1000 * dt / args.steps, 2),
         "device": str(jax.devices()[0]), "bf16": args.bf16,
+    }))
+
+
+def bench_sampled(args):
+    """Mini-batch neighbor-sampled training: host C++/OpenMP sampler +
+    background prefetch (device_put pipeline) feeding one jitted step —
+    the TPU analog of the reference's GraphSAGE path (graphsage_dw +
+    DataLoader workers). Metric: sampled edge slots aggregated per second
+    (static block shapes; includes host sampling, transfer, and step)."""
+    import optax
+
+    from cogdl_tpu.datasets.synthetic import powerlaw_graph
+    from cogdl_tpu.models import build_model
+    from cogdl_tpu.wrappers import fetch_wrapper
+
+    graph = powerlaw_graph(args.nodes, avg_degree=args.avg_degree,
+                           feat_dim=args.feat_dim)
+    fanouts = tuple(int(f) for f in args.fanouts.split(","))
+    model = build_model("sage", in_features=args.feat_dim,
+                        out_features=graph.num_classes,
+                        hidden_size=args.hidden, dropout=0.0)
+    wrapper = fetch_wrapper("neighbor_sampling")(
+        model, None, fanouts=fanouts, batch_size=args.batch_size)
+    g = wrapper.prepare_graph(graph)
+    rng = jax.random.PRNGKey(0)
+    variables = wrapper.init(rng, g)
+    params = variables["params"]
+    state = {k: v for k, v in variables.items() if k != "params"}
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        def loss_fn(p):
+            loss, _ = wrapper.loss({"params": p, **state}, batch, rng)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    # one iterator only — abandoning a Prefetcher mid-epoch parks its worker
+    it = iter(wrapper.train_batches(g))
+    first = next(it)
+    edges_per_batch = sum(int(b.row.shape[0]) for b in first)
+    params, opt_state, loss = step(params, opt_state, first)
+    for _ in range(max(args.warmup - 1, 0)):
+        params, opt_state, loss = step(params, opt_state, next(it))
+    float(loss)
+
+    n = 0
+    t0 = time.perf_counter()
+    for batch in it:
+        params, opt_state, loss = step(params, opt_state, batch)
+        n += 1
+        if n >= args.steps:
+            break
+    float(loss)  # force completion of the whole queued pipeline
+    dt = time.perf_counter() - t0
+
+    eps = edges_per_batch * n / dt
+    print(json.dumps({
+        "metric": f"SAGE sampled-train edge-slots/sec (1 chip, powerlaw "
+                  f"{args.nodes}n x{args.avg_degree}, fanouts {args.fanouts},"
+                  f" B={args.batch_size})",
+        "value": round(eps),
+        "unit": "edges/sec",
+        "vs_baseline": round(eps / BASELINE_EDGES_PER_SEC, 4),
+        "step_ms": round(1000 * dt / max(n, 1), 2),
+        "seeds_per_sec": round(args.batch_size * n / dt),
+        "device": str(jax.devices()[0]),
     }))
 
 
