@@ -233,7 +233,11 @@ def bench_sampled(args):
     edges_per_batch = sum(int(b.row.shape[0]) for b in first)
     params, opt_state, loss = step(params, opt_state, first)
     for _ in range(max(args.warmup - 1, 0)):
-        params, opt_state, loss = step(params, opt_state, next(it))
+        batch = next(it, None)
+        if batch is None:
+            raise SystemExit("--sampled: epoch shorter than --warmup; "
+                             "lower --batch-size or --warmup")
+        params, opt_state, loss = step(params, opt_state, batch)
     float(loss)
 
     n = 0
@@ -243,6 +247,9 @@ def bench_sampled(args):
         n += 1
         if n >= args.steps:
             break
+    if n == 0:
+        raise SystemExit("--sampled: no timed steps left in the epoch; "
+                         "lower --batch-size/--warmup or raise --nodes")
     float(loss)  # force completion of the whole queued pipeline
     dt = time.perf_counter() - t0
 

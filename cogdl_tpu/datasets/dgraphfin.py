@@ -38,9 +38,12 @@ def build(name: str, root: str, normalize: bool = True, **kwargs) -> Dataset:
         m[items[key].astype(np.int64)] = True
         return m
 
+    # classes 2/3 are unlabeled background nodes (never in any split) —
+    # the task is binary fraud classification (reference gnn.py nc=2)
+    n_cls = int(y[idx_mask("train_mask")].max()) + 1 if n else 2
     g = from_coo(ei, num_nodes=n, x=x, y=y,
                  train_mask=idx_mask("train_mask"),
                  val_mask=idx_mask("valid_mask"),
                  test_mask=idx_mask("test_mask"),
-                 meta={"num_classes": int(y.max()) + 1, "name": name})
+                 meta={"num_classes": n_cls, "name": name})
     return Dataset.from_graph(g, name=name)

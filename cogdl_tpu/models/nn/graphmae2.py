@@ -110,10 +110,12 @@ class GraphMAE2(nn.Module):
         m = mask.squeeze(-1).astype(jnp.float32)
         total = 0.0
         for i in range(self.num_remasking):
+            # an INDEPENDENT random remask per decode (reference
+            # random_remask:348 — originally-masked nodes keep their latent)
             rm = jax.random.bernoulli(
                 jax.random.fold_in(rng, i), self.remask_rate,
                 (h.shape[0], 1))
-            rep = jnp.where(rm | mask, self.dec_mask_token, h)
+            rep = jnp.where(rm, self.dec_mask_token, h)
             rec = self.dec(g, rep, training)
             per = sce_loss(rec, x, self.gamma)
             total = total + jnp.sum(per * m) / jnp.maximum(m.sum(), 1.0)

@@ -187,8 +187,9 @@ def build_spmm_layout_jax(
         # identical, so prepare_spmm_device stores ONE pack array.
         assert panel_rows <= (1 << 18), panel_rows
         assert r_tile <= 256, r_tile
-        off = row_k - jnp.take(ct, jnp.arange(E_k, dtype=jnp.int32)
-                               // T_CHUNK) * r_tile
+        # row_k lies in [ct·r_tile, ct·r_tile + r_tile) (pad slots exactly
+        # ct·r_tile), so the offset is a plain modulo — no per-slot lookup
+        off = row_k % r_tile
         pack = (col_k | (off << 18)
                 | slot_used.astype(jnp.int32) << 26)
         out["pack_k"] = pack.reshape(out["col_k"].shape)
@@ -316,7 +317,12 @@ def prepare_spmm_device(graph, symmetric: bool = False,
     # sorted (group, col) stream), so only its orig map is kept (the rest of
     # the second build is transient and freed)
     if symmetric and with_orig:
-        bwd = {**fwd, "orig_k": build_dir(col, row)["orig_k"]}
+        if panel_rows > 0 and not with_dropout:
+            # packed layouts without dropout never store orig — skip the
+            # entire transposed build (a second full-edge device sort)
+            bwd = fwd
+        else:
+            bwd = {**fwd, "orig_k": build_dir(col, row)["orig_k"]}
     elif symmetric:
         bwd = fwd
     else:

@@ -152,9 +152,11 @@ class GraphMAE2Wrapper(GraphMAEWrapper):
         }}
         latent_tgt = jax.lax.stop_gradient(m.apply(
             tvars, graph, graph.x, method=m.teacher_latent))
+        from ..models.nn.graphmae2 import sce_loss
+
         keep = (graph.node_mask()[:, None] & ~mask).squeeze(-1).astype(
             jnp.float32)
-        lat = jnp.sum(sce_loss2(latent_pred, latent_tgt) * keep) / (
+        lat = jnp.sum(sce_loss(latent_pred, latent_tgt, 1.0) * keep) / (
             jnp.maximum(keep.sum(), 1.0))
         rec = run(m.remask_decode, graph, enc_rep, mask, r2, training)
         loss = rec + m.lam * lat
@@ -166,12 +168,6 @@ class GraphMAE2Wrapper(GraphMAEWrapper):
             {"enc": variables["params"]["enc"],
              "proj": variables["params"]["proj"]})
         return loss, {"teacher": new_teacher}
-
-
-def sce_loss2(pred, target, gamma: float = 1.0):
-    from ..models.nn.graphmae2 import sce_loss
-
-    return sce_loss(pred, target, gamma)
 
 
 class BGRLWrapper(DGIWrapper):
