@@ -913,11 +913,15 @@ def _gat_bwd(H, D, alpha, attn_drop, panel_rows, r_tile, res, g):
                      fw_col, fw_row, fw_ones, fw_ct, fw_orig, fw_bp,
                      seed, n_pad, panel_rows, r_tile)[:, :H]
 
-    # phase barrier: serialize the two passes' gathers (each sweeps E rows)
-    t2, dsd = jax.lax.optimization_barrier((t2, dsd))
+    # phase barrier: serialize the two passes' gathers (each sweeps E rows).
+    # h2f must ride the barrier too — otherwise XLA prefetches the ~56 MB
+    # node table into VMEM *concurrently* with the T2 gather, the two no
+    # longer co-fit, and the gather falls off the VMEM-staged fast path
+    # (measured: 20 → 49 ms for the layer-0 dsrc gather at 100k nodes)
+    t2, dsd, h2b = jax.lax.optimization_barrier((t2, dsd, h2f))
 
     # bw-layout pass (grouping key = src): gather T2 by destination → dh2+dss
-    outc = _gat_apply("dsrc", H, D, alpha, attn_drop, t2, h2f, smax, arf,
+    outc = _gat_apply("dsrc", H, D, alpha, attn_drop, t2, h2b, smax, arf,
                       bw_col, bw_row, bw_ones, bw_ct, bw_orig, bw_bp,
                       seed, n_pad, panel_rows, r_tile)
     dh2 = outc[:, :HD]
