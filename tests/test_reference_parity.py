@@ -41,7 +41,9 @@ def _import_reference():
     _stub("grave", plot_network=lambda *a, **k: None,
           use_attributes=lambda *a, **k: None)
     _stub("tabulate", tabulate=lambda *a, **k: "")
-    _stub("numba", njit=njit, prange=range, jit=njit)
+    _stub("numba", njit=njit, prange=range, jit=njit,
+          float32="f4", float64="f8", int32="i4", int64="i8",
+          boolean="b1")
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
     import cogdl  # noqa: F401
@@ -232,3 +234,68 @@ def test_gat_fused_kernel_vs_reference():
         ex["spmm_bw_ct"], ex["spmm_bw_orig"])
     np.testing.assert_allclose(np.asarray(out)[:n], ref,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_sage_layer_activation_parity():
+    from cogdl.layers import SAGELayer as RefSAGE
+
+    from cogdl_tpu.layers import SAGELayer
+
+    row, col, n = _random_edges(seed=12)
+    rng = np.random.default_rng(13)
+    F_in, F_out = 10, 7
+    x = rng.normal(size=(n, F_in)).astype(np.float32)
+
+    ref_layer = RefSAGE(F_in, F_out, aggr="mean")
+    ref_layer.eval()
+    with torch.no_grad():
+        ref = ref_layer(_ref_graph(row, col, n), torch.tensor(x)).numpy()
+
+    g = _our_graph(row, col, n)
+    layer = SAGELayer(F_out, aggr="mean")
+    xp = jnp.asarray(np.pad(x, ((0, g.n_pad - n), (0, 0))))
+    layer.init(jax.random.PRNGKey(0), g, xp)
+    # reference fc(cat([x, nbr])) splits into our W_self + W_nbr halves
+    W = ref_layer.fc.weight.detach().numpy()    # [out, 2F]
+    b = ref_layer.fc.bias.detach().numpy()
+    variables = {"params": {
+        "W_self": {"kernel": jnp.asarray(W[:, :F_in].T),
+                   "bias": jnp.asarray(b)},
+        "W_nbr": {"kernel": jnp.asarray(W[:, F_in:].T),
+                  "bias": jnp.zeros(F_out)},
+    }}
+    out = np.asarray(layer.apply(variables, g, xp))[:n]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_gcn_model_logits_parity():
+    """Full 2-layer GCN MODEL logits allclose with injected weights."""
+    from cogdl.models.nn.gcn import GCN as RefGCNModel
+
+    from cogdl_tpu.models import build_model
+
+    row, col, n = _random_edges(seed=14)
+    rng = np.random.default_rng(15)
+    F_in, H, C = 14, 9, 5
+    x = rng.normal(size=(n, F_in)).astype(np.float32)
+
+    ref_model = RefGCNModel(F_in, H, C, num_layers=2, dropout=0.0)
+    ref_model.eval()
+    rg = _ref_graph(row, col, n)
+    rg.x = torch.tensor(x)
+    with torch.no_grad():
+        ref = ref_model(rg).numpy()
+
+    g = _our_graph(row, col, n)
+    model = build_model("gcn", in_features=F_in, out_features=C,
+                        hidden_size=H, num_layers=2, dropout=0.0)
+    xp = jnp.asarray(np.pad(x, ((0, g.n_pad - n), (0, 0))))
+    variables = model.init(jax.random.PRNGKey(0), g, xp, training=False)
+    params = {}
+    for i, rl in enumerate(ref_model.layers):
+        params[f"layer{i}"] = {"linear": {
+            "kernel": jnp.asarray(rl.linear.weight.detach().numpy().T),
+            "bias": jnp.asarray(rl.linear.bias.detach().numpy())}}
+    out = np.asarray(model.apply({"params": params}, g, xp,
+                                 training=False))[:n]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
