@@ -79,12 +79,15 @@ class AutoML:
         use_optuna = False
         if self.backend in ("auto", "optuna"):
             try:
-                import optuna  # noqa: F401
+                import optuna
 
-                use_optuna = True
+                # a module named optuna is not enough (test harnesses stub
+                # missing packages) — require the API we actually call
+                use_optuna = callable(getattr(optuna, "create_study", None))
             except ImportError:
-                if self.backend == "optuna":
-                    raise
+                use_optuna = False
+            if self.backend == "optuna" and not use_optuna:
+                raise ImportError("optuna backend requested but not usable")
         if use_optuna:
             import optuna
 

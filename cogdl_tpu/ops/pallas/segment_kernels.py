@@ -721,6 +721,12 @@ def _gat_apply(mode, H, D, alpha, attn_drop, table, node_tab, smax_tab, ar,
     staged-gather fast path the SpMM driver uses — 2.9 vs 10.9 ns/row)."""
     if ct.ndim == 1:
         stream = jnp.take(table, col, axis=0, mode="clip")
+        # ORDER the node-table VMEM placement AFTER the gather: XLA likes to
+        # prefetch a ≤~60 MB pallas operand wholly into VMEM (S(1)) while
+        # the gather runs, and a 144-lane table's staging copy (2-tile
+        # physical padding ≈ 117 MB at 100k nodes) no longer co-fits — the
+        # gather silently falls to HBM row-DMA (measured 7 → 49 ms)
+        stream, node_tab = jax.lax.optimization_barrier((stream, node_tab))
         base = _drop_base(orig, seed, attn_drop)
         return _gat_pass(mode, H, D, alpha, attn_drop, stream, row, ones,
                          node_tab, smax_tab, ar, base, ct, n_pad,
