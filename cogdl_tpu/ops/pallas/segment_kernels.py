@@ -487,7 +487,7 @@ def _pad_to(a: jnp.ndarray, w: int) -> jnp.ndarray:
 
 def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
                           alpha: float, attn_drop: float,
-                          packed: bool = False):
+                          packed: bool = False, stream_has_ss: bool = False):
     """One fused GAT pass over a prepared edge layout.
 
     mode 'fwd' : stream=[h2|ss] by src, node=sd (dst key)
@@ -517,6 +517,11 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
         ct_ref = refs[0]
         if packed:
             stream_ref, pack_ref, node_ref, smax_ref, ar_ref = refs[1:6]
+            base_ref = refs[6] if with_drop else None
+        elif stream_has_ss:
+            # the src table carries ss — no ar operand in this mode
+            stream_ref, row_ref, w_ref, node_ref, smax_ref = refs[1:6]
+            ar_ref = None
             base_ref = refs[6] if with_drop else None
         else:
             (stream_ref, row_ref, w_ref, node_ref, smax_ref,
@@ -603,16 +608,23 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
             return mm(x, jnp.where(
                 jnp.logical_and(wi == li + off, li < H), 1.0, 0.0), 1, 0)
 
-        # the src half of the score is RECOMPUTED from the gathered h2 row:
-        # ss_e[t, h] = Σ_l msg[t, l] · ar[l, h] (ar is the block-diagonal
-        # a_src matrix). This removes the [h2|ss] concat table entirely —
-        # at products scale that table cost ~4.8 GB of double-layout temps.
-        ar = ar_ref[:]
+        # src-score half: with stream_has_ss the src table is [h2|ss] and
+        # ss rides lanes HD..HD+H (the single-shot path — one wide table per
+        # phase keeps the gather staging behaviour this backend rewards);
+        # otherwise the stream is h2 alone and ss is RECOMPUTED in-register
+        # as msg @ ar (blocked/products path — removes the concat table and
+        # its ~4.8 GB of double-layout temps at OGB scale).
+        ar = None if ar_ref is None else ar_ref[:]
+
+        def src_score(src_tab, msg):
+            if stream_has_ss:
+                return ext_h(src_tab, HD)
+            return mm(msg, ar, 1, 0)
 
         if mode == "fwd":
             sd_e = nd                                    # [T, 128]
             msg = ext_wide(stream)
-            ss_e = mm(msg, ar, 1, 0)
+            ss_e = src_score(stream, msg)
             _, ex = _edge_scores(sd_e, ss_e, smax, w, alpha)
             exn = ex * keepn if with_drop else ex
             exw = mm(exn, bmat, 1, 0)                    # [T, HDp]
@@ -629,7 +641,7 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
         dden_e = ext_h(dst, HD)
         sd_e = ext_h(dst, HD + H)
         msg = ext_wide(src)
-        ss_e = mm(msg, ar, 1, 0)
+        ss_e = src_score(src, msg)
         slope, ex = _edge_scores(sd_e, ss_e, smax, w, alpha)
         dex = mm(dagg_e * msg, bmat, 1, 1)               # [T, 128] per-head Σ
         if with_drop:
@@ -649,6 +661,7 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
 def _gat_pass(mode, H, D, alpha, attn_drop, stream, row_k, w_k, node_tab,
               smax_tab, ar, base, ct, n_pad, r_tile: int = R_TILE,
               local_out: bool = False, pack: Optional[jnp.ndarray] = None,
+              stream_has_ss: bool = False,
               interpret: Optional[bool] = None):
     """One fused pass over (a block of) the layout. ``ct`` holds ABSOLUTE
     tile ids — the node table is always indexed globally; with
@@ -683,9 +696,11 @@ def _gat_pass(mode, H, D, alpha, attn_drop, stream, row_k, w_k, node_tab,
     in_specs += [
         pl.BlockSpec((r_tile, Wn), lambda c, ct: (ct[c], 0)),
         pl.BlockSpec((8, 128), lambda c, ct: (0, 0)),
-        pl.BlockSpec((HDp, 128), lambda c, ct: (0, 0)),
     ]
-    args += [node_tab, smax_tab, ar]
+    args += [node_tab, smax_tab]
+    if not (stream_has_ss and not packed):
+        in_specs.append(pl.BlockSpec((HDp, 128), lambda c, ct: (0, 0)))
+        args.append(ar)
     if attn_drop > 0.0:
         in_specs.append(pl.BlockSpec((T_CHUNK,), lambda c, ct: (c,)))
         args.append(base)
@@ -698,7 +713,7 @@ def _gat_pass(mode, H, D, alpha, attn_drop, stream, row_k, w_k, node_tab,
         out_specs=out_spec)
     return pl.pallas_call(
         _make_gat_pass_kernel(mode, H, D, HDp, r_tile, alpha, attn_drop,
-                              packed=packed),
+                              packed=packed, stream_has_ss=stream_has_ss),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, Wout), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -712,7 +727,8 @@ def _gat_pass(mode, H, D, alpha, attn_drop, stream, row_k, w_k, node_tab,
 
 def _gat_apply(mode, H, D, alpha, attn_drop, table, node_tab, smax_tab, ar,
                col, row, ones, ct, orig, bp, seed, n_pad,
-               panel_rows: int = 0, r_tile: int = R_TILE):
+               panel_rows: int = 0, r_tile: int = R_TILE,
+               src_has_ss: bool = False):
     """Gather the pass's stream from ``table`` and run the fused pass —
     one-shot for 1-D layouts, mega-block streamed for blocked 2-D layouts
     (huge graphs whose [E_k, W] stream would blow HBM). Blocked layouts may
@@ -721,16 +737,10 @@ def _gat_apply(mode, H, D, alpha, attn_drop, table, node_tab, smax_tab, ar,
     staged-gather fast path the SpMM driver uses — 2.9 vs 10.9 ns/row)."""
     if ct.ndim == 1:
         stream = jnp.take(table, col, axis=0, mode="clip")
-        # ORDER the node-table VMEM placement AFTER the gather: XLA likes to
-        # prefetch a ≤~60 MB pallas operand wholly into VMEM (S(1)) while
-        # the gather runs, and a 144-lane table's staging copy (2-tile
-        # physical padding ≈ 117 MB at 100k nodes) no longer co-fits — the
-        # gather silently falls to HBM row-DMA (measured 7 → 49 ms)
-        stream, node_tab = jax.lax.optimization_barrier((stream, node_tab))
         base = _drop_base(orig, seed, attn_drop)
         return _gat_pass(mode, H, D, alpha, attn_drop, stream, row, ones,
                          node_tab, smax_tab, ar, base, ct, n_pad,
-                         r_tile=r_tile)
+                         r_tile=r_tile, stream_has_ss=src_has_ss)
 
     # blocked layouts are PACKED: ``col`` carries one int32 per slot
     # (panel-local col | dst-tile row offset << 18 | validity << 26) — a
@@ -874,14 +884,25 @@ def _gat_fwd(H, D, alpha, attn_drop, panel_rows, r_tile, sd, ss, h2, ar,
     n_pad = sd.shape[0]
     HD = H * D
     HDp = -(-HD // F_BLK) * F_BLK
-    h2f = jax.lax.optimization_barrier(h2.astype(jnp.float32))
+    single = fw_ct.ndim == 1
+    h2f = h2.astype(jnp.float32)
+    if not single:
+        h2f = jax.lax.optimization_barrier(h2f)
     sdf = sd.astype(jnp.float32)
     ssf = ss.astype(jnp.float32)
     arf = ar.astype(jnp.float32)
+    # single-shot (≤~200k nodes): gather the COMPACT [h2|ss] table — one
+    # wide table per phase keeps this backend's gather staging behaviour
+    # (measured 86 vs 120 ms/step at 100k when gathering h2 + a separate
+    # pinned node table). Blocked (OGB-scale): gather h2 alone and
+    # recompute ss in-register — the concat table would cost ~4.8 GB there.
+    src_tab = (jax.lax.optimization_barrier(
+        jnp.concatenate([h2f, ssf], axis=1)) if single else h2f)
     node = jax.lax.optimization_barrier(_pad_lanes(sdf))
-    outc = _gat_apply("fwd", H, D, alpha, attn_drop, h2f, node,
+    outc = _gat_apply("fwd", H, D, alpha, attn_drop, src_tab, node,
                       _smax_tab(ssf), arf, fw_col, fw_row, fw_ones, fw_ct,
-                      fw_orig, fw_bp, seed, n_pad, panel_rows, r_tile)
+                      fw_orig, fw_bp, seed, n_pad, panel_rows, r_tile,
+                      src_has_ss=single)
     den = jnp.maximum(outc[:, HDp:HDp + H], 1e-16)
     out = (outc[:, :HD].reshape(n_pad, H, D)
            / den[:, :, None]).reshape(n_pad, HD).astype(h2.dtype)
@@ -910,26 +931,26 @@ def _gat_bwd(H, D, alpha, attn_drop, panel_rows, r_tile, res, g):
     dden = -jnp.sum(g * out.astype(jnp.float32).reshape(n_pad, H, D),
                     axis=2) / den                                  # [n_pad,H]
 
-    # ONE built table: T2 = [dagg | dden | sd] (dst quantities); the src
-    # side is h2 itself (scores recomputed in-register via ar)
+    # dst table: T2 = [dagg | dden | sd]; src side: [h2|ss] when single-shot
+    # (see _gat_fwd), h2 + in-register ss otherwise
+    single = fw_ct.ndim == 1
     t2 = _gat_t2(sdf, dagg, dden)
+    src_tab = (jax.lax.optimization_barrier(
+        jnp.concatenate([h2f, ssf], axis=1)) if single else h2f)
 
-    # fw-layout pass (grouping key = dst): gather h2 by source → dsd
-    dsd = _gat_apply("dsd", H, D, alpha, attn_drop, h2f, t2, smax, arf,
+    # fw-layout pass (grouping key = dst): gather the src table → dsd
+    dsd = _gat_apply("dsd", H, D, alpha, attn_drop, src_tab, t2, smax, arf,
                      fw_col, fw_row, fw_ones, fw_ct, fw_orig, fw_bp,
-                     seed, n_pad, panel_rows, r_tile)[:, :H]
+                     seed, n_pad, panel_rows, r_tile,
+                     src_has_ss=single)[:, :H]
 
-    # phase barrier: serialize the two passes' gathers (each sweeps E rows).
-    # h2f must ride the barrier too — otherwise XLA prefetches the ~56 MB
-    # node table into VMEM *concurrently* with the T2 gather, the two no
-    # longer co-fit, and the gather falls off the VMEM-staged fast path
-    # (measured: 20 → 49 ms for the layer-0 dsrc gather at 100k nodes)
-    t2, dsd, h2b = jax.lax.optimization_barrier((t2, dsd, h2f))
+    # phase barrier: serialize the two passes' gathers (each sweeps E rows)
+    t2, dsd, src_tab = jax.lax.optimization_barrier((t2, dsd, src_tab))
 
     # bw-layout pass (grouping key = src): gather T2 by destination → dh2+dss
-    outc = _gat_apply("dsrc", H, D, alpha, attn_drop, t2, h2b, smax, arf,
+    outc = _gat_apply("dsrc", H, D, alpha, attn_drop, t2, src_tab, smax, arf,
                       bw_col, bw_row, bw_ones, bw_ct, bw_orig, bw_bp,
-                      seed, n_pad, panel_rows, r_tile)
+                      seed, n_pad, panel_rows, r_tile, src_has_ss=single)
     dh2 = outc[:, :HD]
     dss = outc[:, HDp:HDp + H]
 
