@@ -201,14 +201,19 @@ def bench_sampled(args):
     from cogdl_tpu.models import build_model
     from cogdl_tpu.wrappers import fetch_wrapper
 
+    # features generated (and kept) on device; sampled batches carry only
+    # the frame INDEX (~1 MB) instead of gathered feature rows — the
+    # production layout (features never leave HBM), and essential on this
+    # tunneled dev chip (a 134 MB/batch feature transfer measured 9 s/step)
     graph = powerlaw_graph(args.nodes, avg_degree=args.avg_degree,
-                           feat_dim=args.feat_dim)
+                           feat_dim=args.feat_dim, device_features=True)
     fanouts = tuple(int(f) for f in args.fanouts.split(","))
     model = build_model("sage", in_features=args.feat_dim,
                         out_features=graph.num_classes,
                         hidden_size=args.hidden, dropout=0.0)
     wrapper = fetch_wrapper("neighbor_sampling")(
-        model, None, fanouts=fanouts, batch_size=args.batch_size)
+        model, None, fanouts=fanouts, batch_size=args.batch_size,
+        device_features=True)
     g = wrapper.prepare_graph(graph)
     rng = jax.random.PRNGKey(0)
     variables = wrapper.init(rng, g)

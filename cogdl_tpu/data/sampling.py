@@ -79,10 +79,18 @@ class NeighborSampler:
 
     def __init__(self, graph: Graph, fanouts: Sequence[int],
                  batch_size: int = 512, seed: int = 0,
-                 node_idx: Optional[np.ndarray] = None):
+                 node_idx: Optional[np.ndarray] = None,
+                 device_features: bool = False):
         self.graph = graph
         self.fanouts = list(fanouts)
         self.batch_size = batch_size
+        # device_features: keep the feature table resident on device and
+        # ship only the (padded) frame INDEX array per batch — a sampled
+        # batch then costs ~1 MB of transfer instead of the gathered feature
+        # rows (134 MB at 1M nodes / F=128). Consumers gather on device:
+        # x = take(graph.x, blocks[0].extras["frame"], mode="clip"); the
+        # frame pads point at the graph's zero sink row.
+        self.device_features = device_features
         self.rng = np.random.default_rng(seed)
         self.indptr, self.indices, _ = graph_csr(graph)
         if node_idx is None:
@@ -104,7 +112,8 @@ class NeighborSampler:
         if shuffle:
             self.rng.shuffle(idx)
         B = self.batch_size
-        x_full = None if self.graph.x is None else np.asarray(self.graph.x)
+        x_full = (None if (self.graph.x is None or self.device_features)
+                  else np.asarray(self.graph.x))
         y_full = None if self.graph.y is None else np.asarray(self.graph.y)
         for start in range(0, len(idx), B):
             seeds = idx[start: start + B]
@@ -163,6 +172,11 @@ class NeighborSampler:
                                 y=None if ys is None else jnp.asarray(ys),
                                 train_mask=jnp.asarray(tm))
                       for b in blocks]
+            if self.device_features:
+                fr = np.full(n_pad, self.graph.n_pad - 1, np.int32)
+                fr[: frame.shape[0]] = frame
+                blocks[0] = blocks[0].replace(
+                    extras={"frame": jnp.asarray(fr)})
             yield blocks, frame, seeds
 
 

@@ -54,6 +54,12 @@ class TrainerConfig:
     attack: Optional[str] = None       # None | "fgsm" | "pgd" | "injection"
     attack_every: int = 1
     attack_eps: float = 0.05
+    # failure detection (the reference has none — a crashed run just hangs
+    # or poisons the weights): when the train loss goes non-finite at an
+    # eval point, roll back to the best snapshot and keep going; give up
+    # loudly after nan_guard_retries rollbacks.
+    nan_guard: bool = True
+    nan_guard_retries: int = 3
 
 
 def build_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
@@ -208,6 +214,7 @@ class Trainer:
         best_model_state = model_state
         best_opt_state = opt_state
         best_epoch = 0
+        nan_rollbacks = 0
         t0 = time.time()
         logger = cfg.logger
         if isinstance(logger, str):
@@ -251,6 +258,24 @@ class Trainer:
                         params, model_state, opt_state, b, step_rng)
                     losses.append(loss)
                 if (epoch + 1) % cfg.eval_step == 0:
+                    if cfg.nan_guard:
+                        train_loss = float(jnp.mean(jnp.stack(losses)))
+                        if not np.isfinite(train_loss):
+                            nan_rollbacks += 1
+                            if nan_rollbacks > cfg.nan_guard_retries:
+                                raise RuntimeError(
+                                    f"training diverged: non-finite loss at "
+                                    f"epoch {epoch} persisted through "
+                                    f"{cfg.nan_guard_retries} rollbacks "
+                                    "(lower lr / enable grad_clip)")
+                            params = best_params
+                            model_state = best_model_state
+                            opt_state = best_opt_state
+                            print(f"nan_guard: non-finite loss at epoch "
+                                  f"{epoch}; rolled back to epoch "
+                                  f"{best_epoch} snapshot "
+                                  f"({nan_rollbacks}/{cfg.nan_guard_retries})")
+                            continue
                     metrics = eval_step(params, model_state, graph)
                     if monitor not in metrics:
                         raise KeyError(

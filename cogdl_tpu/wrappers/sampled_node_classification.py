@@ -28,19 +28,33 @@ class SampledNodeClfWrapper(NodeClfWrapper):
     refresh_per_epoch = True
 
     def __init__(self, model, dataset=None, fanouts=(10, 10),
-                 batch_size: int = 256, seed: int = 0):
+                 batch_size: int = 256, seed: int = 0,
+                 device_features: bool = False):
         super().__init__(model, dataset)
         self.fanouts = list(fanouts)
         self.batch_size = batch_size
         self.seed = seed
+        self.device_features = device_features
         self._sampler = None
+        self._x_dev = None
         self._epoch = 0
 
     def prepare_graph(self, graph: Graph) -> Graph:
         graph = super().prepare_graph(graph)
         self._sampler = NeighborSampler(
-            graph, self.fanouts, batch_size=self.batch_size, seed=self.seed)
+            graph, self.fanouts, batch_size=self.batch_size, seed=self.seed,
+            device_features=self.device_features)
+        if self.device_features:
+            # feature table stays resident; batches carry only the frame
+            # index (sampling.py NeighborSampler device_features)
+            self._x_dev = graph.x
         return graph
+
+    def _block_x(self, blocks):
+        if blocks[0].x is not None:
+            return blocks[0].x
+        return jnp.take(self._x_dev, blocks[0].extras["frame"], axis=0,
+                        mode="clip")
 
     def train_batches(self, graph: Graph):
         self._epoch += 1
@@ -58,7 +72,7 @@ class SampledNodeClfWrapper(NodeClfWrapper):
     def loss(self, variables, batch, rng, training: bool = True):
         blocks = list(batch)
         mutable = ["batch_stats"] if "batch_stats" in variables else False
-        out = self.model.apply(variables, blocks, blocks[0].x,
+        out = self.model.apply(variables, blocks, self._block_x(blocks),
                                training=training, rngs={"dropout": rng},
                                mutable=mutable)
         logits, updates = out if mutable else (out, {})
@@ -78,7 +92,7 @@ class SampledNodeClfWrapper(NodeClfWrapper):
         # batches for the whole run, and bump the epoch/RNG state)
         blocks, _, _ = next(self._sampler.epoch(shuffle=False))
         return self.model.init({"params": rng, "dropout": rng}, blocks,
-                               blocks[0].x, training=False)
+                               self._block_x(blocks), training=False)
 
 
 class ClusterNodeClfWrapper(NodeClfWrapper):

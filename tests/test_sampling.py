@@ -122,3 +122,22 @@ def test_prefetcher_device_put(g):
     (a,) = list(pf)
     assert isinstance(a, jax.Array)
     np.testing.assert_array_equal(np.asarray(a), np.arange(4))
+
+
+def test_neighbor_sampler_device_features_match(g):
+    """device_features=True ships only the frame index; gathering from the
+    resident table reproduces the host-gathered block features exactly."""
+    import jax.numpy as jnp
+
+    host = NeighborSampler(g, fanouts=[5, 5], batch_size=32, seed=7)
+    dev = NeighborSampler(g, fanouts=[5, 5], batch_size=32, seed=7,
+                          device_features=True)
+    (hb, hf, hs), (db, df, ds) = (next(host.epoch(shuffle=False)),
+                                  next(dev.epoch(shuffle=False)))
+    np.testing.assert_array_equal(hf, df)
+    assert db[0].x is None and "frame" in db[0].extras
+    got = jnp.take(g.x, db[0].extras["frame"], axis=0, mode="clip")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(hb[0].x),
+                               rtol=0, atol=0)
+    # y / train_mask still ride the blocks in both modes
+    np.testing.assert_array_equal(np.asarray(db[0].y), np.asarray(hb[0].y))

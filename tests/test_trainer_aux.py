@@ -77,3 +77,33 @@ def test_multi_stage_hooks():
     res = Trainer(TrainerConfig(epochs=2)).run(w, ds.graph)
     assert [c for c in calls if c[0] == "pre"] == [("pre", 0), ("pre", 1), ("pre", 2)]
     assert [c for c in calls if c[0] == "post"] == [("post", 0), ("post", 1), ("post", 2)]
+
+
+def test_nan_guard_rolls_back_and_raises():
+    """Failure detection: a diverging loss rolls back to the best snapshot;
+    persistent divergence raises instead of silently training on NaNs
+    (the reference has no failure detection at all — SURVEY.md §5)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from cogdl_tpu.datasets import build_dataset
+    from cogdl_tpu.models import build_model
+    from cogdl_tpu.trainer.trainer import Trainer, TrainerConfig
+    from cogdl_tpu.wrappers import fetch_wrapper
+
+    ds = build_dataset("sbm", num_nodes=120)
+    model = build_model("gcn", in_features=ds.num_features,
+                        out_features=ds.num_classes, hidden_size=8)
+    wrapper = fetch_wrapper("node_classification")(model, ds)
+    orig_loss = wrapper.loss
+
+    def poisoned(variables, batch, rng, training=True):
+        loss, upd = orig_loss(variables, batch, rng, training)
+        # overflow to inf immediately — value-level divergence (a python
+        # counter would only tick at trace time)
+        return loss * jnp.float32(1e38) * jnp.float32(1e38), upd
+
+    wrapper.loss = poisoned
+    with pytest.raises(RuntimeError, match="diverged"):
+        Trainer(TrainerConfig(epochs=30, eval_step=1,
+                              nan_guard_retries=2)).run(wrapper, ds.graph)
