@@ -175,8 +175,14 @@ class NeighborSampler:
             if self.device_features:
                 fr = np.full(n_pad, self.graph.n_pad - 1, np.int32)
                 fr[: frame.shape[0]] = frame
+                # the table rides the batch PYTREE (device_put of an
+                # already-committed array is a no-op) so the jitted step
+                # sees it as an ARGUMENT — closing over it would embed a
+                # multi-hundred-MB constant in the compiled program (the
+                # remote-compile relay rejects those outright)
                 blocks[0] = blocks[0].replace(
-                    extras={"frame": jnp.asarray(fr)})
+                    extras={"frame": jnp.asarray(fr),
+                            "x_table": self.graph.x})
             yield blocks, frame, seeds
 
 

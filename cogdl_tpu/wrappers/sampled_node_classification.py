@@ -44,17 +44,15 @@ class SampledNodeClfWrapper(NodeClfWrapper):
         self._sampler = NeighborSampler(
             graph, self.fanouts, batch_size=self.batch_size, seed=self.seed,
             device_features=self.device_features)
-        if self.device_features:
-            # feature table stays resident; batches carry only the frame
-            # index (sampling.py NeighborSampler device_features)
-            self._x_dev = graph.x
         return graph
 
     def _block_x(self, blocks):
         if blocks[0].x is not None:
             return blocks[0].x
-        return jnp.take(self._x_dev, blocks[0].extras["frame"], axis=0,
-                        mode="clip")
+        # resident feature table + frame index ride the batch pytree
+        # (sampling.py NeighborSampler device_features)
+        return jnp.take(blocks[0].extras["x_table"],
+                        blocks[0].extras["frame"], axis=0, mode="clip")
 
     def train_batches(self, graph: Graph):
         self._epoch += 1
