@@ -269,6 +269,9 @@ def bench_sampled(args):
         "step_ms": round(1000 * dt / max(n, 1), 2),
         "seeds_per_sec": round(args.batch_size * n / dt),
         "device": str(jax.devices()[0]),
+        "note": "end-to-end incl. host->device transfer; on a tunneled "
+                "dev chip the ~MB/s link dominates (features already "
+                "stay resident - only block structure is shipped)",
     }))
 
 
