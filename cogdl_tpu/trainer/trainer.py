@@ -258,9 +258,11 @@ class Trainer:
                         params, model_state, opt_state, b, step_rng)
                     losses.append(loss)
                 if (epoch + 1) % cfg.eval_step == 0:
+                    train_loss = float(jnp.mean(jnp.stack(losses)))
                     if cfg.nan_guard:
-                        train_loss = float(jnp.mean(jnp.stack(losses)))
                         if not np.isfinite(train_loss):
+                            # CONSECUTIVE failures only — isolated blips
+                            # recover and reset the counter below
                             nan_rollbacks += 1
                             if nan_rollbacks > cfg.nan_guard_retries:
                                 raise RuntimeError(
@@ -276,6 +278,7 @@ class Trainer:
                                   f"{best_epoch} snapshot "
                                   f"({nan_rollbacks}/{cfg.nan_guard_retries})")
                             continue
+                        nan_rollbacks = 0
                     metrics = eval_step(params, model_state, graph)
                     if monitor not in metrics:
                         raise KeyError(
@@ -287,7 +290,7 @@ class Trainer:
                     if logger is not None:
                         logger.note(
                             {**{k: float(v) for k, v in metrics.items()},
-                             "train_loss": float(jnp.mean(jnp.stack(losses)))},
+                             "train_loss": train_loss},
                             stage * cfg.epochs + epoch)
                     if score > best:
                         best = score

@@ -36,7 +36,6 @@ class SampledNodeClfWrapper(NodeClfWrapper):
         self.seed = seed
         self.device_features = device_features
         self._sampler = None
-        self._x_dev = None
         self._epoch = 0
 
     def prepare_graph(self, graph: Graph) -> Graph:

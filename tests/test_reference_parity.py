@@ -36,17 +36,34 @@ def _import_reference():
             return a[0]
         return lambda f: f
 
-    for name in ("optuna", "metis", "emoji"):
-        _stub(name)
-    _stub("grave", plot_network=lambda *a, **k: None,
-          use_attributes=lambda *a, **k: None)
-    _stub("tabulate", tabulate=lambda *a, **k: "")
-    _stub("numba", njit=njit, prange=range, jit=njit,
-          float32="f4", float64="f8", int32="i4", int64="i8",
-          boolean="b1")
+    added = []
+    for name, attrs in (
+            ("optuna", {}), ("metis", {}), ("emoji", {}),
+            ("grave", dict(plot_network=lambda *a, **k: None,
+                           use_attributes=lambda *a, **k: None)),
+            ("tabulate", dict(tabulate=lambda *a, **k: "")),
+            ("numba", dict(njit=njit, prange=range, jit=njit,
+                           float32="f4", float64="f8", int32="i4",
+                           int64="i8", boolean="b1"))):
+        if name not in sys.modules:
+            _stub(name, **attrs)
+            added.append(name)
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
-    import cogdl  # noqa: F401
+    try:
+        # eager-import every reference module the tests touch WHILE the
+        # stubs are in place (later lazy imports would miss them)
+        import cogdl  # noqa: F401
+        import cogdl.layers  # noqa: F401
+        import cogdl.models.nn.gcn  # noqa: F401
+        import cogdl.utils.spmm_utils  # noqa: F401
+    finally:
+        # SCOPE the stubs: reference modules already imported keep their
+        # references, but later `import optuna` elsewhere must fail with
+        # ImportError (not succeed on an empty module) so optional-dep
+        # probes stay truthful
+        for name in added:
+            sys.modules.pop(name, None)
 
     return cogdl
 
