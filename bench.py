@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--attn-drop", type=float, default=0.0,
                     help="GAT attention dropout (exercises the in-kernel "
                     "hash-mask path)")
+    ap.add_argument("--exact-scores", action="store_true",
+                    help="GAT: exact-f32 kernel matmuls (6-pass MXU) "
+                    "instead of the default mixed precision")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 activations (f32 master weights); "
                     "EXPERIMENTAL on this backend - scan+bf16 crashes")
@@ -116,7 +119,8 @@ def main():
               hidden_size=args.hidden, dropout=0.0)
     if args.model == "gat":
         kw.update(nhead=8, hidden_size=args.hidden // 8,
-                  attn_drop=args.attn_drop)
+                  attn_drop=args.attn_drop,
+                  exact_scores=args.exact_scores)
     model = build_model(args.model, **kw)
     rng = jax.random.PRNGKey(0)
     # jit the init: params depend only on shapes, so XLA DCEs the whole

@@ -29,6 +29,10 @@ class GATLayer(nn.Module):
     residual: bool = False
     norm: Optional[str] = None
     concat: bool = True        # concat heads (hidden layers) vs mean (output)
+    # fused-kernel score precision: False = TPU-default mixed precision
+    # (bf16 multiply / f32 accumulate — the reference's fp16-AMP class,
+    # ~0.3% attention noise); True = exact f32 (6-pass MXU, slower)
+    exact_scores: bool = False
 
     @nn.compact
     def __call__(self, graph: Graph, x: jnp.ndarray, training: bool = False):
@@ -47,7 +51,8 @@ class GATLayer(nn.Module):
         # fused layout-order path (TPU): no [E, H] tensors materialised
         out = maybe_gat_fused(graph, score_dst, score_src, h, a_src,
                               alpha=self.alpha, attn_drop=drop,
-                              dropout_rng=rng)
+                              dropout_rng=rng,
+                              exact_scores=self.exact_scores)
         if out is None:
             e = gather(score_dst, graph.row) + gather(score_src, graph.col)
             e = jax.nn.leaky_relu(e, self.alpha)

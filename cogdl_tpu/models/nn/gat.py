@@ -23,6 +23,7 @@ class GAT(nn.Module):
     attn_drop: float = 0.5
     residual: bool = False
     norm: Optional[str] = None
+    exact_scores: bool = False
 
     @nn.compact
     def __call__(self, graph: Graph, x: Optional[jnp.ndarray] = None,
@@ -36,12 +37,13 @@ class GAT(nn.Module):
                 self.hidden_size, nhead=self.nhead, alpha=self.alpha,
                 attn_drop=self.attn_drop, activation="elu",
                 residual=self.residual, norm=self.norm, concat=True,
-                name=f"layer{i}",
+                exact_scores=self.exact_scores, name=f"layer{i}",
             )(graph, x, training)
         if self.dropout > 0 and training:
             x = nn.Dropout(rate=self.dropout, deterministic=False)(x)
         return GATLayer(
             self.out_features, nhead=self.nhead_last, alpha=self.alpha,
             attn_drop=self.attn_drop, concat=False,
+            exact_scores=self.exact_scores,
             name=f"layer{self.num_layers - 1}",
         )(graph, x, training)

@@ -128,7 +128,8 @@ def maybe_pallas_spmm(graph, x) -> Optional[jnp.ndarray]:
 
 
 def maybe_gat_fused(graph, score_dst, score_src, h, a_src, alpha=0.2,
-                    attn_drop=0.0, dropout_rng=None):
+                    attn_drop=0.0, dropout_rng=None,
+                    exact_scores: bool = False):
     """Fully fused kernel-tier GAT (scores+softmax+aggregate, custom VJP)
     when both direction layouts are prepared (TPU). ``a_src`` is the src
     attention vector [H, D] (or [1, H, D]); the kernels gather h alone and
@@ -165,6 +166,7 @@ def maybe_gat_fused(graph, score_dst, score_src, h, a_src, alpha=0.2,
     bw_col = extras["spmm_bw_pack"] if packed else extras["spmm_bw_col"]
     out = gat_fused_p(
         H, D, alpha, float(attn_drop), panel_rows, r_tile,
+        bool(exact_scores),
         score_dst, score_src, h.reshape(-1, H * D), ar, seed,
         fw_col, extras.get("spmm_fw_row", zb),
         extras.get("spmm_fw_ones", zf),

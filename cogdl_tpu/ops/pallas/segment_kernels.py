@@ -487,7 +487,8 @@ def _pad_to(a: jnp.ndarray, w: int) -> jnp.ndarray:
 
 def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
                           alpha: float, attn_drop: float,
-                          packed: bool = False, stream_has_ss: bool = False):
+                          packed: bool = False, stream_has_ss: bool = False,
+                          exact_scores: bool = False):
     """One fused GAT pass over a prepared edge layout.
 
     mode 'fwd' : stream=[h2|ss] by src, node=sd (dst key)
@@ -508,10 +509,16 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
     thresh = int((1.0 - attn_drop) * float(2 ** 32 - 1))
     HD = H * D
 
-    def mm(a, b, ca, cb):
+    def mm(a, b, ca, cb, exact=exact_scores):
+        # TPU f32 dots multiply in bf16 passes by default (f32 accumulate) —
+        # the routing/aggregation matmuls keep that (mixed-precision
+        # aggregation, same class as the reference's fp16 AMP). Score-
+        # forming matmuls optionally run at HIGHEST (6-pass exact f32)
+        # because the softmax exp amplifies score rounding.
+        prec = jax.lax.Precision.HIGHEST if exact else None
         return jax.lax.dot_general(
             a, b, dimension_numbers=(((ca,), (cb,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32, precision=prec)
 
     def kernel(*refs):
         ct_ref = refs[0]
@@ -661,7 +668,7 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
 def _gat_pass(mode, H, D, alpha, attn_drop, stream, row_k, w_k, node_tab,
               smax_tab, ar, base, ct, n_pad, r_tile: int = R_TILE,
               local_out: bool = False, pack: Optional[jnp.ndarray] = None,
-              stream_has_ss: bool = False,
+              stream_has_ss: bool = False, exact_scores: bool = False,
               interpret: Optional[bool] = None):
     """One fused pass over (a block of) the layout. ``ct`` holds ABSOLUTE
     tile ids — the node table is always indexed globally; with
@@ -713,7 +720,8 @@ def _gat_pass(mode, H, D, alpha, attn_drop, stream, row_k, w_k, node_tab,
         out_specs=out_spec)
     return pl.pallas_call(
         _make_gat_pass_kernel(mode, H, D, HDp, r_tile, alpha, attn_drop,
-                              packed=packed, stream_has_ss=stream_has_ss),
+                              packed=packed, stream_has_ss=stream_has_ss,
+                              exact_scores=exact_scores),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, Wout), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -728,7 +736,7 @@ def _gat_pass(mode, H, D, alpha, attn_drop, stream, row_k, w_k, node_tab,
 def _gat_apply(mode, H, D, alpha, attn_drop, table, node_tab, smax_tab, ar,
                col, row, ones, ct, orig, bp, seed, n_pad,
                panel_rows: int = 0, r_tile: int = R_TILE,
-               src_has_ss: bool = False):
+               src_has_ss: bool = False, exact_scores: bool = False):
     """Gather the pass's stream from ``table`` and run the fused pass —
     one-shot for 1-D layouts, mega-block streamed for blocked 2-D layouts
     (huge graphs whose [E_k, W] stream would blow HBM). Blocked layouts may
@@ -740,7 +748,8 @@ def _gat_apply(mode, H, D, alpha, attn_drop, table, node_tab, smax_tab, ar,
         base = _drop_base(orig, seed, attn_drop)
         return _gat_pass(mode, H, D, alpha, attn_drop, stream, row, ones,
                          node_tab, smax_tab, ar, base, ct, n_pad,
-                         r_tile=r_tile, stream_has_ss=src_has_ss)
+                         r_tile=r_tile, stream_has_ss=src_has_ss,
+                         exact_scores=exact_scores)
 
     # blocked layouts are PACKED: ``col`` carries one int32 per slot
     # (panel-local col | dst-tile row offset << 18 | validity << 26) — a
@@ -783,7 +792,8 @@ def _gat_apply(mode, H, D, alpha, attn_drop, table, node_tab, smax_tab, ar,
         base = _drop_base(orig_b, seed, attn_drop)
         local = _gat_pass(mode, H, D, alpha, attn_drop, stream, None,
                           None, node_tab, smax_tab, ar, base, ct_b, n_local,
-                          r_tile=r_tile, local_out=True, pack=pack_b)
+                          r_tile=r_tile, local_out=True, pack=pack_b,
+                          exact_scores=exact_scores)
         # local tiles this block's chunks never visited hold undefined
         # kernel memory — zero them before accumulating
         visited = jnp.zeros(bc, jnp.bool_).at[ct_b - first].set(
@@ -813,9 +823,9 @@ def build_ar(a_src: jnp.ndarray, H: int, D: int) -> jnp.ndarray:
         a_src.reshape(HD).astype(jnp.float32))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
 def gat_fused_p(H: int, D: int, alpha: float, attn_drop: float,
-                panel_rows: int, r_tile: int,
+                panel_rows: int, r_tile: int, exact_scores: bool,
                 sd, ss, h2, ar, seed,
                 fw_col, fw_row, fw_ones, fw_ct, fw_orig, fw_bp,
                 bw_col, bw_row, bw_ones, bw_ct, bw_orig, bw_bp):
@@ -831,7 +841,7 @@ def gat_fused_p(H: int, D: int, alpha: float, attn_drop: float,
     ``panel_rows`` source panels (``*_bp`` maps blocks to panels). Returns
     [n_pad, H·D]."""
     out, _ = _gat_fwd(H, D, alpha, attn_drop, panel_rows, r_tile,
-                      sd, ss, h2, ar, seed,
+                      exact_scores, sd, ss, h2, ar, seed,
                       fw_col, fw_row, fw_ones, fw_ct, fw_orig, fw_bp,
                       bw_col, bw_row, bw_ones, bw_ct, bw_orig, bw_bp)
     return out
@@ -843,7 +853,7 @@ def gat_fused(H: int, D: int, alpha: float, attn_drop: float,
               bw_col, bw_row, bw_ones, bw_ct, bw_orig):
     """Single-panel convenience wrapper around :func:`gat_fused_p`."""
     zb = jnp.zeros(0, jnp.int32)
-    return gat_fused_p(H, D, alpha, attn_drop, 0, R_TILE,
+    return gat_fused_p(H, D, alpha, attn_drop, 0, R_TILE, False,
                        sd, ss, h2, ar, seed,
                        fw_col, fw_row, fw_ones, fw_ct, fw_orig, zb,
                        bw_col, bw_row, bw_ones, bw_ct, bw_orig, zb)
@@ -877,8 +887,8 @@ def _drop_base(orig, seed, attn_drop):
         ^ seed.astype(jnp.uint32), jnp.int32)
 
 
-def _gat_fwd(H, D, alpha, attn_drop, panel_rows, r_tile, sd, ss, h2, ar,
-             seed,
+def _gat_fwd(H, D, alpha, attn_drop, panel_rows, r_tile, exact_scores,
+             sd, ss, h2, ar, seed,
              fw_col, fw_row, fw_ones, fw_ct, fw_orig, fw_bp,
              bw_col, bw_row, bw_ones, bw_ct, bw_orig, bw_bp):
     n_pad = sd.shape[0]
@@ -902,7 +912,7 @@ def _gat_fwd(H, D, alpha, attn_drop, panel_rows, r_tile, sd, ss, h2, ar,
     outc = _gat_apply("fwd", H, D, alpha, attn_drop, src_tab, node,
                       _smax_tab(ssf), arf, fw_col, fw_row, fw_ones, fw_ct,
                       fw_orig, fw_bp, seed, n_pad, panel_rows, r_tile,
-                      src_has_ss=single)
+                      src_has_ss=single, exact_scores=exact_scores)
     den = jnp.maximum(outc[:, HDp:HDp + H], 1e-16)
     out = (outc[:, :HD].reshape(n_pad, H, D)
            / den[:, :, None]).reshape(n_pad, HD).astype(h2.dtype)
@@ -912,7 +922,8 @@ def _gat_fwd(H, D, alpha, attn_drop, panel_rows, r_tile, sd, ss, h2, ar,
     return out, res
 
 
-def _gat_bwd(H, D, alpha, attn_drop, panel_rows, r_tile, res, g):
+def _gat_bwd(H, D, alpha, attn_drop, panel_rows, r_tile, exact_scores,
+             res, g):
     (sd, ss, h2, ar, seed, den, out,
      fw_col, fw_row, fw_ones, fw_ct, fw_orig, fw_bp,
      bw_col, bw_row, bw_ones, bw_ct, bw_orig, bw_bp) = res
@@ -942,7 +953,7 @@ def _gat_bwd(H, D, alpha, attn_drop, panel_rows, r_tile, res, g):
     dsd = _gat_apply("dsd", H, D, alpha, attn_drop, src_tab, t2, smax, arf,
                      fw_col, fw_row, fw_ones, fw_ct, fw_orig, fw_bp,
                      seed, n_pad, panel_rows, r_tile,
-                     src_has_ss=single)[:, :H]
+                     src_has_ss=single, exact_scores=exact_scores)[:, :H]
 
     # phase barrier: serialize the two passes' gathers (each sweeps E rows)
     t2, dsd, src_tab = jax.lax.optimization_barrier((t2, dsd, src_tab))
@@ -950,7 +961,8 @@ def _gat_bwd(H, D, alpha, attn_drop, panel_rows, r_tile, res, g):
     # bw-layout pass (grouping key = src): gather T2 by destination → dh2+dss
     outc = _gat_apply("dsrc", H, D, alpha, attn_drop, t2, src_tab, smax, arf,
                       bw_col, bw_row, bw_ones, bw_ct, bw_orig, bw_bp,
-                      seed, n_pad, panel_rows, r_tile, src_has_ss=single)
+                      seed, n_pad, panel_rows, r_tile, src_has_ss=single,
+                      exact_scores=exact_scores)
     dh2 = outc[:, :HD]
     dss = outc[:, HDp:HDp + H]
 
@@ -961,8 +973,10 @@ def _gat_bwd(H, D, alpha, attn_drop, panel_rows, r_tile, res, g):
             z(bw_col), z(bw_row), z(bw_ones), z(bw_ct), z(bw_orig), z(bw_bp))
 
 
-def _gat_fwd_vjp(H, D, alpha, attn_drop, panel_rows, r_tile, *args):
-    return _gat_fwd(H, D, alpha, attn_drop, panel_rows, r_tile, *args)
+def _gat_fwd_vjp(H, D, alpha, attn_drop, panel_rows, r_tile, exact_scores,
+                 *args):
+    return _gat_fwd(H, D, alpha, attn_drop, panel_rows, r_tile, exact_scores,
+                    *args)
 
 
 gat_fused_p.defvjp(_gat_fwd_vjp, _gat_bwd)

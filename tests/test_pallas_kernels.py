@@ -495,7 +495,7 @@ class TestGatFusedBlocked:
         out = gat_fused_p(
             self.H, self.D, 0.2, attn_drop,
             int(g.meta_get("spmm_panel_rows")),
-            int(g.meta_get("spmm_r_tile")),
+            int(g.meta_get("spmm_r_tile")), False,
             sd, ss, h.reshape(-1, self.H * self.D), ar, jnp.uint32(seed),
             ex["spmm_fw_pack"], zb, zf,
             ex["spmm_fw_ct"], ex["spmm_fw_orig"], ex["spmm_fw_bp"],
