@@ -316,3 +316,37 @@ def test_gcn_model_logits_parity():
     out = np.asarray(model.apply({"params": params}, g, xp,
                                  training=False))[:n]
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_gin_layer_activation_parity():
+    from cogdl.layers import GINLayer as RefGIN
+
+    from cogdl_tpu.layers import GINLayer
+
+    row, col, n = _random_edges(seed=16)
+    rng = np.random.default_rng(17)
+    F_in, Hid, F_out = 12, 9, 7
+    x = rng.normal(size=(n, F_in)).astype(np.float32)
+
+    # reference GIN takes the update MLP as apply_func
+    mlp = torch.nn.Sequential(
+        torch.nn.Linear(F_in, Hid), torch.nn.ReLU(),
+        torch.nn.Linear(Hid, F_out))
+    ref_layer = RefGIN(apply_func=mlp, eps=0.3, train_eps=True)
+    ref_layer.eval()
+    with torch.no_grad():
+        ref = ref_layer(_ref_graph(row, col, n), torch.tensor(x)).numpy()
+
+    g = _our_graph(row, col, n)
+    layer = GINLayer(F_out, hidden_features=Hid, eps=0.3, batchnorm=False)
+    xp = jnp.asarray(np.pad(x, ((0, g.n_pad - n), (0, 0))))
+    layer.init(jax.random.PRNGKey(0), g, xp)
+    variables = {"params": {
+        "eps": jnp.float32(0.3),
+        "fc1": {"kernel": jnp.asarray(mlp[0].weight.detach().numpy().T),
+                "bias": jnp.asarray(mlp[0].bias.detach().numpy())},
+        "fc2": {"kernel": jnp.asarray(mlp[2].weight.detach().numpy().T),
+                "bias": jnp.asarray(mlp[2].bias.detach().numpy())},
+    }}
+    out = np.asarray(layer.apply(variables, g, xp))[:n]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
