@@ -85,3 +85,22 @@ def test_mlp(g):
     mlp = L.MLP(10, hidden_features=32, num_layers=3)
     v = mlp.init({"params": rng}, g.x)
     assert mlp.apply(v, g.x).shape == (g.n_pad, 10)
+
+
+def test_gat_exact_scores_knob():
+    """exact_scores switches the fused kernels to HIGHEST-precision matmuls
+    (validated on-chip by scripts/validate_blocked_gat.py); the API path
+    must train end-to-end either way."""
+    import jax
+    import numpy as np
+
+    from cogdl_tpu.data.graph import add_self_loops
+    from cogdl_tpu.datasets.synthetic import sbm_graph
+    from cogdl_tpu.layers import GATLayer
+
+    g = add_self_loops(sbm_graph(num_nodes=80, seed=2))
+    for exact in (False, True):
+        layer = GATLayer(4, nhead=2, attn_drop=0.0, exact_scores=exact)
+        v = layer.init(jax.random.PRNGKey(0), g, g.x)
+        out = layer.apply(v, g, g.x)
+        assert np.isfinite(np.asarray(out)).all()
