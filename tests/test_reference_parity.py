@@ -350,3 +350,34 @@ def test_gin_layer_activation_parity():
     }}
     out = np.asarray(layer.apply(variables, g, xp))[:n]
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_gcnii_layer_activation_parity():
+    from cogdl.layers import GCNIILayer as RefGCNII
+
+    from cogdl_tpu.layers import GCNIILayer
+
+    row, col, n = _random_edges(seed=18)
+    rng = np.random.default_rng(19)
+    F = 12
+    x = rng.normal(size=(n, F)).astype(np.float32)
+    h0 = rng.normal(size=(n, F)).astype(np.float32)
+
+    ref_layer = RefGCNII(F, alpha=0.15, beta=0.6, residual=True)
+    ref_layer.eval()
+    with torch.no_grad():
+        # the paper's ((1-b)I + bW)h has no bias; zero torch's default bias
+        ref_layer.linear.bias.zero_()
+        rg = _ref_graph(row, col, n)
+        rg.sym_norm()
+        ref = ref_layer(rg, torch.tensor(x), torch.tensor(h0)).numpy()
+
+    g = sym_norm(_our_graph(row, col, n))
+    layer = GCNIILayer(F, alpha=0.15, beta=0.6, residual=True)
+    xp = jnp.asarray(np.pad(x, ((0, g.n_pad - n), (0, 0))))
+    h0p = jnp.asarray(np.pad(h0, ((0, g.n_pad - n), (0, 0))))
+    layer.init(jax.random.PRNGKey(0), g, xp, h0p)
+    variables = {"params": {"W": {
+        "kernel": jnp.asarray(ref_layer.linear.weight.detach().numpy().T)}}}
+    out = np.asarray(layer.apply(variables, g, xp, h0p))[:n]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
