@@ -628,6 +628,18 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
                 return ext_h(src_tab, HD)
             return mm(msg, ar, 1, 0)
 
+        # when the head scalars fit the HDp padding (HD + H <= HDp), the
+        # den/ds outputs FOLD into lanes [HD, HD+H) — half the output width
+        # and one routing matmul saved (output-layer shapes at OGB scale)
+        folded = HD + H <= HDp
+
+        def fold_h(x):
+            """[T, 128] head scalars -> lanes [HD, HD+H) of an HDp register."""
+            hi2 = jax.lax.broadcasted_iota(jnp.int32, (128, HDp), 0)
+            lj3 = jax.lax.broadcasted_iota(jnp.int32, (128, HDp), 1)
+            return mm(x, jnp.where(
+                jnp.logical_and(lj3 == hi2 + HD, hi2 < H), 1.0, 0.0), 1, 0)
+
         if mode == "fwd":
             sd_e = nd                                    # [T, 128]
             msg = ext_wide(stream)
@@ -635,8 +647,11 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
             _, ex = _edge_scores(sd_e, ss_e, smax, w, alpha)
             exn = ex * keepn if with_drop else ex
             exw = mm(exn, bmat, 1, 0)                    # [T, HDp]
-            out_ref[:, :HDp] += mm(pv, msg * exw, 1, 0)
-            out_ref[:, HDp:] += mm(pv, ex, 1, 0)
+            if folded:
+                out_ref[:] += mm(pv, msg * exw + fold_h(ex), 1, 0)
+            else:
+                out_ref[:, :HDp] += mm(pv, msg * exw, 1, 0)
+                out_ref[:, HDp:] += mm(pv, ex, 1, 0)
             return
 
         # both backward modes: unpack [dagg|dden|sd] (dst side) and h2 (src)
@@ -656,6 +671,11 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
         ds = (dex + dden_e) * ex * slope
         if mode == "dsd":
             out_ref[:] += mm(pv, ds, 1, 0)
+        elif folded:
+            exn = ex * keepn if with_drop else ex
+            exw = mm(exn, bmat, 1, 0)
+            out_ref[:] += mm(pv, dagg_e * exw + fold_h(ds), 1, 0)
+            return
         else:
             exn = ex * keepn if with_drop else ex
             exw = mm(exn, bmat, 1, 0)
@@ -687,7 +707,8 @@ def _gat_pass(mode, H, D, alpha, attn_drop, stream, row_k, w_k, node_tab,
     HD = H * D
     HDp = -(-HD // F_BLK) * F_BLK
     n_chunks = E_k // T_CHUNK
-    Wout = 128 if mode == "dsd" else HDp + 128
+    Wout = 128 if mode == "dsd" else (
+        HDp if HD + H <= HDp else HDp + 128)
     packed = pack is not None
     in_specs = [pl.BlockSpec((T_CHUNK, Ws), lambda c, ct: (c, 0))]
     args = [stream]
@@ -761,7 +782,8 @@ def _gat_apply(mode, H, D, alpha, attn_drop, table, node_tab, smax_tab, ar,
     Wt = table.shape[1]
     HD = H * D
     HDp = -(-HD // F_BLK) * F_BLK
-    Wout = 128 if mode == "dsd" else HDp + 128
+    Wout = 128 if mode == "dsd" else (
+        HDp if HD + H <= HDp else HDp + 128)
     if bp is None or panel_rows <= 0:
         bp = jnp.zeros(n_blocks, jnp.int32)
     with_drop = attn_drop > 0.0
@@ -913,7 +935,8 @@ def _gat_fwd(H, D, alpha, attn_drop, panel_rows, r_tile, exact_scores,
                       _smax_tab(ssf), arf, fw_col, fw_row, fw_ones, fw_ct,
                       fw_orig, fw_bp, seed, n_pad, panel_rows, r_tile,
                       src_has_ss=single, exact_scores=exact_scores)
-    den = jnp.maximum(outc[:, HDp:HDp + H], 1e-16)
+    den_off = HD if HD + H <= HDp else HDp     # folded den lanes
+    den = jnp.maximum(outc[:, den_off:den_off + H], 1e-16)
     out = (outc[:, :HD].reshape(n_pad, H, D)
            / den[:, :, None]).reshape(n_pad, HD).astype(h2.dtype)
     res = (sd, ss, h2, ar, seed, den, out,
@@ -963,8 +986,9 @@ def _gat_bwd(H, D, alpha, attn_drop, panel_rows, r_tile, exact_scores,
                       bw_col, bw_row, bw_ones, bw_ct, bw_orig, bw_bp,
                       seed, n_pad, panel_rows, r_tile, src_has_ss=single,
                       exact_scores=exact_scores)
+    den_off = HD if HD + H <= HDp else HDp
     dh2 = outc[:, :HD]
-    dss = outc[:, HDp:HDp + H]
+    dss = outc[:, den_off:den_off + H]
 
     z = jnp.zeros_like
     return (dsd.astype(sd.dtype), dss.astype(ss.dtype), dh2.astype(h2.dtype),
