@@ -59,6 +59,10 @@ def main():
                     help="dst-tile height for --products layouts; default "
                     "256 at products (cuts chunk-quantisation padding "
                     "344M->212M slots for 2x MXU work per slot), 128 else")
+    ap.add_argument("--no-prop-cache", action="store_true",
+                    help="GCN: disable the exact first-layer propagation "
+                    "cache (P = ÂX precomputed once; removes 2 of the 4 "
+                    "gather sweeps per train step)")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialise the forward (saves ~2.5 GB HBM at "
                     "products scale, costs 2 extra spmm passes)")
@@ -115,6 +119,16 @@ def main():
         graph = sym_norm(add_self_loops(graph))
         if _is_tpu():
             graph = prepare_spmm(graph)
+    prop_cached = False
+    if args.model == "gcn" and not args.no_prop_cache:
+        # exact first-layer folding (dropout=0 here): P = ÂX and s = Â1 are
+        # step-invariant, so layer 1 becomes PW + (s)bᵀ — no gather sweep in
+        # either direction. ops.cache_propagation; the model verifies the
+        # exactness conditions itself.
+        from cogdl_tpu.ops import cache_propagation
+
+        graph = cache_propagation(graph)
+        prop_cached = True
     kw = dict(in_features=args.feat_dim, out_features=graph.num_classes,
               hidden_size=args.hidden, dropout=0.0)
     if args.model == "gat":
@@ -190,6 +204,7 @@ def main():
         "vs_baseline": round(edges_per_sec / BASELINE_EDGES_PER_SEC, 4),
         "step_ms": round(1000 * dt / args.steps, 2),
         "device": str(jax.devices()[0]), "bf16": args.bf16,
+        "prop_cache": prop_cached,
     }))
 
 

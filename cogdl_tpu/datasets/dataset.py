@@ -38,11 +38,15 @@ class Dataset:
 
     @property
     def num_features(self) -> int:
+        if self.graph is None and self.graphs is None:
+            return 0    # triples-only datasets: no node features
         g = self.graph if self.graph is not None else self.graphs[0]
         return 0 if g.x is None else g.num_features
 
     @property
     def num_classes(self) -> int:
+        if self.graph is None and self.graphs is None:
+            return None  # triples-only datasets: no labels
         g = self.graph if self.graph is not None else self.graphs[0]
         nc = g.num_classes
         if nc is None and g.y is not None:

@@ -54,7 +54,9 @@ class GATLayer(nn.Module):
                               dropout_rng=rng,
                               exact_scores=self.exact_scores)
         if out is None:
-            e = gather(score_dst, graph.row) + gather(score_src, graph.col)
+            from ..ops.spmm import gather_src
+
+            e = gather(score_dst, graph.row) + gather_src(graph, score_src)
             e = jax.nn.leaky_relu(e, self.alpha)
             att = edge_softmax(graph, e)
             if self.attn_drop > 0 and training:

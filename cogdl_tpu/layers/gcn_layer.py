@@ -26,11 +26,24 @@ class GCNLayer(nn.Module):
     bias: bool = True
 
     @nn.compact
-    def __call__(self, graph: Graph, x: jnp.ndarray, training: bool = False):
-        h = nn.Dense(self.out_features, use_bias=self.bias, name="linear")(x)
-        # aggregate first when it shrinks the SpMM feature width (same trick
-        # as ordering linear-vs-spmm by dimensionality); XLA fuses the rest.
-        out = spmm(graph, h)
+    def __call__(self, graph: Graph, x: jnp.ndarray, training: bool = False,
+                 prop=None):
+        dense = nn.Dense(self.out_features, use_bias=self.bias, name="linear")
+        if prop is not None:
+            # cached-propagation path (ops.spmm.cache_propagation): the layer
+            # input is the static graph.x, so Â(XW + 1bᵀ) = (ÂX)W + (Â1)bᵀ.
+            # dense(0) recovers the bias b, keeping the param structure (and
+            # its initialisation) byte-identical to the uncached layer.
+            p, s = prop
+            out = dense(p.astype(x.dtype))
+            if self.bias:
+                b = dense(jnp.zeros((1, p.shape[-1]), x.dtype))
+                out = out + (s.astype(x.dtype) - 1.0) * b
+        else:
+            h = dense(x)
+            # aggregate after the dense transform (shrinks the SpMM feature
+            # width when out_features < in); XLA fuses the rest.
+            out = spmm(graph, h)
         if self.norm == "batchnorm":
             from .utils import MaskedBatchNorm
 

@@ -43,6 +43,9 @@ class CompGCN(nn.Module):
     hidden_size: int = 64
     num_layers: int = 2
     dropout: float = 0.1
+    # return (z, rel) so KG link prediction can score with the layer-
+    # transformed relation embeddings (reference compgcn.py:324 predict)
+    return_rel: bool = False
 
     @nn.compact
     def __call__(self, graph: Graph, x: Optional[jnp.ndarray] = None,
@@ -63,4 +66,6 @@ class CompGCN(nn.Module):
         x, rel = CompGCNLayer(self.out_features,
                               name=f"layer{self.num_layers-1}")(graph, x, rel,
                                                                 training)
+        if self.return_rel:
+            return x, rel
         return x

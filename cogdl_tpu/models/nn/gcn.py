@@ -26,10 +26,20 @@ class GCN(nn.Module):
     norm: Optional[str] = None
     residual: bool = False
     adj_norm: str = "sym"  # sym | row | none
+    # consume extras["prop_x"/"prop_s"] (ops.cache_propagation) for the first
+    # layer when exact: input is graph.x and no dropout touches it. Removes
+    # the first layer's SpMM gather sweep from forward AND backward.
+    use_prop_cache: bool = True
 
     @nn.compact
     def __call__(self, graph: Graph, x: Optional[jnp.ndarray] = None,
                  training: bool = False, return_hidden: bool = False):
+        prop = None
+        if (self.use_prop_cache and (x is None or x is graph.x)
+                and not self.residual
+                and graph.extras and "prop_x" in graph.extras
+                and not (self.dropout > 0 and training)):
+            prop = (graph.extras["prop_x"], graph.extras["prop_s"])
         if x is None:
             x = graph.x
         if self.adj_norm == "sym":
@@ -46,11 +56,11 @@ class GCN(nn.Module):
                 residual=self.residual,
                 norm=self.norm,
                 name=f"layer{i}",
-            )(graph, x, training)
+            )(graph, x, training, prop=prop if i == 0 else None)
         if return_hidden:
             return x
         return GCNLayer(self.out_features, name=f"layer{self.num_layers - 1}")(
-            graph, x, training)
+            graph, x, training, prop=prop if self.num_layers == 1 else None)
 
     def embed(self, graph: Graph, x: Optional[jnp.ndarray] = None):
         """Penultimate-layer embeddings (reference ``predict``-style hook)."""

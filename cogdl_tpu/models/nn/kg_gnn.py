@@ -1,0 +1,129 @@
+"""GNN-based knowledge-graph link prediction — the encoder+scorer pair behind
+the ``kg_link_prediction`` wrapper.
+
+Rebuild of the reference's ``LinkPredict`` model variants and scoring layers:
+  * ``DistMult`` / ``ConvE`` scoring — cogdl/utils/link_prediction_utils.py:31,42
+  * RGCN/CompGCN link-predict models (entity embeddings + GNN encoder) —
+    cogdl/models/nn/rgcn.py:92-153, cogdl/models/nn/compgcn.py:230-330.
+
+TPU-first deviations from the reference:
+  * the encoder runs over the FULL static train graph every step (the
+    reference encodes only the sampled batch subgraph with dynamic
+    reindexing — a GPU-memory workaround that breaks static shapes);
+  * ConvE's BatchNorms are LayerNorms (jit-pure, no mutable state riding the
+    training loop); everything else (reshape→conv→fc→dot) is faithful.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class DistMult(nn.Module):
+    """score(s, r, o) = Σ_d s_d · r_d · o_d (link_prediction_utils.py:31)."""
+
+    def __call__(self, sub, rel, obj, training: bool = False,
+                 all_entities: bool = False):
+        if all_entities:
+            return (sub * rel) @ obj.T                       # [B, N]
+        return jnp.sum(sub * rel * obj, axis=-1)
+
+
+class ConvE(nn.Module):
+    """ConvE scorer (link_prediction_utils.py:42): reshape [s; r] into a 2-D
+    grid, convolve, project back to the embedding dim, dot with the object."""
+
+    dim: int
+    num_filter: int = 20
+    kernel_size: int = 7
+    k_w: int = 10
+    dropout: float = 0.3
+
+    @nn.compact
+    def __call__(self, sub, rel, obj, training: bool = False,
+                 all_entities: bool = False):
+        assert self.dim % self.k_w == 0
+        k_h = self.dim // self.k_w
+        b = sub.shape[0]
+        h = jnp.stack([sub, rel], axis=1)                    # [B, 2, dim]
+        h = h.transpose(0, 2, 1).reshape(b, 2 * self.k_w, k_h, 1)
+        h = nn.LayerNorm(name="ln0")(h)
+        # the reference hard-crashes when dim/k_w < kernel_size; clamp the
+        # kernel to the grid instead so small hidden sizes stay usable
+        ks = max(min(self.kernel_size, k_h, 2 * self.k_w), 1)
+        h = nn.Conv(self.num_filter, (ks, ks),
+                    padding="VALID", name="conv")(h)
+        h = nn.relu(nn.LayerNorm(name="ln1")(h))
+        if training and self.dropout > 0:
+            h = nn.Dropout(self.dropout, deterministic=False)(h)
+        h = h.reshape(b, -1)
+        h = nn.Dense(self.dim, name="fc")(h)
+        h = nn.relu(nn.LayerNorm(name="ln2")(h))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        if all_entities:
+            return h @ obj.T                                 # [B, N]
+        return jnp.sum(h * obj + bias, axis=-1)
+
+
+class KGLinkPredictor(nn.Module):
+    """Entity embeddings → relational GNN encoder → triple scorer.
+
+    ``encoder`` is any relational GNN module with signature
+    ``encoder(graph, x, training)`` (RGCN, CompGCN). Encoders that return
+    ``(z, rel)`` (CompGCN with ``return_rel=True``) score with their own
+    transformed relation embeddings — reference LinkPredictCompGCN
+    (compgcn.py:324 ``predict`` returns ``rel_weight`` from the layers);
+    otherwise a separate relation table is learned like the reference's
+    LinkPredictRGCN ``rel_weight`` embedding (rgcn.py:109).
+    """
+
+    encoder: Any
+    num_entities: int
+    num_relations: int       # TOTAL relation ids on the graph (incl. inverses)
+    hidden_size: int
+    score_func: str = "distmult"
+
+    def setup(self):
+        self.ent = nn.Embed(self.num_entities, self.hidden_size, name="ent")
+        self.rel_w = self.param(
+            "rel_w", nn.initializers.glorot_uniform(),
+            (self.num_relations, self.hidden_size))
+        if self.score_func == "conve":
+            self.scorer = ConvE(self.hidden_size, name="scorer")
+        elif self.score_func == "distmult":
+            self.scorer = DistMult(name="scorer")
+        else:
+            raise NotImplementedError(
+                f"score_func {self.score_func!r} (distmult | conve)")
+
+    def encode(self, graph, training: bool = False):
+        """→ (entity embeddings [N_pad, d], relation embeddings [R, d])."""
+        ids = jnp.minimum(jnp.arange(graph.n_pad), self.num_entities - 1)
+        z = self.encoder(graph, self.ent(ids), training=training)
+        if isinstance(z, tuple):
+            z, rel = z
+        else:
+            rel = self.rel_w
+        return z, rel
+
+    def __call__(self, graph, training: bool = False):
+        return self.encode(graph, training)
+
+    def loss_logits(self, graph, h, r, t, training: bool = False):
+        """Encode and score triples (h[i], r[i], t[i]) in one pass; also
+        returns the embedding L2 penalty terms (rgcn.py:146
+        ``_regularization``)."""
+        z, rel = self.encode(graph, training)
+        logits = self.scorer(z[h], rel[r], z[t], training=training)
+        reg = jnp.mean(z[: self.num_entities] ** 2) + jnp.mean(rel ** 2)
+        return logits, reg
+
+    def rank_scores(self, graph, h, r):
+        """Encode and score (h[i], r[i], ·) against EVERY entity → [B, N_pad]
+        (raw-protocol ranking, link_prediction_utils.py:8 ``cal_mrr``)."""
+        z, rel = self.encode(graph, False)
+        return self.scorer(z[h], rel[r], z, training=False,
+                           all_entities=True)

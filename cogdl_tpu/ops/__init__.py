@@ -9,6 +9,7 @@ from .segment import (
 )
 from .spmm import (
     aggregate,
+    cache_propagation,
     edge_softmax,
     mh_sddmm,
     mh_spmm,
@@ -27,6 +28,7 @@ __all__ = [
     "gather", "segment_sum", "segment_mean", "segment_max", "segment_min",
     "segment_softmax", "scatter_max_with_argmax",
     "spmm", "spmm_coo", "sddmm", "mh_spmm", "mh_sddmm", "edge_softmax",
+    "cache_propagation",
     "s_add_e_sum", "s_mul_e_sum", "s_sub_e_sum", "s_add_e_mean",
     "s_mul_e_mean", "s_dot_t", "aggregate",
 ]

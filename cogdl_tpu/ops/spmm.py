@@ -58,6 +58,40 @@ def spmm_coo(
     return seg.segment_sum(msg, row, num_segments, sorted)
 
 
+def source_table(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
+    """The table source-side gathers (``x[graph.col]``) read from.
+
+    Single device: ``x`` itself. Under graph-partition parallelism
+    (parallel/halo.py ``partition_graph_halo``), ``graph.col`` holds
+    EXTENDED local indices — rows ``< n_pad`` are shard-local, rows beyond
+    address the boundary/halo rows received from peer shards. Here the
+    boundary rows are exchanged (one ``all_to_all`` over the mesh axis,
+    only the halo sets — NOT the full feature matrix) and concatenated:
+    the TPU-native equivalent of the reference's partitioned DGL/sampling
+    fallbacks, and the thing that makes partitioning a parallelism
+    strategy (comm volume O(boundary), not O(N))."""
+    extras = graph.extras
+    if not extras or "halo_send" not in extras:
+        return x
+    axis = graph.meta_get("halo_axis")
+    send_idx = extras["halo_send"]              # [P, Hp] local row ids
+    send = jnp.take(x, send_idx, axis=0, mode="clip")      # [P, Hp, ...]
+    try:
+        recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=True)
+    except NameError:
+        # traced OUTSIDE the mesh axis (flax init / shape probing): halo
+        # rows are zeros — shapes and params are identical, values are only
+        # meaningful inside shard_map
+        recv = jnp.zeros_like(send)
+    return jnp.concatenate(
+        [x, recv.reshape((-1,) + x.shape[1:])], axis=0)
+
+
+def gather_src(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
+    """Per-edge source features ``x[col[e]]`` — halo-aware."""
+    return seg.gather(source_table(graph, x), graph.col)
+
+
 def spmm(graph: Graph, x: jnp.ndarray, actnn: bool = False, fast_spmm=None) -> jnp.ndarray:
     """``Y = A @ X`` over the graph's (weighted) adjacency.
 
@@ -69,7 +103,38 @@ def spmm(graph: Graph, x: jnp.ndarray, actnn: bool = False, fast_spmm=None) -> j
     kern = _pl.maybe_pallas_spmm(graph, x)
     if kern is not None:
         return kern
-    return spmm_coo(x, graph.row, graph.col, graph.edge_weight, graph.n_pad)
+    return spmm_coo(source_table(graph, x), graph.row, graph.col,
+                    graph.edge_weight, graph.n_pad)
+
+
+def cache_propagation(graph: Graph, adj_norm: str = "sym") -> Graph:
+    """Precompute the first-layer propagation ``P = Â X`` (and the row-sum
+    column ``s = Â 1`` that carries the bias through the aggregation).
+
+    A GCN's first layer is linear in the *static* input features, so
+    ``Â (X W + 1 bᵀ) = (Â X) W + (Â 1) bᵀ`` — with ``Â`` and ``X`` constant
+    across training steps, caching ``P`` and ``s`` removes the first layer's
+    SpMM (and its gather sweep) from every forward AND backward pass.
+    This is the same algebra SGC/SIGN exploit (reference
+    cogdl/models/nn/sgc.py precomputes ``A^k X`` once); here it is applied as
+    an exact, opt-out optimisation of GCN itself — valid whenever the layer-1
+    input is ``graph.x`` untouched by dropout (the model checks both).
+
+    Call AFTER any normalisation / ``prepare_spmm`` so the cached product
+    matches what the model's own ``spmm`` would compute. Stores
+    ``extras["prop_x"]`` ([N_pad, F]) and ``extras["prop_s"]`` ([N_pad, 1]);
+    both ride the pytree as jit arguments.
+    """
+    from ..data.graph import col_norm as _cn, row_norm as _rn, sym_norm as _sn
+
+    g = {"sym": _sn, "row": _rn, "col": _cn, "none": lambda a: a}[adj_norm](graph)
+    if g.x is None:
+        raise ValueError("cache_propagation needs node features on the graph")
+    p = spmm(g, g.x)
+    s = spmm(g, jnp.ones((g.n_pad, 1), g.x.dtype))
+    extras = dict(graph.extras or {})
+    extras.update(prop_x=p, prop_s=s)
+    return graph.replace(extras=extras)
 
 
 def sddmm(graph: Graph, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -80,7 +145,7 @@ def sddmm(graph: Graph, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     Returns ``[E]`` for 2-D inputs, ``[E, H]`` for 3-D ``[N, H, D]`` inputs.
     """
     ar = seg.gather(a, graph.row)
-    br = seg.gather(b, graph.col)
+    br = gather_src(graph, b)
     return jnp.sum(ar * br, axis=-1)
 
 
@@ -107,14 +172,14 @@ def mh_spmm(graph: Graph, attention: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray
     out = _pl.maybe_pallas_mh_spmm(graph, attention, h)
     if out is not None:
         return out
-    msg = seg.gather(h, graph.col) * attention[:, :, None]
+    msg = gather_src(graph, h) * attention[:, :, None]
     return seg.segment_sum(msg, graph.row, graph.n_pad)
 
 
 def mh_sddmm(graph: Graph, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Per-edge per-head dots for ``[N, H, D]`` inputs → ``[E, H]``.
     Reference: multiheadSddmm.cu."""
-    return jnp.sum(seg.gather(a, graph.row) * seg.gather(b, graph.col), axis=-1)
+    return jnp.sum(seg.gather(a, graph.row) * gather_src(graph, b), axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -134,7 +199,7 @@ def _combine(op: str, src: jnp.ndarray, edge: jnp.ndarray) -> jnp.ndarray:
 
 
 def _s_op_e_agg(op: str, agg: str, graph: Graph, src_feat, edge_feat):
-    msg = _combine(op, seg.gather(src_feat, graph.col), edge_feat)
+    msg = _combine(op, gather_src(graph, src_feat), edge_feat)
     # pad edges must not contribute: zero them (gathered sink features are 0,
     # but edge_feat on pads may not be)
     m = graph.edge_mask().reshape((-1,) + (1,) * (msg.ndim - 1))

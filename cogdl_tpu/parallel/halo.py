@@ -263,3 +263,131 @@ def device_put_parts(mesh: Mesh, parts: Dict):
         else:
             out[k] = v
     return out
+
+
+# ---------------------------------------------------------------------------
+# Boundary-only halo exchange (round-2): per-shard unique halo index sets
+# built at partition time; only boundary features cross the ICI
+# ---------------------------------------------------------------------------
+
+def partition_graph_halo(graph: Graph, n_shards: int,
+                         axis: str = AXIS) -> "Graph":
+    """Contiguous destination partition with EXTENDED-local column indexing
+    and per-pair halo send tables — comm volume O(boundary), not O(N).
+
+    Returns ONE stacked :class:`Graph` whose array leaves carry a leading
+    shard dim ``[P, ...]``; feed it through ``shard_map`` with
+    ``in_specs=P(axis)`` and strip the leading unit dim inside
+    (``jax.tree.map(lambda a: a[0], g)``). The per-shard local graph has
+      * ``n_pad = Nl + 8`` rows (8 sink rows absorb pad edges),
+      * ``col`` in EXTENDED local indexing: ``< n_pad`` → shard-local row;
+        ``n_pad + q·Hp + j`` → the j-th halo row received from shard q
+        (``ops.spmm.source_table`` materialises that table with ONE
+        ``all_to_all`` of the halo sets),
+      * ``extras["halo_send"][q, :]`` = local rows THIS shard must send to
+        shard q,
+      * ``extras["halo_count"]`` = true (unpadded) halo sizes, for comm
+        accounting.
+    """
+    N = graph.num_nodes
+    Nl = _round_up(graph.n_pad, n_shards) // n_shards
+    n_local = Nl + 8                        # + sink rows for pad edges
+    E = graph.num_edges
+    row = np.asarray(graph.row)[:E]
+    col = np.asarray(graph.col)[:E]
+    w = np.asarray(graph.edge_weight)[:E]
+    shard_of_dst = row // Nl
+    shard_of_src = col // Nl
+
+    counts = np.bincount(shard_of_dst, minlength=n_shards)
+    El = _round_up(int(counts.max()) if E else 1, 8)
+
+    # halo sets: for each (p consumer, q owner) the unique sources p needs
+    halo = [[np.zeros(0, np.int64)] * n_shards for _ in range(n_shards)]
+    hmax = 1
+    for p in range(n_shards):
+        sel = shard_of_dst == p
+        for q in range(n_shards):
+            if q == p:
+                continue
+            s = np.unique(col[sel & (shard_of_src == q)])
+            halo[p][q] = s
+            hmax = max(hmax, len(s))
+    Hp = _round_up(hmax, 8)
+
+    # send table on owner q: halo_send[q][p] = local rows q sends to p
+    send = np.zeros((n_shards, n_shards, Hp), np.int32)
+    hcount = np.zeros((n_shards, n_shards), np.int64)
+    for p in range(n_shards):
+        for q in range(n_shards):
+            s = halo[p][q]
+            send[q, p, : len(s)] = s - q * Nl
+            hcount[p, q] = len(s)
+
+    # extended-local column remap + per-shard CSR
+    row_l = np.full((n_shards, El), n_local - 1, np.int32)
+    col_x = np.zeros((n_shards, El), np.int32)
+    w_s = np.zeros((n_shards, El), np.float32)
+    ptrs = np.zeros((n_shards, n_local + 1), np.int32)
+    for p in range(n_shards):
+        sel = shard_of_dst == p
+        k = int(sel.sum())
+        rl = row[sel] - p * Nl
+        cg = col[sel]
+        cq = shard_of_src[sel]
+        cl = np.where(cq == p, cg - p * Nl, 0).astype(np.int64)
+        rem = cq != p
+        for q in range(n_shards):
+            m = rem & (cq == q)
+            if not m.any():
+                continue
+            pos = np.searchsorted(halo[p][q], cg[m])
+            cl[m] = n_local + q * Hp + pos
+        order = np.argsort(rl, kind="stable")
+        row_l[p, :k] = rl[order]
+        col_x[p, :k] = cl[order]
+        w_s[p, :k] = w[sel][order]
+        ptrs[p] = np.searchsorted(row_l[p], np.arange(n_local + 1))
+
+    def shard_nodes(a, fill=0):
+        if a is None:
+            return None
+        a = np.asarray(a)
+        out = np.full((n_shards, n_local) + a.shape[1:], fill, a.dtype)
+        flat = np.full((n_shards * Nl,) + a.shape[1:], fill, a.dtype)
+        flat[: min(a.shape[0], n_shards * Nl)] = a[: n_shards * Nl]
+        out[:, :Nl] = flat.reshape((n_shards, Nl) + a.shape[1:])
+        return jnp.asarray(out)
+
+    meta = dict(graph.meta)
+    meta.update(halo_axis=axis, halo_hp=Hp, halo_nl=Nl)
+    nm = shard_nodes(np.asarray(graph.node_mask()), False)
+    return Graph(
+        row_ptr=jnp.asarray(ptrs), row=jnp.asarray(row_l),
+        col=jnp.asarray(col_x), edge_weight=jnp.asarray(w_s),
+        num_nodes=Nl, num_edges=El,
+        x=shard_nodes(graph.x),
+        y=shard_nodes(graph.y),
+        train_mask=(None if graph.train_mask is None
+                    else shard_nodes(graph.train_mask, False) & nm),
+        val_mask=(None if graph.val_mask is None
+                  else shard_nodes(graph.val_mask, False) & nm),
+        test_mask=(None if graph.test_mask is None
+                   else shard_nodes(graph.test_mask, False) & nm),
+        extras={"halo_send": jnp.asarray(send),
+                "halo_count": jnp.asarray(hcount),
+                "real_node": nm},
+        meta=tuple(sorted(meta.items())),
+    )
+
+
+def halo_comm_volume(stacked: "Graph") -> dict:
+    """Rows exchanged per step: boundary-only vs full all-gather."""
+    hc = np.asarray(stacked.extras["halo_count"])
+    P_, Nl = hc.shape[0], stacked.meta_get("halo_nl")
+    Hp = stacked.meta_get("halo_hp")
+    return {
+        "halo_rows_exact": int(hc.sum()),
+        "halo_rows_padded": int(P_ * P_ * Hp),
+        "allgather_rows": int(P_ * (P_ - 1) * Nl),
+    }

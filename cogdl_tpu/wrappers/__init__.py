@@ -12,10 +12,12 @@ SUPPORTED_WRAPPERS: Dict[str, str] = {
     "gcnmix": "cogdl_tpu.wrappers.node_classification.GCNMixWrapper",
     "neighbor_sampling": "cogdl_tpu.wrappers.sampled_node_classification.SampledNodeClfWrapper",
     "cluster": "cogdl_tpu.wrappers.sampled_node_classification.ClusterNodeClfWrapper",
+    "graphsaint": "cogdl_tpu.wrappers.sampled_node_classification.GraphSAINTWrapper",
     "graph_classification": "cogdl_tpu.wrappers.graph_classification.GraphClfWrapper",
     "infograph": "cogdl_tpu.wrappers.graph_classification.InfoGraphWrapper",
     "patchy_san": "cogdl_tpu.wrappers.graph_classification.PatchySANWrapper",
     "link_prediction": "cogdl_tpu.wrappers.link_prediction.LinkPredictionWrapper",
+    "kg_link_prediction": "cogdl_tpu.wrappers.kg_link_prediction.KGLinkPredictionWrapper",
     "network_embedding": "cogdl_tpu.wrappers.network_embedding.NetworkEmbeddingWrapper",
     "triple_link_prediction": "cogdl_tpu.wrappers.triple_link_prediction.TripleLinkPredictionWrapper",
     "dgi": "cogdl_tpu.wrappers.self_supervised.DGIWrapper",
@@ -31,6 +33,8 @@ SUPPORTED_WRAPPERS: Dict[str, str] = {
     "multiplex_embedding": "cogdl_tpu.wrappers.heterogeneous.MultiplexEmbeddingWrapper",
     "graph_embedding": "cogdl_tpu.wrappers.heterogeneous.GraphEmbeddingWrapper",
     "traffic_prediction": "cogdl_tpu.wrappers.traffic_prediction.TrafficPredictionWrapper",
+    "distributed": "cogdl_tpu.wrappers.distributed.DistributedNodeClfWrapper",
+    "gcc": "cogdl_tpu.wrappers.pretraining.GCCWrapper",
     "sagn_staged": "cogdl_tpu.wrappers.staged.SAGNWrapper",
     "m3s_staged": "cogdl_tpu.wrappers.staged.M3SWrapper",
     "correct_smooth": "cogdl_tpu.wrappers.staged.CorrectSmoothWrapper",
@@ -45,10 +49,11 @@ DEFAULT_WRAPPER = {
     "gcnii": "node_classification", "mixhop": "node_classification",
     "grand": "node_classification", "mlp": "node_classification",
     "deepergcn": "node_classification", "dropedge_gcn": "node_classification",
-    "revgcn": "node_classification", "graphsaint": "node_classification",
+    "revgcn": "node_classification", "graphsaint": "graphsaint",
     "pprgo": "node_classification", "sagn": "sagn_staged",
     "m3s": "m3s_staged", "moe_gcn": "node_classification",
     "correct_smooth_mlp": "correct_smooth",
+    "gcc": "gcc",
     "gcnmix": "gcnmix", "drgcn": "node_classification",
     "drgat": "node_classification", "autognn": "node_classification",
     "prone++": "network_embedding",

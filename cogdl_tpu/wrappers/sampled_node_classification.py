@@ -125,3 +125,123 @@ class ClusterNodeClfWrapper(NodeClfWrapper):
         logits, updates = out if mutable else (out, {})
         mask = batch.train_mask & batch.node_mask()
         return masked_cross_entropy(logits, batch.y, mask), updates
+
+
+class GraphSAINTWrapper(NodeClfWrapper):
+    """GraphSAINT: subgraph-sampled training with the UNBIASED estimator —
+    pre-sampling estimation of node/edge inclusion counts feeding the
+    ``norm_loss`` loss weights and ``norm_aggr`` aggregation rescaling
+    (reference cogdl/models/nn/graphsaint.py:133 ``_loss``; the estimation
+    itself follows the original GraphSAINT minibatch code, which the
+    reference never wired in — the model ships the hook, nothing computes
+    the coefficients).
+
+    Estimator: draw ``est_samples`` subgraphs with the training sampler,
+    count node inclusions C_v and edge inclusions C_e. Then
+      norm_loss[v]  ∝ 1 / C_v   (normalised so Σ over train nodes = N_train)
+      norm_aggr[e]  = C_dst(e) / C_e  (rescales each subgraph edge weight so
+                      E[Ã x] over subgraph draws equals the full-graph A x)
+    Samplers: ``node`` (uniform node set) and ``walk`` (random-walk roots),
+    from data/sampling.py saint_*_subgraph.
+    """
+
+    refresh_per_epoch = True
+
+    def __init__(self, model, dataset=None, sampler: str = "walk",
+                 sample_size: int = 1024, walk_roots: int = 128,
+                 walk_length: int = 4, batches_per_epoch: int = 8,
+                 est_samples: int = 40, seed: int = 0):
+        super().__init__(model, dataset)
+        self.sampler = sampler
+        self.sample_size = sample_size
+        self.walk_roots = walk_roots
+        self.walk_length = walk_length
+        self.batches_per_epoch = batches_per_epoch
+        self.est_samples = est_samples
+        self.seed = seed
+        self._epoch = 0
+
+    def _draw(self, graph: Graph, rng) -> np.ndarray:
+        from ..data.sampling import saint_node_subgraph, saint_walk_subgraph
+
+        if self.sampler == "walk":
+            return saint_walk_subgraph(graph, self.walk_roots,
+                                       self.walk_length, rng)
+        return saint_node_subgraph(
+            graph, min(self.sample_size, graph.num_nodes), rng)
+
+    def prepare_graph(self, graph: Graph) -> Graph:
+        graph = super().prepare_graph(graph)
+        # the model's sym_norm runs on the FULL graph; subgraphs inherit the
+        # normalised weights (rescaled by norm_aggr), per the SAINT estimator
+        from ..data.graph import sym_norm
+
+        graph = sym_norm(graph)
+        E = graph.num_edges
+        self._row = np.asarray(graph.row)[:E]
+        self._col = np.asarray(graph.col)[:E]
+        self._w = np.asarray(graph.edge_weight)[:E]
+        rng = np.random.default_rng(self.seed)
+        cv = np.zeros(graph.num_nodes, np.int64)
+        ce = np.zeros(E, np.int64)
+        max_n = max_e = 1
+        for _ in range(self.est_samples):
+            nodes = self._draw(graph, rng)
+            sel = np.zeros(graph.num_nodes, bool)
+            sel[nodes] = True
+            em = sel[self._row] & sel[self._col]
+            cv[nodes] += 1
+            ce += em
+            max_n = max(max_n, len(nodes))
+            max_e = max(max_e, int(em.sum()))
+        self._shape_hint = (max_n, max_e)
+        nl = 1.0 / np.maximum(cv, 1)
+        tr = np.asarray(graph.train_mask)[: graph.num_nodes]
+        denom = max(float(nl[tr].sum()), 1e-12)
+        self._norm_loss = (nl * tr.sum() / denom).astype(np.float32)
+        self._norm_aggr = (np.maximum(cv[self._row], 1)
+                           / np.maximum(ce, 1)).astype(np.float32)
+        self._norm_aggr = np.minimum(self._norm_aggr, self.est_samples)
+        return graph
+
+    def _subgraph(self, graph: Graph, nodes: np.ndarray) -> Graph:
+        from ..data.graph import from_coo
+
+        nodes = np.sort(nodes)
+        sel = np.zeros(graph.num_nodes, bool)
+        sel[nodes] = True
+        em = sel[self._row] & sel[self._col]
+        relabel = np.full(graph.num_nodes, -1, np.int64)
+        relabel[nodes] = np.arange(len(nodes))
+        r, c = relabel[self._row[em]], relabel[self._col[em]]
+        w = self._w[em] * self._norm_aggr[em]
+        xs = np.asarray(graph.x)[nodes]
+        y = np.asarray(graph.y)[nodes]
+        tm = np.asarray(graph.train_mask)[nodes]
+        g = from_coo(np.stack([r, c]), num_nodes=len(nodes), edge_weight=w,
+                     x=xs, y=y, train_mask=tm, meta=dict(graph.meta))
+        extras = dict(g.extras or {})
+        nlw = np.zeros(g.n_pad, np.float32)
+        nlw[: len(nodes)] = self._norm_loss[nodes]
+        extras["norm_loss"] = jnp.asarray(nlw)
+        return g.replace(extras=extras)
+
+    def train_batches(self, graph: Graph) -> List[Graph]:
+        rng = np.random.default_rng(self.seed + 1000 * self._epoch + 1)
+        self._epoch += 1
+        return [self._subgraph(graph, self._draw(graph, rng))
+                for _ in range(self.batches_per_epoch)]
+
+    def loss(self, variables, batch: Graph, rng, training: bool = True):
+        mutable = ["batch_stats"] if "batch_stats" in variables else False
+        out = self.model.apply(variables, batch, batch.x, training=training,
+                               rngs={"dropout": rng}, mutable=mutable)
+        logits, updates = out if mutable else (out, {})
+        mask = (batch.train_mask & batch.node_mask()).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, -1)
+        ce = -jnp.take_along_axis(logp, batch.y[:, None], 1)[:, 0]
+        w = batch.extras["norm_loss"] * mask
+        # norm_loss-weighted sum (graphsaint.py:140), scaled by 1/N_train so
+        # the lr is comparable to the mean-CE wrappers
+        loss = jnp.sum(ce * w) / jnp.maximum(jnp.sum(mask), 1.0)
+        return loss, updates

@@ -186,3 +186,73 @@ def test_expert_parallel_moe_step(g):
             variables, opt_state, loss = step(variables, opt_state)
             losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.9, losses
+
+
+# ---------------------------------------------------------------------------
+# Boundary-only halo exchange (round 2) + distributed wrapper via experiment()
+# ---------------------------------------------------------------------------
+
+def test_halo_partition_spmm_matches_single_device(g):
+    """Sharded spmm with boundary-only all_to_all == single-device spmm."""
+    from cogdl_tpu.parallel.halo import partition_graph_halo
+
+    stacked = partition_graph_halo(g, 8)
+    ref = np.asarray(ops.spmm(g, g.x))[: g.num_nodes]
+    mesh = make_mesh(8)
+
+    def local(gs):
+        gl = jax.tree.map(lambda a: a[0], gs)
+        return ops.spmm(gl, gl.x)[None]
+
+    out = shard_map(local, mesh=mesh, in_specs=(P(AXIS),),
+                    out_specs=P(AXIS), check_vma=False)(stacked)
+    Nl = stacked.meta_get("halo_nl")
+    got = np.asarray(out)[:, :Nl].reshape(-1, g.x.shape[1])[: g.num_nodes]
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_halo_comm_volume_below_allgather(g):
+    """The point of boundary exchange: exact halo rows < all-gather rows."""
+    from cogdl_tpu.parallel.halo import halo_comm_volume, partition_graph_halo
+
+    vol = halo_comm_volume(partition_graph_halo(g, 8))
+    assert vol["halo_rows_exact"] < vol["allgather_rows"], vol
+
+
+@pytest.mark.parametrize("model", ["gcn", "gat"])
+def test_distributed_wrapper_via_experiment(model):
+    """experiment()-reachable distributed training, GCN and GAT (the GAT
+    path distributes edge-softmax: scores gather halo score_src rows)."""
+    from cogdl_tpu.experiments import train
+
+    res = train("sbm", model, wrapper="distributed", n_devices=8,
+                epochs=25, eval_every=25, patience=30, dropout=0.0,
+                hidden_size=32, seed=0)
+    assert res["test_acc"] > 0.8, res
+
+
+def test_distributed_parity_with_single_device():
+    """Same model/seed: distributed loss after k steps ≈ single-device loss
+    (identical math up to float reassociation)."""
+    import optax
+
+    from cogdl_tpu.wrappers import fetch_wrapper
+    from cogdl_tpu.models import build_model
+
+    g0 = sbm_graph(num_nodes=400, seed=1)
+    model = build_model("gcn", in_features=g0.num_features,
+                        out_features=4, hidden_size=16, dropout=0.0)
+    w = fetch_wrapper("distributed")(model, None, n_devices=8)
+    gs = w.prepare_graph(g0)
+    rng = jax.random.PRNGKey(0)
+    variables = w.init(rng, gs)
+
+    # single-device reference loss with the same params
+    gref = sym_norm(add_self_loops(g0))
+    from cogdl_tpu.utils.evaluator import masked_cross_entropy
+
+    logits = model.apply(variables, gref, gref.x, training=False)
+    ref_loss = float(masked_cross_entropy(
+        logits, gref.y, gref.train_mask & gref.node_mask()))
+    dist_loss = float(w.loss(variables, gs, rng, training=False)[0])
+    assert abs(ref_loss - dist_loss) < 1e-3, (ref_loss, dist_loss)

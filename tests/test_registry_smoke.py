@@ -39,6 +39,13 @@ FAMILY_SETUP = {
                            dict(epochs=2, eval_step=2, batch_size=8)),
     "neighbor_sampling": ("sbm", dict(epochs=2, eval_step=2)),
     "cluster": ("sbm", dict(epochs=2, eval_step=2)),
+    "graphsaint": ("sbm", dict(epochs=2, eval_step=2, sampler="node",
+                               sample_size=200, batches_per_epoch=2,
+                               est_samples=8)),
+    "gcc": ("sbm", dict(epochs=2, eval_step=2, batch_size=8,
+                        subgraph_size=16, rw_hops=24, queue_size=64,
+                        batches_per_epoch=2, probe_nodes=120)),
+    "kg_link_prediction": ("random-kg", dict(epochs=3, eval_every=3)),
 }
 
 # models whose smoke run needs specific extra kwargs to stay tiny
