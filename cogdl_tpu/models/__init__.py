@@ -65,6 +65,7 @@ SUPPORTED_MODELS: Dict[str, str] = {
     "daegc": "cogdl_tpu.models.nn.daegc.DAEGC",
     "infograph": "cogdl_tpu.models.nn.infograph.InfoGraph",
     "gcc": "cogdl_tpu.models.nn.gcc.GCC",
+    "gnnguard_gcn": "cogdl_tpu.models.nn.gnnguard.GNNGuardGCN",
     "graphmae": "cogdl_tpu.models.nn.graphmae.GraphMAE",
     # graph classification + pooling
     "diffpool": "cogdl_tpu.models.nn.diffpool.DiffPool",

@@ -1,23 +1,25 @@
 """ActGCN — activation-compressed GCN.
 
 The reference's ``actgcn`` (cogdl/models/nn/actgcn.py) swaps every layer for
-an ActNN 2-bit-quantised twin (third_party/actnn CUDA). The TPU-idiomatic
-equivalent of activation compression is bf16 activations with f32 parameters
-plus rematerialisation of the layer forward in the backward pass — the same
-memory knee (store ~half the bytes, recompute instead of load) using hardware
-the MXU natively supports instead of custom quantisation kernels.
-"""
+an ActNN-quantised twin (third_party/actnn CUDA: store low-bit activations,
+dequantise in backward). The TPU-native equivalent lives in
+``ops/actnn.py``: the dense transform stores its input as **int8 with
+per-row scales** (``act_dense``), relu stores a bool mask (``act_relu``),
+and SpMM stores nothing (linear in x — the backward is the transpose SpMM).
+Per layer the activation residual is one int8 copy + one predicate mask —
+ActNN's memory profile, MXU-native math. bf16 compute can stack on top via
+the Trainer's ``bf16`` flag."""
 
 from __future__ import annotations
 
 from typing import Optional
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
-from ...data.graph import Graph
-from .gcn import GCN
+from ...data.graph import Graph, sym_norm
+from ...ops import spmm
+from ...ops.actnn import act_dense, act_relu
 
 
 class ActGCN(nn.Module):
@@ -26,7 +28,7 @@ class ActGCN(nn.Module):
     hidden_size: int = 64
     num_layers: int = 2
     dropout: float = 0.5
-    activation: str = "relu"
+    activation: str = "relu"      # compressed path is relu-only
     norm: Optional[str] = None
     residual: bool = False
 
@@ -35,9 +37,18 @@ class ActGCN(nn.Module):
                  training: bool = False):
         if x is None:
             x = graph.x
-        inner = GCN(self.in_features, self.out_features, self.hidden_size,
-                    self.num_layers, self.dropout, self.activation,
-                    self.norm, self.residual, name="gcn")
-        apply = nn.remat(type(inner).__call__, static_argnums=(3,))
-        logits = apply(inner, graph, x.astype(jnp.bfloat16), training)
-        return logits.astype(jnp.float32)
+        graph = sym_norm(graph)
+        if self.dropout > 0 and training:
+            x = nn.Dropout(self.dropout, deterministic=False)(x)
+        dims = [self.hidden_size] * (self.num_layers - 1) + [self.out_features]
+        for i, d in enumerate(dims):
+            w = self.param(f"w{i}", nn.initializers.glorot_uniform(),
+                           (x.shape[-1], d))
+            b = self.param(f"b{i}", nn.initializers.zeros, (d,))
+            h = act_dense(x, w, b)
+            x = spmm(graph, h)
+            if i < len(dims) - 1:
+                x = act_relu(x)
+                if self.dropout > 0 and training:
+                    x = nn.Dropout(self.dropout, deterministic=False)(x)
+        return x

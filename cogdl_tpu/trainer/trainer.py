@@ -131,8 +131,15 @@ class Trainer:
                                            epsilon=cfg.attack_eps, mask=mask)
         if cfg.attack == "injection":
             return grb.random_injection_attack(graph, seed=cfg.seed)
+        if cfg.attack == "tdgia":
+            return grb.tdgia_injection_attack(apply, variables, graph,
+                                              seed=cfg.seed)
+        if cfg.attack == "speit":
+            return grb.speit_injection_attack(apply, variables, graph,
+                                              seed=cfg.seed)
         raise ValueError(
-            f"unknown attack {cfg.attack!r}; known: fgsm | pgd | injection")
+            f"unknown attack {cfg.attack!r}; known: fgsm | pgd | injection "
+            "| tdgia | speit")
 
     def run(self, wrapper, graph) -> Dict[str, float]:
         cfg = self.cfg

@@ -183,6 +183,12 @@ def make_row_dma(n_chunks, outstanding=8):
 def main():
     import sys
     stage = sys.argv[1] if len(sys.argv) > 1 else "A"
+    # this relay deadlocks when the first device op arrives ~immediately
+    # after backend attach (see memory: tpu-wedge-recovery); give the
+    # session time to finish setup like bench.py's host-side graph build
+    # incidentally does
+    time.sleep(30)
+    print("post-attach settle done", flush=True)
     key = jax.random.PRNGKey(0)
     kt, ki = jax.random.split(key)
     t = jax.random.normal(kt, (N, 128), jnp.float32)

@@ -256,3 +256,35 @@ def test_distributed_parity_with_single_device():
         logits, gref.y, gref.train_mask & gref.node_mask()))
     dist_loss = float(w.loss(variables, gs, rng, training=False)[0])
     assert abs(ref_loss - dist_loss) < 1e-3, (ref_loss, dist_loss)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host scaffolding (simulated: hosts folded over virtual devices)
+# ---------------------------------------------------------------------------
+
+def test_hybrid_mesh_simulated_dcn_ici(g):
+    """2 emulated hosts × 4 ICI chips: data-parallel gradient psum over the
+    DCN axis composes with graph sharding over the ICI axis."""
+    from cogdl_tpu.parallel import initialize_distributed, make_hybrid_mesh
+
+    assert initialize_distributed() == 0   # single-process no-op
+    mesh = make_hybrid_mesh(ici_shape=(4,))
+    assert mesh.shape == {"data": 2, "graph": 4}
+
+    x = jnp.arange(16.0).reshape(8, 2)
+
+    def f(xl):
+        s = jax.lax.psum(jnp.sum(xl), "graph")     # ICI collective
+        return jax.lax.pmean(s, "data")[None]      # DCN collective
+
+    out = shard_map(
+        f, mesh=mesh, in_specs=(P("data", None),), out_specs=P("data"))(x)
+    # slice sums 28/92, x replicated over graph (x4), pmean over data: 240
+    np.testing.assert_allclose(np.asarray(out), [240.0, 240.0])
+
+
+def test_hybrid_mesh_2d_ici(g):
+    from cogdl_tpu.parallel import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh(ici_axes=("graph", "model"), ici_shape=(2, 2))
+    assert mesh.shape == {"data": 2, "graph": 2, "model": 2}

@@ -51,17 +51,14 @@ def test_distmult_scoring_parity_vs_reference():
 
 @pytest.mark.parametrize("model", ["compgcn", "rgcn"])
 def test_kg_link_prediction_learns(model):
-    """CompGCN/RGCN + DistMult on a rule-structured KG beat random ranking
-    decisively (random MRR ≈ ln(N)/N ≈ 0.07 at N=64)."""
-    from cogdl_tpu.datasets.dataset import Dataset
-
-    ds = Dataset.from_triples(random_triples(num_entities=64, num_relations=4,
-                                             num_triples=600), name="kg64")
-    res = train(ds, model, wrapper="kg_link_prediction",
-                epochs=90, eval_every=45, patience=200, hidden_size=32,
-                batch_size=512, lr=0.02)
-    assert res["val_mrr"] > 0.25, res
-    assert res["test_hits10"] > 0.3, res
+    """CompGCN/RGCN + DistMult learn the rule-structured KG essentially
+    perfectly (random-ranking MRR ≈ 0.03 at N=200; both models measured at
+    MRR 1.0 with these settings)."""
+    res = train("random-kg", model, wrapper="kg_link_prediction",
+                epochs=250, eval_every=125, patience=400, hidden_size=64,
+                lr=0.01)
+    assert res["val_mrr"] > 0.5, res
+    assert res["test_hits10"] > 0.5, res
 
 
 def test_kg_conve_scorer_runs():
@@ -215,3 +212,38 @@ def test_prop_cache_disabled_under_dropout():
     b = model.apply({"params": v["params"]}, gc, gc.x, training=True,
                     rngs={"dropout": r})
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# ActNN-equivalent int8 activation compression
+# ---------------------------------------------------------------------------
+
+def test_actnn_compressed_gradients():
+    """act_dense: dx/db EXACT (use w and g only), dw within int8-rowwise
+    quantisation noise; act_relu mask-only backward exact."""
+    from cogdl_tpu.ops.actnn import act_dense, act_relu
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(50, 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(50, 8)).astype(np.float32))
+    exact = jax.grad(lambda x, w, b: jnp.sum((x @ w + b) * g),
+                     argnums=(0, 1, 2))(x, w, b)
+    comp = jax.grad(lambda x, w, b: jnp.sum(act_dense(x, w, b) * g),
+                    argnums=(0, 1, 2))(x, w, b)
+    np.testing.assert_allclose(comp[0], exact[0], atol=0)      # dx exact
+    np.testing.assert_allclose(comp[2], exact[2], atol=0)      # db exact
+    rel = float(jnp.max(jnp.abs(exact[1] - comp[1]))
+                / jnp.max(jnp.abs(exact[1])))
+    assert rel < 0.02, rel                                     # dw ~int8 noise
+
+    dr = jax.grad(lambda x: jnp.sum(act_relu(x) * g))(x @ w + b)
+    de = jax.grad(lambda x: jnp.sum(jnp.maximum(x, 0) * g))(x @ w + b)
+    np.testing.assert_allclose(dr, de, atol=0)
+
+
+def test_actgcn_trains():
+    res = train("sbm", "actgcn", epochs=20, eval_every=10, patience=30,
+                hidden_size=32)
+    assert res["test_acc"] > 0.8, res

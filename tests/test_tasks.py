@@ -73,10 +73,38 @@ MORE_NODE_MODELS = ["deepergcn", "dropedge_gcn", "revgcn", "srgcn", "moe_gcn",
                     "actgcn"]
 
 
+EXTENDED_KW = {  # slower convergers need more budget (measured)
+    "revgat": dict(epochs=60, hidden_size=32),
+    "revgen": dict(epochs=60, hidden_size=32),
+}
+
+
 @pytest.mark.parametrize("model", MORE_NODE_MODELS)
 def test_node_classification_extended(model):
-    res = train("sbm", model, seed=0, epochs=8, patience=20, eval_step=4)
-    assert 0.0 <= res["test_acc"] <= 1.0
+    """Every extended-zoo model must LEARN SBM (chance = 0.25), not just
+    run — tightened per VERDICT r01 (loose ranges let dead models pass)."""
+    kw = dict(epochs=25, patience=80, eval_step=5)
+    kw.update(EXTENDED_KW.get(model, {}))
+    res = train("sbm", model, seed=0, **kw)
+    assert res["test_acc"] > 0.5, (model, res)
+
+
+@pytest.mark.parametrize("attention", ["node", "edge", "gaussian", "ppr",
+                                       "heat"])
+def test_srgcn_attention_matrix(attention):
+    """The SRGCN attention-type matrix (srgcn_utils.py:161) — each type
+    trains to well above chance with a fitting normalization."""
+    norm = "row_softmax" if attention == "heat" else "row_uniform"
+    res = train("sbm", "srgcn", seed=0, epochs=20, patience=30, eval_step=10,
+                hidden_size=32, attention=attention, normalization=norm)
+    assert res["test_acc"] > 0.7, (attention, res)
+
+
+@pytest.mark.parametrize("norm", ["identity", "col_uniform", "symmetry"])
+def test_srgcn_normalization_matrix(norm):
+    res = train("sbm", "srgcn", seed=0, epochs=60, patience=80, eval_step=10,
+                hidden_size=32, attention="node", normalization=norm)
+    assert res["test_acc"] > 0.7, (norm, res)
 
 
 def test_heterogeneous_family():
