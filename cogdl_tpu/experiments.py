@@ -105,11 +105,21 @@ def train(
 
 def raw_experiment(datasets, models, seeds=(1,), **kwargs) -> Dict[str, List[Dict]]:
     """Run the full variant grid; returns variant → list of per-seed results
-    (reference experiments.py:269)."""
+    (reference experiments.py:269). Each named dataset is built ONCE and
+    shared across its model × seed variants — re-parsing per seed wastes
+    minutes at OGB scale."""
+    built: Dict[int, Any] = {}
+
+    def resolve(ds):
+        key = ds if isinstance(ds, str) else id(ds)
+        if key not in built:
+            built[key] = build_dataset(ds) if isinstance(ds, str) else ds
+        return built[key]
+
     variants = gen_variants(datasets, models, seeds)
     results = defaultdict(list)
     for ds, mdl, seed in variants:
-        res = train(ds, mdl, seed=seed, **kwargs)
+        res = train(resolve(ds), mdl, seed=seed, **kwargs)
         key = (ds if isinstance(ds, str) else getattr(ds, "name", "dataset"), mdl)
         results[key].append(res)
     return dict(results)

@@ -18,18 +18,27 @@ from .mlp import MLP
 
 
 class GENConv(nn.Module):
+    """Generalised aggregation conv (reference cogdl/layers/deepergcn_layer.py:12-104):
+    relu(+eps) messages in INPUT space, a softmax / power-mean / mean / max
+    aggregator, optional message norm and residual, then the 2-layer update
+    MLP (hidden = 2·in) — weight-mappable onto the reference for parity."""
+
     out_features: int
     aggr: str = "softmax_sg"   # softmax | softmax_sg | powermean | mean | max
     beta: float = 1.0
     p: float = 1.0
     learn_beta: bool = False
     learn_p: bool = False
+    residual: bool = False
+    use_msg_norm: bool = False
+    learn_msg_scale: bool = True
+    activation: str = "relu"
     eps: float = 1e-7
 
     @nn.compact
     def __call__(self, graph: Graph, x: jnp.ndarray, training: bool = False):
-        h = nn.Dense(self.out_features, name="mlp_in")(x)
-        msg = seg.gather(h, graph.col)
+        F_in = x.shape[-1]
+        msg = seg.gather(x, graph.col)
         msg = nn.relu(msg) + self.eps
         mask = graph.edge_mask()[:, None]
         if self.aggr in ("softmax", "softmax_sg"):
@@ -38,24 +47,37 @@ class GENConv(nn.Module):
             scores = seg.segment_softmax(msg * beta, graph.row, graph.n_pad,
                                          mask=jnp.broadcast_to(mask, msg.shape))
             if self.aggr == "softmax_sg":
+                # the DeeperGCN paper's SoftMax_Sg detaches the aggregation
+                # weights (the reference's CPU edge_softmax does not, but
+                # its fused CUDA path and the paper do)
                 scores = jax.lax.stop_gradient(scores)
             out = seg.segment_sum(jnp.where(mask, msg * scores, 0.0),
                                   graph.row, graph.n_pad)
         elif self.aggr == "powermean":
             p = (self.param("p", nn.initializers.constant(self.p), ())
                  if self.learn_p else self.p)
-            mp = jnp.where(mask, msg ** p, 0.0)
-            mean = seg.segment_mean(mp, graph.row, graph.n_pad)
-            out = jnp.maximum(mean, self.eps) ** (1.0 / p)
+            mp = jnp.where(mask, jnp.clip(msg, self.eps, 1.0) ** p, 0.0)
+            deg = graph.in_degrees()[:, None]
+            out = seg.segment_sum(mp, graph.row, graph.n_pad)
+            out = (out / jnp.maximum(deg, 1.0)) ** (1.0 / p)
         elif self.aggr == "mean":
             out = seg.segment_mean(jnp.where(mask, msg, 0.0), graph.row, graph.n_pad)
         elif self.aggr == "max":
             out = seg.segment_max(jnp.where(mask, msg, -1e30), graph.row, graph.n_pad)
         else:
             raise ValueError(self.aggr)
-        out = h + out
-        return MLP(self.out_features, hidden_features=2 * self.out_features,
-                   num_layers=2, activation="relu", name="mlp_out")(out, training)
+        if self.use_msg_norm:
+            s = (self.param("s", nn.initializers.ones, ())
+                 if self.learn_msg_scale else 1.0)
+            x_norm = jnp.linalg.norm(x, axis=1, keepdims=True)
+            unit = out / jnp.maximum(
+                jnp.linalg.norm(out, axis=1, keepdims=True), 1e-12)
+            out = x + s * unit * x_norm
+        if self.residual:
+            out = out + x
+        return MLP(self.out_features, hidden_features=2 * F_in,
+                   num_layers=2, activation=self.activation,
+                   name="mlp_out")(out, training)
 
 
 class ResGNNLayer(nn.Module):

@@ -22,6 +22,11 @@ class HANLayer(nn.Module):
     nhead: int = 8
     num_metapaths: int = 2
     dropout: float = 0.5
+    # semantic attention flavour: "han" = the HAN paper's shared
+    # tanh-MLP + query + softmax over metapaths; "linear" = the reference
+    # package's AttentionLayer (cogdl/layers/han_layer.py:7-14 — a per-node
+    # linear score, NO softmax), kept for activation parity
+    sem_att: str = "han"
 
     @nn.compact
     def __call__(self, graphs: Sequence[Graph], x: jnp.ndarray,
@@ -35,6 +40,9 @@ class HANLayer(nn.Module):
                          name=f"gat{i}")(g, x, training)
             )
         z = jnp.stack(embs, axis=1)  # [N, M, H*D]
+        if self.sem_att == "linear":
+            att = nn.Dense(1, name="att_fc")(z)          # [N, M, 1]
+            return jnp.einsum("nm,nmf->nf", att.squeeze(-1), z)
         # semantic attention: shared MLP scores each metapath embedding
         w = nn.Dense(128, name="sem_fc")(z)
         w = jnp.tanh(w)

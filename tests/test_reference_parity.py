@@ -381,3 +381,200 @@ def test_gcnii_layer_activation_parity():
         "kernel": jnp.asarray(ref_layer.linear.weight.detach().numpy().T)}}}
     out = np.asarray(layer.apply(variables, g, xp, h0p))[:n]
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_appnp_model_logits_parity():
+    """Full APPNP MODEL (MLP predictor + K-step PPR propagation) vs the
+    reference PPNP model (cogdl/models/nn/ppnp.py:38-85, propagation=appnp)
+    with injected MLP weights."""
+    from cogdl.models.nn.ppnp import PPNP as RefPPNP
+
+    from cogdl_tpu.models import build_model
+
+    row, col, n = _random_edges(seed=20)
+    rng = np.random.default_rng(21)
+    F_in, Hid, C = 11, 8, 4
+    x = rng.normal(size=(n, F_in)).astype(np.float32)
+
+    ref_model = RefPPNP(F_in, Hid, C, num_layers=2, dropout=0.0,
+                        propagation="appnp", alpha=0.1, niter=10)
+    ref_model.eval()
+    rg = _ref_graph(row, col, n)
+    rg.x = torch.tensor(x)
+    with torch.no_grad():
+        ref = ref_model(rg).numpy()
+
+    g = _our_graph(row, col, n)
+    model = build_model("appnp", in_features=F_in, out_features=C,
+                        hidden_size=Hid, num_layers=2, dropout=0.0,
+                        propagation_steps=10, alpha=0.1)
+    xp = jnp.asarray(np.pad(x, ((0, g.n_pad - n), (0, 0))))
+    model.init(jax.random.PRNGKey(0), g, xp, training=False)
+    params = {"predictor": {}}
+    for i, fc in enumerate(ref_model.nn.nn.mlp):
+        params["predictor"][f"fc{i}"] = {
+            "kernel": jnp.asarray(fc.weight.detach().numpy().T),
+            "bias": jnp.asarray(fc.bias.detach().numpy())}
+    out = np.asarray(model.apply({"params": params}, g, xp,
+                                 training=False))[:n]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_mixhop_layer_activation_parity():
+    """MixHop layer (multi-power propagation + per-power linears) vs
+    reference cogdl/layers/mixhop_layer.py:6-35."""
+    from cogdl.layers.mixhop_layer import MixHopLayer as RefMixHop
+
+    from cogdl_tpu.layers import MixHopLayer
+
+    row, col, n = _random_edges(seed=22)
+    rng = np.random.default_rng(23)
+    F_in, Dp = 9, 6
+    x = rng.normal(size=(n, F_in)).astype(np.float32)
+
+    ref_layer = RefMixHop(F_in, adj_pows=[0, 1, 2], dim_per_pow=[Dp, Dp, Dp])
+    ref_layer.eval()
+    rg = _ref_graph(row, col, n)
+    with torch.no_grad():
+        ref = ref_layer(rg, torch.tensor(x)).numpy()
+
+    g = sym_norm(_our_graph(row, col, n))
+    layer = MixHopLayer(Dp, powers=(0, 1, 2))
+    xp = jnp.asarray(np.pad(x, ((0, g.n_pad - n), (0, 0))))
+    layer.init(jax.random.PRNGKey(0), g, xp)
+    params = {}
+    for p, fc in zip((0, 1, 2), ref_layer.linears):
+        params[f"W{p}"] = {"kernel": jnp.asarray(fc.weight.detach().numpy().T),
+                           "bias": jnp.asarray(fc.bias.detach().numpy())}
+    out = np.asarray(layer.apply({"params": params}, g, xp))[:n]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_genconv_layer_activation_parity():
+    """GENConv (softmax aggregation + update MLP) vs reference
+    cogdl/layers/deepergcn_layer.py:12-104 with injected MLP weights."""
+    from cogdl.layers.deepergcn_layer import GENConv as RefGEN
+
+    from cogdl_tpu.layers import GENConv
+
+    row, col, n = _random_edges(seed=24)
+    rng = np.random.default_rng(25)
+    F_in, F_out = 10, 6
+    x = rng.normal(size=(n, F_in)).astype(np.float32)
+
+    # activation must be explicit: the reference's get_activation(None)
+    # silently returns identity (cogdl/utils/utils.py:151-165)
+    ref_layer = RefGEN(F_in, F_out, aggr="softmax_sg", beta=1.3,
+                       residual=False, use_msg_norm=False,
+                       activation="relu")
+    ref_layer.eval()
+    with torch.no_grad():
+        ref = ref_layer(_ref_graph(row, col, n), torch.tensor(x)).numpy()
+
+    g = _our_graph(row, col, n)
+    layer = GENConv(F_out, aggr="softmax_sg", beta=1.3)
+    xp = jnp.asarray(np.pad(x, ((0, g.n_pad - n), (0, 0))))
+    layer.init(jax.random.PRNGKey(0), g, xp)
+    params = {"mlp_out": {}}
+    for i, fc in enumerate(ref_layer.mlp.mlp):
+        params["mlp_out"][f"fc{i}"] = {
+            "kernel": jnp.asarray(fc.weight.detach().numpy().T),
+            "bias": jnp.asarray(fc.bias.detach().numpy())}
+    out = np.asarray(layer.apply({"params": params}, g, xp))[:n]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_han_layer_activation_parity():
+    """HAN layer (per-metapath GAT + semantic attention) vs the reference's
+    exact composition: GATLayer per metapath edge set + AttentionLayer
+    (cogdl/layers/han_layer.py:7-34; its HANLayer.forward is literally this
+    loop over graph.adj, driven here per-metapath to avoid the reference's
+    heterogeneous adj plumbing)."""
+    from cogdl.layers.han_layer import AttentionLayer as RefAtt
+    from cogdl.layers import GATLayer as RefGAT
+
+    from cogdl_tpu.layers import HANLayer
+
+    rng = np.random.default_rng(27)
+    row0, col0, n = _random_edges(seed=26)
+    row1, col1, _ = _random_edges(seed=28, n=n)
+    F_in, D, H = 12, 4, 2
+    W_out = H * D
+    x = rng.normal(size=(n, F_in)).astype(np.float32)
+
+    ref_gats = [RefGAT(F_in, D, nhead=H, alpha=0.2, attn_drop=0.0)
+                for _ in range(2)]
+    ref_att = RefAtt(W_out)
+    with torch.no_grad():
+        outs = []
+        for gat, (r, c) in zip(ref_gats, ((row0, col0), (row1, col1))):
+            gat.eval()
+            outs.append(gat(_ref_graph(r, c, n), torch.tensor(x)))
+        z = torch.stack(outs, dim=1)
+        ref = ref_att(z).numpy()
+
+    g0, g1 = _our_graph(row0, col0, n), _our_graph(row1, col1, n)
+    layer = HANLayer(D, nhead=H, num_metapaths=2, dropout=0.0,
+                     sem_att="linear")
+    xp = jnp.asarray(np.pad(x, ((0, g0.n_pad - n), (0, 0))))
+    layer.init(jax.random.PRNGKey(0), [g0, g1], xp)
+    params = {}
+    for i, gat in enumerate(ref_gats):
+        params[f"gat{i}"] = {
+            "W": {"kernel": jnp.asarray(gat.W.detach().numpy())},
+            "a_dst": jnp.asarray(gat.a_l.detach().numpy()),
+            "a_src": jnp.asarray(gat.a_r.detach().numpy()),
+        }
+    params["att_fc"] = {
+        "kernel": jnp.asarray(ref_att.linear.weight.detach().numpy().T),
+        "bias": jnp.asarray(ref_att.linear.bias.detach().numpy())}
+    out = np.asarray(layer.apply({"params": params}, [g0, g1], xp))[:n]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_rgcn_layer_analytic_parity():
+    """RGCN basis decomposition vs a dense numpy evaluation of the R-GCN
+    formula (Σ_r Â_r X W_r + X W_self + b, globally degree-normalised as
+    documented in our layer). The REFERENCE RGCNLayer.basis_forward cannot
+    serve as an oracle: it `return`s inside its per-relation loop and
+    aggregates over the FULL graph instead of the masked relation subgraph
+    (cogdl/layers/rgcn_layer.py:137-148) — the CPU path computes relation 0
+    only. We therefore check the intended math, the same policy as the
+    edge_softmax backward in test_training_parity."""
+    from cogdl_tpu.layers import RGCNLayer
+
+    rng = np.random.default_rng(30)
+    row, col, n = _random_edges(seed=29)
+    E = row.shape[0]
+    R, F_in, F_out = 3, 8, 5
+    etype = rng.integers(0, R, E).astype(np.int32)
+    x = rng.normal(size=(n, F_in)).astype(np.float32)
+    W = rng.normal(size=(R, F_in, F_out)).astype(np.float32) * 0.3
+    W_self = rng.normal(size=(F_in, F_out)).astype(np.float32) * 0.3
+    b = rng.normal(size=(F_out,)).astype(np.float32) * 0.1
+
+    # dense reference: global in-degree normalisation
+    deg = np.zeros(n)
+    np.add.at(deg, row, 1.0)
+    agg = np.zeros((n, F_out), np.float32)
+    for r in range(R):
+        m = etype == r
+        A = np.zeros((n, n), np.float32)
+        np.add.at(A, (row[m], col[m]), 1.0)
+        agg += A @ (x @ W[r])
+    ref = agg / np.maximum(deg, 1.0)[:, None] + x @ W_self + b
+
+    from cogdl_tpu.data.graph import from_coo
+
+    g = from_coo(np.stack([row, col]), num_nodes=n, edge_type=etype)
+    layer = RGCNLayer(F_out, num_relations=R, num_bases=R)
+    xp = jnp.asarray(np.pad(x, ((0, g.n_pad - n), (0, 0))))
+    layer.init(jax.random.PRNGKey(0), g, xp)
+    params = {
+        "basis": jnp.asarray(W),
+        "coeff": jnp.eye(R),
+        "W_self": {"kernel": jnp.asarray(W_self)},
+        "bias": jnp.asarray(b),
+    }
+    out = np.asarray(layer.apply({"params": params}, g, xp))[:n]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)

@@ -59,6 +59,23 @@ def test_experiment_grid_and_table(capsys):
     assert "test_acc" in out
 
 
+def test_experiment_builds_each_dataset_once(monkeypatch):
+    """raw_experiment resolves each named dataset ONCE and shares it across
+    the model × seed grid (re-parsing per seed wastes minutes at OGB scale)."""
+    import cogdl_tpu.experiments as ex
+
+    calls = []
+    real = ex.build_dataset
+
+    def counting(name, **kw):
+        calls.append(name)
+        return real(name, **kw)
+
+    monkeypatch.setattr(ex, "build_dataset", counting)
+    ex.raw_experiment("sbm", "gcn", seeds=(0, 1, 2), epochs=2)
+    assert calls == ["sbm"]
+
+
 def test_best_config_overlay():
     from cogdl_tpu.experiments import set_best_config
 

@@ -39,6 +39,62 @@ def test_bf16_training():
     assert r["test_acc"] > 0.8
 
 
+def test_bf16_scan_chained_steps_finite():
+    """Regression fence for the bench.py --bf16 path: K train steps chained
+    inside ONE jit via lax.scan with bf16 activations. This is numerically
+    fine (asserted here) — the silent crash seen on the axon relay backend
+    (CLAUDE.md 'scan+bf16') is a backend fault, not a framework one; this
+    test pins the framework side so any future failure localises to the
+    backend."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from cogdl_tpu.datasets import build_dataset
+    from cogdl_tpu.models import build_model
+    from cogdl_tpu.utils.evaluator import masked_cross_entropy
+
+    ds = build_dataset("sbm")
+    g = ds.graph
+    model = build_model("gcn", in_features=ds.num_features,
+                        out_features=ds.num_classes, hidden_size=16,
+                        dropout=0.0)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, g, g.x, training=False)["params"]
+    tx = optax.adam(1e-2)
+    opt = tx.init(params)
+
+    def step(p, o):
+        def loss_fn(p):
+            pb = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, p)
+            gb = g.replace(x=g.x.astype(jnp.bfloat16))
+            logits = model.apply({"params": pb}, gb, gb.x, training=True,
+                                 rngs={"dropout": rng})
+            return masked_cross_entropy(logits.astype(jnp.float32), g.y,
+                                        g.train_mask & g.node_mask())
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        grads = jax.tree.map(lambda a: a.astype(jnp.float32), grads)
+        upd, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, upd), o, loss
+
+    @jax.jit
+    def run(p, o):
+        def body(carry, _):
+            p, o = carry
+            p, o, loss = step(p, o)
+            return (p, o), loss
+
+        (p, o), losses = jax.lax.scan(body, (p, o), None, length=8)
+        return losses
+
+    losses = run(params, opt)
+    assert jnp.isfinite(losses).all()
+    assert float(losses[-1]) < float(losses[0])
+
+
 def test_print_logger(capsys):
     train("sbm", "gcn", seed=0, epochs=3, logger="print")
     assert "val_acc" in capsys.readouterr().out
