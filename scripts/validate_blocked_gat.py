@@ -24,9 +24,17 @@ def main():
     ap.add_argument("--r-tile", type=int, default=256)
     args = ap.parse_args()
 
+    import time
+
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    # settle after backend attach: the relay deadlocks when the first device
+    # op arrives immediately (microbench_gather7.py:186, CLAUDE.md)
+    if jax.devices()[0].platform != "cpu":
+        time.sleep(30)
+        print("post-attach settle done", flush=True)
 
     from cogdl_tpu import ops
     from cogdl_tpu.ops import segment as seg
@@ -46,10 +54,15 @@ def main():
     n = g.n_pad
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     h2 = jax.random.normal(k1, (n, H * D), jnp.float32) * 0.5
-    sd = jax.random.normal(k2, (n, H), jnp.float32) * 0.5
+    a_dst = jax.random.normal(k2, (H, D), jnp.float32) * 0.3
     a_src = jax.random.normal(k3, (H, D), jnp.float32) * 0.3
+    # blocked layouts recompute BOTH score halves from h2 in-kernel —
+    # sd/ss are derived quantities here (sd is consumed only for shapes,
+    # ss only for the softmax bound)
+    sd = jnp.einsum("nhd,hd->nh", h2.reshape(n, H, D), a_dst)
     ss = jnp.einsum("nhd,hd->nh", h2.reshape(n, H, D), a_src)
     ar = build_ar(a_src, H, D)
+    al = build_ar(a_dst, H, D)
     ex = g.extras
     zb = jnp.zeros(0, jnp.int32)
     zf = jnp.zeros(0, jnp.float32)
@@ -58,11 +71,11 @@ def main():
 
     # everything big rides as ARGUMENTS (the remote-compile relay 413s on
     # programs with multi-hundred-MB captured constants)
-    def fused(sd, ss, h2, gg, arr, exact=False):
+    def fused(sd, ss, h2, gg, arr, all_, exact=False):
         e = gg.extras
         out = gat_fused_p(
             H, D, 0.2, 0.0, pr, r_tile, exact,
-            sd, ss, h2, arr, jnp.uint32(0),
+            sd, ss, h2, arr, all_, jnp.uint32(0),
             e["spmm_fw_pack"], zb, zf, e["spmm_fw_ct"], zb,
             e.get("spmm_fw_bp", zb),
             e["spmm_bw_pack"], zb, zf, e["spmm_bw_ct"], zb,
@@ -85,11 +98,12 @@ def main():
 
     import functools as _ft
 
-    @_ft.partial(jax.jit, static_argnums=(5,))
-    def fwd_pair(sd, ss, h2, gg, arr, exact):
-        return fused(sd, ss, h2, gg, arr, exact), ref_fwd(sd, ss, h2, gg)
+    @_ft.partial(jax.jit, static_argnums=(6,))
+    def fwd_pair(sd, ss, h2, gg, arr, all_, exact):
+        return (fused(sd, ss, h2, gg, arr, all_, exact),
+                ref_fwd(sd, ss, h2, gg))
 
-    out_f, out_r = fwd_pair(sd, ss, h2, g, ar, True)
+    out_f, out_r = fwd_pair(sd, ss, h2, g, ar, al, True)
     a, b = np.asarray(out_f), np.asarray(out_r)
     scale = np.maximum(np.abs(b), 1e-3)
     rel = np.abs(a - b) / scale
@@ -123,22 +137,27 @@ def main():
     tx = optax.adam(5e-2)
 
     @jax.jit
-    def step(sd, ss, h2, opt, gg, w, arr):
+    def step(params, opt, gg, w):
         def loss_fn(args):
-            sd, ss, h2 = args
+            a_dst, a_src, h2 = args
+            h3 = h2.reshape(n, H, D)
+            sd = jnp.einsum("nhd,hd->nh", h3, a_dst)
+            ss = jnp.einsum("nhd,hd->nh", h3, a_src)
             mask = gg.node_mask()[:, None, None]
             return jnp.mean(jnp.where(
-                mask, (fused(sd, ss, h2, gg, arr) - w) ** 2, 0.0))
+                mask,
+                (fused(sd, ss, h2, gg, build_ar(a_src, H, D),
+                       build_ar(a_dst, H, D)) - w) ** 2, 0.0))
 
-        loss, grads = jax.value_and_grad(loss_fn)((sd, ss, h2))
-        upd, opt = tx.update(grads, opt, (sd, ss, h2))
-        sd, ss, h2 = optax.apply_updates((sd, ss, h2), upd)
-        return sd, ss, h2, opt, loss
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, upd), opt, loss
 
-    opt = tx.init((sd, ss, h2))
+    params = (a_dst, a_src, h2)
+    opt = tx.init(params)
     losses = []
     for _ in range(6):
-        sd, ss, h2, opt, loss = step(sd, ss, h2, opt, g, w_, ar)
+        params, opt, loss = step(params, opt, g, w_)
         losses.append(float(loss))
     print("train losses:", " ".join(f"{v:.5f}" for v in losses))
     ok = err < 2e-3 and losses[-1] < losses[0] * 0.98

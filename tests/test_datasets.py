@@ -535,3 +535,114 @@ def test_dgraphfin_format_roundtrip(tmp_path):
     # feature normalization applied
     xr = np.asarray(g.x)[:N]
     np.testing.assert_allclose(xr.mean(0), 0.0, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# download lifecycle (cogdl_tpu/datasets/download.py) — exercised offline via
+# file:// URLs; proves fetch → verify → extract → place → load end-to-end
+# ---------------------------------------------------------------------------
+
+
+def _planetoid_raw_files(folder, name="cora", n=30, f=12, c=3):
+    """Write a minimal valid kimiyoung/planetoid raw set and return paths."""
+    import pickle
+
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(5)
+    n_test = 8
+    n_all = n - n_test
+    x_n = 6
+    paths = {}
+
+    def dump(part, obj):
+        p = folder / f"ind.{name}.{part}"
+        with open(p, "wb") as fh:
+            pickle.dump(obj, fh)
+        paths[part] = p
+
+    def onehot(k):
+        y = np.zeros((k, c), np.int32)
+        y[np.arange(k), rng.integers(0, c, k)] = 1
+        return y
+
+    dump("x", sp.csr_matrix(rng.normal(size=(x_n, f)).astype(np.float32)))
+    dump("y", onehot(x_n))
+    dump("tx", sp.csr_matrix(rng.normal(size=(n_test, f)).astype(np.float32)))
+    dump("ty", onehot(n_test))
+    dump("allx", sp.csr_matrix(rng.normal(size=(n_all, f)).astype(np.float32)))
+    dump("ally", onehot(n_all))
+    graph = {i: list(np.unique(rng.integers(0, n, 3))) for i in range(n)}
+    dump("graph", graph)
+    ti = folder / f"ind.{name}.test.index"
+    np.savetxt(ti, np.arange(n_all, n)[::-1], fmt="%d")
+    paths["test.index"] = ti
+    return paths
+
+
+def test_download_url_file_scheme_and_md5(tmp_path):
+    import hashlib
+
+    from cogdl_tpu.datasets.download import check_md5, download_url
+
+    src = tmp_path / "src.bin"
+    src.write_bytes(b"cogdl-tpu raw payload")
+    md5 = hashlib.md5(src.read_bytes()).hexdigest()
+    dst_dir = tmp_path / "out"
+    p = download_url(src.as_uri(), str(dst_dir), md5=md5, log=False)
+    assert open(p, "rb").read() == b"cogdl-tpu raw payload"
+    assert check_md5(p, md5)
+    # md5 mismatch: raises, leaves NO file behind (atomicity)
+    with pytest.raises(OSError):
+        download_url(src.as_uri(), str(dst_dir), name="bad.bin",
+                     md5="0" * 32, log=False)
+    assert not (dst_dir / "bad.bin").exists()
+    assert not (dst_dir / "bad.bin.part").exists()
+    # unreachable URL: raises with placement instructions, no partial file
+    with pytest.raises(OSError, match="manually"):
+        download_url((tmp_path / "missing.bin").as_uri(), str(dst_dir),
+                     log=False)
+
+
+def test_extract_archive_zip_and_gz(tmp_path):
+    import gzip
+    import zipfile
+
+    from cogdl_tpu.datasets.download import extract_archive
+
+    z = tmp_path / "a.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.writestr("inner/data.txt", "zipped")
+    extract_archive(str(z), delete=True)
+    assert (tmp_path / "inner/data.txt").read_text() == "zipped"
+    assert not z.exists()
+
+    g = tmp_path / "b.txt.gz"
+    with gzip.open(g, "wb") as fh:
+        fh.write(b"gzipped")
+    extract_archive(str(g))
+    assert (tmp_path / "b.txt").read_bytes() == b"gzipped"
+
+
+def test_fetch_dataset_end_to_end(tmp_path, monkeypatch):
+    """The full lifecycle: registry → file:// fetch → placed under
+    root/<name>/raw → the planetoid loader builds a real Dataset from it."""
+    from cogdl_tpu.datasets import download as dl
+    from cogdl_tpu.datasets import planetoid
+
+    srv = tmp_path / "server"
+    srv.mkdir()
+    paths = _planetoid_raw_files(srv, "cora")
+    spec = dl.DatasetFiles(
+        subdir="cora/raw",
+        files=[dl.RawFile(url=p.as_uri(), filename=f"ind.cora.{part}")
+               for part, p in paths.items()])
+    monkeypatch.setitem(dl.DATASET_URLS, "cora", spec)
+    root = tmp_path / "data"
+    folder = dl.fetch_dataset("cora", root=str(root), log=False)
+    assert folder == str(root / "cora/raw")
+    ds = planetoid.build("cora", str(root / "cora"))
+    assert ds.graph.num_nodes >= 30 and ds.num_classes == 3
+
+    with pytest.raises(KeyError, match="registry"):
+        dl.fetch_dataset("no-such-dataset")
