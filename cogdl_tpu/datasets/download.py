@@ -63,10 +63,60 @@ def _planetoid(name: str) -> DatasetFiles:
                for p in _PLANETOID_PARTS])
 
 
+# GraphSAINT-format node-classification sets (reference saint_data.py:133-230)
+_SAINT_SHARES = {
+    "yelp": "03d65f79f231445b9f42",
+    "amazon-s": "6246372398f24c549419",
+    "flickr": "7ee4296bf71e4059972d",
+    "reddit": "4de907d0006e4c61ba22",
+    "ppi": "1c8bd1d5a481402aa938",
+    "ppi-large": "436011ecea614a51baea",
+}
+_SAINT_FILES = ("adj_full.npz", "adj_train.npz", "class_map.json",
+                "feats.npy", "role.json")
+
+
+def _saint(name: str) -> DatasetFiles:
+    share = _SAINT_SHARES[name]
+    base = f"https://cloud.tsinghua.edu.cn/d/{share}/files/?p=%2F{{}}&dl=1"
+    return DatasetFiles(
+        subdir=os.path.join(name, "raw"),
+        files=[RawFile(url=base.format(f), filename=f)
+               for f in _SAINT_FILES])
+
+
+def _grb(name: str) -> DatasetFiles:
+    # one zip per set (reference grb_data.py:18-24); extracts adj/features/
+    # labels/index .npz next to itself (grb.py reads <root>/raw/*.npz)
+    return DatasetFiles(
+        subdir=os.path.join(name, "raw"),
+        files=[RawFile(
+            url=f"https://cogdl-data.oss-cn-beijing.aliyuncs.com/data/{name}.zip",
+            extract=True)])
+
+
+def _tu(name: str) -> DatasetFiles:
+    # TU Dortmund graph-kernel archive (reference tu_data.py:211); the zip
+    # unpacks a <CANON>/ directory, one of the layouts tu.py searches
+    from .tu import CANONICAL
+
+    canon = CANONICAL.get(name, name.upper())
+    return DatasetFiles(
+        subdir=os.path.join(name, "raw"),
+        files=[RawFile(
+            url=f"https://www.chrsmrrs.com/graphkerneldatasets/{canon}.zip",
+            extract=True)])
+
+
 DATASET_URLS: Dict[str, DatasetFiles] = {
     "cora": _planetoid("cora"),
     "citeseer": _planetoid("citeseer"),
     "pubmed": _planetoid("pubmed"),
+    **{n: _saint(n) for n in _SAINT_SHARES},
+    **{n: _grb(n) for n in ("grb-cora", "grb-citeseer", "grb-reddit",
+                            "grb-aminer", "grb-flickr")},
+    **{n: _tu(n) for n in ("mutag", "ptc-mr", "nci1", "proteins", "collab",
+                           "imdb-b", "imdb-m", "reddit-b")},
 }
 
 

@@ -13,9 +13,23 @@ from ..data.graph import Graph, from_coo
 from .dataset import Dataset
 
 
+# registry short name → canonical TU Dortmund archive name (the upstream
+# zips at chrsmrrs.com/graphkerneldatasets unpack <CANON>/<CANON>_*.txt)
+CANONICAL = {
+    "imdb-b": "IMDB-BINARY", "imdb-m": "IMDB-MULTI",
+    "reddit-b": "REDDIT-BINARY", "reddit-multi-5k": "REDDIT-MULTI-5K",
+    "reddit-multi-12k": "REDDIT-MULTI-12K", "ptc-mr": "PTC_MR",
+}
+
+
 def build(name: str, root: str, **kwargs) -> Dataset:
     raw = os.path.join(root, "raw")
-    base = os.path.join(raw, name.upper())
+    canon = CANONICAL.get(name, name.upper())
+    # accept flat files (raw/<NAME>_A.txt) or the upstream zip layout
+    # (raw/<CANON>/<CANON>_A.txt)
+    bases = [os.path.join(raw, name.upper()), os.path.join(raw, canon),
+             os.path.join(raw, canon, canon)]
+    base = next((b for b in bases if os.path.exists(f"{b}_A.txt")), bases[0])
     need = [f"{base}_A.txt", f"{base}_graph_indicator.txt",
             f"{base}_graph_labels.txt"]
     missing = [p for p in need if not os.path.exists(p)]

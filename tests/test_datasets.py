@@ -646,3 +646,42 @@ def test_fetch_dataset_end_to_end(tmp_path, monkeypatch):
 
     with pytest.raises(KeyError, match="registry"):
         dl.fetch_dataset("no-such-dataset")
+
+
+def test_fetch_tu_zip_upstream_layout(tmp_path, monkeypatch):
+    """TU lifecycle: a file:// zip in the UPSTREAM layout
+    (PTC_MR/PTC_MR_A.txt inside the archive) fetched + extracted, then the
+    loader resolves the nested canonical layout."""
+    import io
+    import zipfile
+
+    from cogdl_tpu.datasets import download as dl
+    from cogdl_tpu.datasets import tu
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("PTC_MR/PTC_MR_A.txt",
+                   "\n".join(f"{a}, {b}" for a, b in
+                             [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4)]))
+        z.writestr("PTC_MR/PTC_MR_graph_indicator.txt",
+                   "\n".join(["1"] * 3 + ["2"] * 3))
+        z.writestr("PTC_MR/PTC_MR_graph_labels.txt", "1\n-1\n")
+    srv = tmp_path / "PTC_MR.zip"
+    srv.write_bytes(buf.getvalue())
+
+    spec = dl.DatasetFiles(
+        subdir="ptc-mr/raw",
+        files=[dl.RawFile(url=srv.as_uri(), extract=True)])
+    monkeypatch.setitem(dl.DATASET_URLS, "ptc-mr", spec)
+    root = tmp_path / "data"
+    dl.fetch_dataset("ptc-mr", root=str(root), log=False)
+    ds = tu.build("ptc-mr", str(root / "ptc-mr"))
+    assert len(ds.graphs) == 2
+
+
+def test_download_registry_names_are_supported():
+    from cogdl_tpu.datasets import SUPPORTED_DATASETS
+    from cogdl_tpu.datasets.download import DATASET_URLS
+
+    unknown = set(DATASET_URLS) - set(SUPPORTED_DATASETS)
+    assert not unknown, f"registry names missing loaders: {unknown}"
