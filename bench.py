@@ -28,6 +28,13 @@ import jax.numpy as jnp
 BASELINE_EDGES_PER_SEC = 1.0e9
 
 
+def _settle():
+    """The axon relay deadlocks when the first device op arrives immediately
+    after backend attach (CLAUDE.md) — give it a moment on remote backends."""
+    if jax.devices()[0].platform not in ("cpu",):
+        time.sleep(30)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="gcn",
@@ -66,6 +73,21 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="rematerialise the forward (saves ~2.5 GB HBM at "
                     "products scale, costs 2 extra spmm passes)")
+    ap.add_argument("--gat-layout", default=None,
+                    choices=("h2", "wide", "split"),
+                    help="GAT single-shot gather-table layout (see "
+                    "segment_kernels.GAT_SINGLE_LAYOUT; measured: wide "
+                    "87.2 ms, split 91.3 ms at 100k)")
+    ap.add_argument("--blocked-node-sd", action="store_true",
+                    help="GAT blocked: use the precomputed sd node table "
+                    "(round-1 design) instead of computing the dst score "
+                    "half in-kernel from h2 - A/B for the products config")
+    ap.add_argument("--stream-cache", action="store_true",
+                    help="GAT single-shot: keep the forward's gathered "
+                    "stream as a residual so the backward dsd pass skips "
+                    "its re-gather. Measured NO-OP on this backend "
+                    "(87.26 vs 87.15 ms at 100k - the re-gather is off "
+                    "the critical path); kept for re-testing")
     ap.add_argument("--sampled", action="store_true",
                     help="neighbor-sampled GraphSAGE training throughput "
                     "(native C++ sampler + prefetch pipeline; the "
@@ -73,6 +95,7 @@ def main():
     ap.add_argument("--batch-size", type=int, default=1024)
     ap.add_argument("--fanouts", default="15,10")
     args = ap.parse_args()
+    _settle()
     if args.sampled:
         return bench_sampled(args)
     if args.products:
@@ -90,6 +113,19 @@ def main():
 
     from cogdl_tpu.data.graph import add_self_loops, sym_norm
     from cogdl_tpu.ops.pallas import _is_tpu, prepare_spmm
+
+    if args.stream_cache:
+        from cogdl_tpu.ops.pallas import segment_kernels
+
+        segment_kernels.GAT_STREAM_CACHE_BYTES = 4 << 30
+    if args.blocked_node_sd:
+        from cogdl_tpu.ops.pallas import segment_kernels
+
+        segment_kernels.GAT_BLOCKED_NODE_SD = True
+    if args.gat_layout:
+        from cogdl_tpu.ops.pallas import segment_kernels
+
+        segment_kernels.GAT_SINGLE_LAYOUT = args.gat_layout
 
     if args.products:
         # OGB-scale: generate the graph AND build the kernel layouts on
@@ -196,6 +232,19 @@ def main():
         dt = min(dt, time.perf_counter() - t0)
 
     edges_per_sec = graph.num_edges * args.steps / dt
+    # context: the measured per-step floor is the XLA row-gather engine at
+    # ~3 ns/row on VMEM-staged tables (scripts/microbench_gather*.py; the
+    # in-kernel alternatives measured slower for random access) — a step
+    # doing S edge-row sweeps cannot beat 1/(S*3ns) edges/s on this chip
+    if args.model == "gcn":
+        sweeps = 2 if prop_cached else 4
+    elif args.model == "gat":
+        sweeps = 3  # fwd gather + dsrc gather + (dsd re-gather unless cached)
+        if args.stream_cache and not args.products:
+            sweeps = 2
+    else:
+        sweeps = 4
+    floor = 1e9 / (3.0 * sweeps)
     print(json.dumps({
         "metric": f"{args.model.upper()} train-step edges/sec (1 chip, powerlaw "
                   f"{args.nodes}n x{args.avg_degree}, F={args.feat_dim})",
@@ -205,6 +254,8 @@ def main():
         "step_ms": round(1000 * dt / args.steps, 2),
         "device": str(jax.devices()[0]), "bf16": args.bf16,
         "prop_cache": prop_cached,
+        "gather_sweeps": sweeps,
+        "vs_gather_floor": round(edges_per_sec / floor, 3),
     }))
 
 

@@ -50,7 +50,7 @@ class GATLayer(nn.Module):
         rng = self.make_rng("dropout") if (drop > 0 and training) else None
         # fused layout-order path (TPU): no [E, H] tensors materialised
         out = maybe_gat_fused(graph, score_dst, score_src, h, a_src,
-                              alpha=self.alpha, attn_drop=drop,
+                              a_dst=a_dst, alpha=self.alpha, attn_drop=drop,
                               dropout_rng=rng,
                               exact_scores=self.exact_scores)
         if out is None:

@@ -127,14 +127,16 @@ def maybe_pallas_spmm(graph, x) -> Optional[jnp.ndarray]:
     )
 
 
-def maybe_gat_fused(graph, score_dst, score_src, h, a_src, alpha=0.2,
-                    attn_drop=0.0, dropout_rng=None,
+def maybe_gat_fused(graph, score_dst, score_src, h, a_src, a_dst=None,
+                    alpha=0.2, attn_drop=0.0, dropout_rng=None,
                     exact_scores: bool = False):
     """Fully fused kernel-tier GAT (scores+softmax+aggregate, custom VJP)
-    when both direction layouts are prepared (TPU). ``a_src`` is the src
-    attention vector [H, D] (or [1, H, D]); the kernels gather h alone and
-    recompute the src score half in-register from it — ``score_src`` must
-    equal ``Σ_d a_src·h`` (it is consumed only for the softmax bound).
+    when both direction layouts are prepared (TPU). ``a_src``/``a_dst`` are
+    the attention vectors [H, D] (or [1, H, D]); the kernels gather h alone
+    and recompute the src score half in-register from ``a_src`` —
+    ``score_src`` must equal ``Σ_d a_src·h`` (it is consumed only for the
+    softmax bound). On blocked OGB-scale layouts the dst half is likewise
+    recomputed from ``a_dst`` and ``score_dst`` is never read.
     Returns [n_pad, H, D]."""
     extras = graph.extras
     if not extras or not _is_tpu():
@@ -147,6 +149,8 @@ def maybe_gat_fused(graph, score_dst, score_src, h, a_src, alpha=0.2,
 
     H, D = h.shape[1], h.shape[2]
     ar = build_ar(jnp.asarray(a_src).reshape(H, D), H, D)
+    al = (build_ar(jnp.asarray(a_dst).reshape(H, D), H, D)
+          if a_dst is not None else jnp.zeros_like(ar))
     if attn_drop > 0.0 and dropout_rng is not None:
         if packed and "spmm_fw_orig" not in extras:
             raise ValueError(
@@ -164,10 +168,14 @@ def maybe_gat_fused(graph, score_dst, score_src, h, a_src, alpha=0.2,
     zf = jnp.zeros(0, jnp.float32)
     fw_col = extras["spmm_fw_pack"] if packed else extras["spmm_fw_col"]
     bw_col = extras["spmm_bw_pack"] if packed else extras["spmm_bw_col"]
+    if packed and a_dst is None:
+        raise ValueError(
+            "blocked fused GAT recomputes the dst score half in-kernel — "
+            "pass a_dst to maybe_gat_fused")
     out = gat_fused_p(
         H, D, alpha, float(attn_drop), panel_rows, r_tile,
         bool(exact_scores),
-        score_dst, score_src, h.reshape(-1, H * D), ar, seed,
+        score_dst, score_src, h.reshape(-1, H * D), ar, al, seed,
         fw_col, extras.get("spmm_fw_row", zb),
         extras.get("spmm_fw_ones", zf),
         extras["spmm_fw_ct"], extras.get("spmm_fw_orig", zb),

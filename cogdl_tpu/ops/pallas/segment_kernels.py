@@ -59,6 +59,35 @@ F_BLK = 128      # feature lanes per grid step
 # are processed in blocks of this many chunks (2048 chunks × 1024 slots ×
 # 128 lanes × 4 B = 1 GB per message block).
 BLOCK_CHUNKS = 2048
+# Single-shot fused GAT can keep the forward's gathered [h2|ss] stream as a
+# VJP residual (PHYSICAL size — lanes round up to 128 — must fit this
+# budget); the backward dsd pass then reuses it instead of re-gathering.
+# MEASURED A/B on TPU v5e (2026-08-20, 100k×30): 87.26 ms cached vs
+# 87.15 ms re-gathered — the dsd re-gather is NOT on the critical path, so
+# the default is OFF (holding two ~3.3 GB streams across the backward buys
+# nothing). bench.py --stream-cache re-tests it; interpret-mode tests
+# exercise the cached path by raising the budget.
+GAT_STREAM_CACHE_BYTES = 0
+# Blocked fused-GAT forward node-table design:
+#   False (default) — node table IS h2; the dst score half is computed
+#   in-kernel from ``al`` (no [n_pad, H] sd array, ~2.5 GB saved at
+#   products scale).
+#   True — node table is the precomputed 128-lane-padded sd table (the
+#   round-1 design); costs the sd materialisation but decouples the node
+#   operand from the panel-gather table. bench.py --blocked-node-sd A/Bs it.
+GAT_BLOCKED_NODE_SD = False
+# Single-shot gather-table layout (A/B'd on chip 2026-08-20, 100k×30;
+# bench.py --gat-layout):
+#   "wide"  — v1: src [h2|ss] (136 lanes) and dst T2 [dagg|dden|sd]
+#             (144 lanes) concat tables; 2 unique row sweeps (fwd+dsd CSE),
+#             but both tables pad to 256 physical lanes (~117 MB at 100k)
+#             and run at the ~13 ns/row HBM gather rate. 87.2 ms.
+#   "split" — every table ≤128 lanes (src h2; dst dagg + narrow [dden|sd]):
+#             3 unique sweeps. 91.3 ms — the extra sweep beats the
+#             per-row saving.
+#   "h2"    — src h2 alone (≤128 lanes, ss via ``ar``), dst T2 concat:
+#             still 2 sweeps with the fwd table half the bytes.
+GAT_SINGLE_LAYOUT = "h2"
 
 
 def build_spmm_layout(
@@ -488,7 +517,9 @@ def _pad_to(a: jnp.ndarray, w: int) -> jnp.ndarray:
 def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
                           alpha: float, attn_drop: float,
                           packed: bool = False, stream_has_ss: bool = False,
-                          exact_scores: bool = False):
+                          exact_scores: bool = False,
+                          node_is_h2: bool = False,
+                          split_t2: bool = False):
     """One fused GAT pass over a prepared edge layout.
 
     mode 'fwd' : stream=[h2|ss] by src, node=sd (dst key)
@@ -497,6 +528,11 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
                  → out [r, 128] = Σ ds  (∂L/∂sd, segmented by dst)
     mode 'dsrc': stream=[dagg|dden|sd] by dst, node=[h2|ss] (src key)
                  → out [r, HDp+128] = [Σ exn·dagg | Σ ds]  (∂h2, ∂ss by src)
+
+    ``node_is_h2`` (blocked 'fwd' only): the node table is h2 itself and the
+    dst score half is computed IN-KERNEL per tile as (h2_tile @ al) — no
+    [n_pad, H] sd array (16×-lane-padded ≈ 1.25 GB at OGB scale) ever
+    materialises; ``al`` is the :func:`build_ar` matrix of a_dst.
 
     All H-wide quantities live in full 128-lane registers; lanes ≥ H carry
     zeros or benign values that the 0/1 selection matmuls mask out.
@@ -522,18 +558,36 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
 
     def kernel(*refs):
         ct_ref = refs[0]
+        al_ref = None
         if packed:
             stream_ref, pack_ref, node_ref, smax_ref, ar_ref = refs[1:6]
-            base_ref = refs[6] if with_drop else None
+            nxt = 6
+            if node_is_h2:
+                al_ref = refs[nxt]
+                nxt += 1
+            base_ref = refs[nxt] if with_drop else None
         elif stream_has_ss:
             # the src table carries ss — no ar operand in this mode
             stream_ref, row_ref, w_ref, node_ref, smax_ref = refs[1:6]
             ar_ref = None
             base_ref = refs[6] if with_drop else None
         else:
-            (stream_ref, row_ref, w_ref, node_ref, smax_ref,
-             ar_ref) = refs[1:7]
-            base_ref = refs[7] if with_drop else None
+            i = 1
+            stream_ref = refs[i]
+            i += 1
+            stream2_ref = None
+            if split_t2 and mode == "dsrc":
+                stream2_ref = refs[i]      # [T, 2H] gathered [dden|sd]
+                i += 1
+            row_ref, w_ref, node_ref = refs[i], refs[i + 1], refs[i + 2]
+            i += 3
+            node2_ref = None
+            if split_t2 and mode == "dsd":
+                node2_ref = refs[i]        # [r, 2H] node [dden|sd] table
+                i += 1
+            smax_ref, ar_ref = refs[i], refs[i + 1]
+            i += 2
+            base_ref = refs[i] if with_drop else None
         out_ref = refs[-1]
 
         c = pl.program_id(0)
@@ -566,7 +620,8 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
             jnp.int32, (r_tile, T_CHUNK), 0) + base
         pv = jnp.where(rows == r_ids, w[None, :], 0.0)   # [r, T] routing
 
-        nd = mm(pv, node_ref[:], 0, 0)                   # [T, Wn] per-slot
+        if not (node_is_h2 and mode == "fwd"):
+            nd = mm(pv, node_ref[:], 0, 0)               # [T, Wn] per-slot
         stream = stream_ref[:]                           # [T, Ws]
         smax = smax_ref[0, :]                            # [128]
 
@@ -641,7 +696,14 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
                 jnp.logical_and(lj3 == hi2 + HD, hi2 < H), 1.0, 0.0), 1, 0)
 
         if mode == "fwd":
-            sd_e = nd                                    # [T, 128]
+            if node_is_h2:
+                # dst score half from the h2 node block itself: one tiny
+                # [r, HDp]·[HDp, 128] matmul per tile, then the routing
+                # matmul broadcasts it per slot — no sd array in HBM
+                sd_tile = mm(ext_wide(node_ref[:]), al_ref[:], 1, 0)
+                sd_e = mm(pv, sd_tile, 0, 0)             # [T, 128]
+            else:
+                sd_e = nd                                # [T, 128]
             msg = ext_wide(stream)
             ss_e = src_score(stream, msg)
             _, ex = _edge_scores(sd_e, ss_e, smax, w, alpha)
@@ -654,14 +716,28 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
                 out_ref[:, HDp:] += mm(pv, ex, 1, 0)
             return
 
-        # both backward modes: unpack [dagg|dden|sd] (dst side) and h2 (src)
+        # both backward modes: unpack the dst side ([dagg|dden|sd] as one
+        # 144-lane table, or split dagg + [dden|sd] pair when split_t2) and
+        # h2 (src side)
         if mode == "dsd":
-            dst, src = nd, stream
+            src = stream
+            if split_t2:
+                dst, dpair = nd, mm(pv, node2_ref[:], 0, 0)
+            else:
+                dst, dpair = nd, None
         else:
-            dst, src = stream, nd
+            src = nd
+            if split_t2:
+                dst, dpair = stream, stream2_ref[:]
+            else:
+                dst, dpair = stream, None
         dagg_e = ext_wide(dst)
-        dden_e = ext_h(dst, HD)
-        sd_e = ext_h(dst, HD + H)
+        if split_t2:
+            dden_e = ext_h(dpair, 0)
+            sd_e = ext_h(dpair, H)
+        else:
+            dden_e = ext_h(dst, HD)
+            sd_e = ext_h(dst, HD + H)
         msg = ext_wide(src)
         ss_e = src_score(src, msg)
         slope, ex = _edge_scores(sd_e, ss_e, smax, w, alpha)
@@ -689,6 +765,10 @@ def _gat_pass(mode, H, D, alpha, attn_drop, stream, row_k, w_k, node_tab,
               smax_tab, ar, base, ct, n_pad, r_tile: int = R_TILE,
               local_out: bool = False, pack: Optional[jnp.ndarray] = None,
               stream_has_ss: bool = False, exact_scores: bool = False,
+              al: Optional[jnp.ndarray] = None, node_is_h2: bool = False,
+              stream2: Optional[jnp.ndarray] = None,
+              node2: Optional[jnp.ndarray] = None,
+              split_t2: bool = False,
               interpret: Optional[bool] = None):
     """One fused pass over (a block of) the layout. ``ct`` holds ABSOLUTE
     tile ids — the node table is always indexed globally; with
@@ -716,19 +796,31 @@ def _gat_pass(mode, H, D, alpha, attn_drop, stream, row_k, w_k, node_tab,
         in_specs.append(pl.BlockSpec((T_CHUNK,), lambda c, ct: (c,)))
         args.append(pack)
     else:
+        if split_t2 and mode == "dsrc":
+            W2 = stream2.shape[1]
+            in_specs.append(pl.BlockSpec((T_CHUNK, W2),
+                                         lambda c, ct: (c, 0)))
+            args.append(stream2)
         in_specs += [
             pl.BlockSpec((T_CHUNK,), lambda c, ct: (c,)),
             pl.BlockSpec((T_CHUNK,), lambda c, ct: (c,)),
         ]
         args += [row_k, w_k]
-    in_specs += [
-        pl.BlockSpec((r_tile, Wn), lambda c, ct: (ct[c], 0)),
-        pl.BlockSpec((8, 128), lambda c, ct: (0, 0)),
-    ]
-    args += [node_tab, smax_tab]
+    in_specs.append(pl.BlockSpec((r_tile, Wn), lambda c, ct: (ct[c], 0)))
+    args.append(node_tab)
+    if not packed and split_t2 and mode == "dsd":
+        Wn2 = node2.shape[1]
+        in_specs.append(pl.BlockSpec((r_tile, Wn2),
+                                     lambda c, ct: (ct[c], 0)))
+        args.append(node2)
+    in_specs.append(pl.BlockSpec((8, 128), lambda c, ct: (0, 0)))
+    args.append(smax_tab)
     if not (stream_has_ss and not packed):
         in_specs.append(pl.BlockSpec((HDp, 128), lambda c, ct: (0, 0)))
         args.append(ar)
+    if node_is_h2:
+        in_specs.append(pl.BlockSpec((HDp, 128), lambda c, ct: (0, 0)))
+        args.append(al)
     if attn_drop > 0.0:
         in_specs.append(pl.BlockSpec((T_CHUNK,), lambda c, ct: (c,)))
         args.append(base)
@@ -742,7 +834,8 @@ def _gat_pass(mode, H, D, alpha, attn_drop, stream, row_k, w_k, node_tab,
     return pl.pallas_call(
         _make_gat_pass_kernel(mode, H, D, HDp, r_tile, alpha, attn_drop,
                               packed=packed, stream_has_ss=stream_has_ss,
-                              exact_scores=exact_scores),
+                              exact_scores=exact_scores,
+                              node_is_h2=node_is_h2, split_t2=split_t2),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, Wout), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -757,7 +850,8 @@ def _gat_pass(mode, H, D, alpha, attn_drop, stream, row_k, w_k, node_tab,
 def _gat_apply(mode, H, D, alpha, attn_drop, table, node_tab, smax_tab, ar,
                col, row, ones, ct, orig, bp, seed, n_pad,
                panel_rows: int = 0, r_tile: int = R_TILE,
-               src_has_ss: bool = False, exact_scores: bool = False):
+               src_has_ss: bool = False, exact_scores: bool = False,
+               al: Optional[jnp.ndarray] = None, node_is_h2: bool = False):
     """Gather the pass's stream from ``table`` and run the fused pass —
     one-shot for 1-D layouts, mega-block streamed for blocked 2-D layouts
     (huge graphs whose [E_k, W] stream would blow HBM). Blocked layouts may
@@ -815,7 +909,8 @@ def _gat_apply(mode, H, D, alpha, attn_drop, table, node_tab, smax_tab, ar,
         local = _gat_pass(mode, H, D, alpha, attn_drop, stream, None,
                           None, node_tab, smax_tab, ar, base, ct_b, n_local,
                           r_tile=r_tile, local_out=True, pack=pack_b,
-                          exact_scores=exact_scores)
+                          exact_scores=exact_scores, al=al,
+                          node_is_h2=node_is_h2)
         # local tiles this block's chunks never visited hold undefined
         # kernel memory — zero them before accumulating
         visited = jnp.zeros(bc, jnp.bool_).at[ct_b - first].set(
@@ -848,22 +943,26 @@ def build_ar(a_src: jnp.ndarray, H: int, D: int) -> jnp.ndarray:
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
 def gat_fused_p(H: int, D: int, alpha: float, attn_drop: float,
                 panel_rows: int, r_tile: int, exact_scores: bool,
-                sd, ss, h2, ar, seed,
+                sd, ss, h2, ar, al, seed,
                 fw_col, fw_row, fw_ones, fw_ct, fw_orig, fw_bp,
                 bw_col, bw_row, bw_ones, bw_ct, bw_orig, bw_bp):
     """out[r,h,:] = Σ_e∈r softmax_e(leakyrelu(sd[r,h]+ss[col_e,h]))·h[col_e,h,:]
 
     sd/ss: [n_pad, H] score halves (aᵀ_dst·h_r, aᵀ_src·h_c); h2: [n_pad, H·D]
-    transformed features; ``ar``: the :func:`build_ar` matrix — the kernels
-    gather h2 alone and recompute the src score half in-register (``ss``
-    itself is consumed only for the softmax bound), so ``ss`` MUST equal
-    ``h2 @ ar`` for correct results; seed: uint32 scalar for dropout.
-    Layout arrays from the prepared extras (fw = dst-grouped, bw =
-    src-grouped); blocked 2-D layouts stream in mega-blocks, optionally with
-    ``panel_rows`` source panels (``*_bp`` maps blocks to panels). Returns
-    [n_pad, H·D]."""
+    transformed features; ``ar``/``al``: the :func:`build_ar` matrices of
+    a_src/a_dst — the kernels gather h2 alone and recompute the src score
+    half in-register (``ss`` itself is consumed only for the softmax bound),
+    so ``ss`` MUST equal ``h2 @ ar`` for correct results. On BLOCKED 2-D
+    layouts ``sd`` MUST likewise equal ``(h2 @ al)[:, :H]``: the passes
+    compute the dst half from h2/``al`` too, and ``sd`` is never read (its
+    cotangent is still returned, so layer-level autodiff routes the score
+    grads into a_dst/h) — no 16×-lane-padded [n_pad, H] arrays survive at
+    OGB scale. seed: uint32 scalar for dropout. Layout arrays from the
+    prepared extras (fw = dst-grouped, bw = src-grouped); blocked layouts
+    stream in mega-blocks, optionally with ``panel_rows`` source panels
+    (``*_bp`` maps blocks to panels). Returns [n_pad, H·D]."""
     out, _ = _gat_fwd(H, D, alpha, attn_drop, panel_rows, r_tile,
-                      exact_scores, sd, ss, h2, ar, seed,
+                      exact_scores, sd, ss, h2, ar, al, seed,
                       fw_col, fw_row, fw_ones, fw_ct, fw_orig, fw_bp,
                       bw_col, bw_row, bw_ones, bw_ct, bw_orig, bw_bp)
     return out
@@ -873,10 +972,11 @@ def gat_fused(H: int, D: int, alpha: float, attn_drop: float,
               sd, ss, h2, ar, seed,
               fw_col, fw_row, fw_ones, fw_ct, fw_orig,
               bw_col, bw_row, bw_ones, bw_ct, bw_orig):
-    """Single-panel convenience wrapper around :func:`gat_fused_p`."""
+    """Single-panel convenience wrapper around :func:`gat_fused_p` (the
+    single-shot path never reads ``al`` — a zero placeholder rides along)."""
     zb = jnp.zeros(0, jnp.int32)
     return gat_fused_p(H, D, alpha, attn_drop, 0, R_TILE, False,
-                       sd, ss, h2, ar, seed,
+                       sd, ss, h2, ar, jnp.zeros_like(ar), seed,
                        fw_col, fw_row, fw_ones, fw_ct, fw_orig, zb,
                        bw_col, bw_row, bw_ones, bw_ct, bw_orig, zb)
 
@@ -910,36 +1010,73 @@ def _drop_base(orig, seed, attn_drop):
 
 
 def _gat_fwd(H, D, alpha, attn_drop, panel_rows, r_tile, exact_scores,
-             sd, ss, h2, ar, seed,
+             sd, ss, h2, ar, al, seed,
              fw_col, fw_row, fw_ones, fw_ct, fw_orig, fw_bp,
              bw_col, bw_row, bw_ones, bw_ct, bw_orig, bw_bp):
-    n_pad = sd.shape[0]
+    n_pad = h2.shape[0]
     HD = H * D
     HDp = -(-HD // F_BLK) * F_BLK
     single = fw_ct.ndim == 1
     h2f = h2.astype(jnp.float32)
-    if not single:
-        h2f = jax.lax.optimization_barrier(h2f)
-    sdf = sd.astype(jnp.float32)
     ssf = ss.astype(jnp.float32)
     arf = ar.astype(jnp.float32)
-    # single-shot (≤~200k nodes): gather the COMPACT [h2|ss] table — one
-    # wide table per phase keeps this backend's gather staging behaviour
-    # (measured 86 vs 120 ms/step at 100k when gathering h2 + a separate
-    # pinned node table). Blocked (OGB-scale): gather h2 alone and
-    # recompute ss in-register — the concat table would cost ~4.8 GB there.
-    src_tab = (jax.lax.optimization_barrier(
-        jnp.concatenate([h2f, ssf], axis=1)) if single else h2f)
-    node = jax.lax.optimization_barrier(_pad_lanes(sdf))
-    outc = _gat_apply("fwd", H, D, alpha, attn_drop, src_tab, node,
-                      _smax_tab(ssf), arf, fw_col, fw_row, fw_ones, fw_ct,
-                      fw_orig, fw_bp, seed, n_pad, panel_rows, r_tile,
-                      src_has_ss=single, exact_scores=exact_scores)
+    smax = _smax_tab(ssf)
+    cache = None
+    if single:
+        sdf = sd.astype(jnp.float32)
+        node = jax.lax.optimization_barrier(_pad_lanes(sdf))
+        base = _drop_base(fw_orig, seed, attn_drop)
+        if GAT_SINGLE_LAYOUT in ("h2", "split"):
+            # gather h2 ALONE (≤128 physical lanes) and recompute the src
+            # score half in-register via ``ar`` — see GAT_SINGLE_LAYOUT
+            src_tab = jax.lax.optimization_barrier(h2f)
+            stream = jnp.take(src_tab, fw_col, axis=0, mode="clip")
+            outc = _gat_pass("fwd", H, D, alpha, attn_drop, stream, fw_row,
+                             fw_ones, node, smax, arf, base, fw_ct, n_pad,
+                             r_tile=r_tile, stream_has_ss=False,
+                             exact_scores=exact_scores)
+        else:
+            # v1: one COMPACT [h2|ss] table per phase (136 lanes → padded to
+            # 256 physically; falls off the staged-gather path at ~100k)
+            src_tab = jax.lax.optimization_barrier(
+                jnp.concatenate([h2f, ssf], axis=1))
+            stream = jnp.take(src_tab, fw_col, axis=0, mode="clip")
+            outc = _gat_pass("fwd", H, D, alpha, attn_drop, stream, fw_row,
+                             fw_ones, node, smax, arf, base, fw_ct, n_pad,
+                             r_tile=r_tile, stream_has_ss=True,
+                             exact_scores=exact_scores)
+        ws_phys = -(-src_tab.shape[1] // F_BLK) * F_BLK
+        if stream.shape[0] * ws_phys * 4 <= GAT_STREAM_CACHE_BYTES:
+            cache = stream
+    else:
+        # blocked (OGB-scale): gather h2 alone, recompute BOTH score halves
+        # from it in-register (ss via ``ar`` on the stream side, sd via
+        # ``al`` on the node side — node table IS h2). Neither [n_pad, H]
+        # score array is read, so neither materialises (16×-lane-padded
+        # ≈ 1.25 GB each at products scale).
+        h2f = jax.lax.optimization_barrier(h2f)
+        alf = al.astype(jnp.float32)
+        if GAT_BLOCKED_NODE_SD:
+            node = jax.lax.optimization_barrier(
+                _pad_lanes(sd.astype(jnp.float32)))
+            outc = _gat_apply("fwd", H, D, alpha, attn_drop, h2f, node,
+                              smax, arf, fw_col, fw_row, fw_ones, fw_ct,
+                              fw_orig, fw_bp, seed, n_pad, panel_rows,
+                              r_tile, src_has_ss=False,
+                              exact_scores=exact_scores)
+        else:
+            outc = _gat_apply("fwd", H, D, alpha, attn_drop, h2f, h2f,
+                              smax, arf, fw_col, fw_row, fw_ones, fw_ct,
+                              fw_orig, fw_bp, seed, n_pad, panel_rows,
+                              r_tile, src_has_ss=False,
+                              exact_scores=exact_scores,
+                              al=alf, node_is_h2=True)
     den_off = HD if HD + H <= HDp else HDp     # folded den lanes
     den = jnp.maximum(outc[:, den_off:den_off + H], 1e-16)
     out = (outc[:, :HD].reshape(n_pad, H, D)
            / den[:, :, None]).reshape(n_pad, HD).astype(h2.dtype)
-    res = (sd, ss, h2, ar, seed, den, out,
+    res = (sd if single else None, ss if single else None, h2, ar, al, seed,
+           den, out, smax, cache,
            fw_col, fw_row, fw_ones, fw_ct, fw_orig, fw_bp,
            bw_col, bw_row, bw_ones, bw_ct, bw_orig, bw_bp)
     return out, res
@@ -947,52 +1084,107 @@ def _gat_fwd(H, D, alpha, attn_drop, panel_rows, r_tile, exact_scores,
 
 def _gat_bwd(H, D, alpha, attn_drop, panel_rows, r_tile, exact_scores,
              res, g):
-    (sd, ss, h2, ar, seed, den, out,
+    (sd, ss, h2, ar, al, seed, den, out, smax, cache,
      fw_col, fw_row, fw_ones, fw_ct, fw_orig, fw_bp,
      bw_col, bw_row, bw_ones, bw_ct, bw_orig, bw_bp) = res
-    n_pad = sd.shape[0]
+    n_pad = h2.shape[0]
     HD = H * D
     HDp = -(-HD // F_BLK) * F_BLK
     g = g.astype(jnp.float32).reshape(n_pad, H, D)
     h2f = h2.astype(jnp.float32)
-    sdf = sd.astype(jnp.float32)
-    ssf = ss.astype(jnp.float32)
     arf = ar.astype(jnp.float32)
-    smax = _smax_tab(ssf)
+    single = fw_ct.ndim == 1
 
     # node-level grads of the normalised aggregation
     dagg = (g / den[:, :, None]).reshape(n_pad, HD)               # d(num)
     dden = -jnp.sum(g * out.astype(jnp.float32).reshape(n_pad, H, D),
                     axis=2) / den                                  # [n_pad,H]
 
-    # dst table: T2 = [dagg | dden | sd]; src side: [h2|ss] when single-shot
-    # (see _gat_fwd), h2 + in-register ss otherwise
-    single = fw_ct.ndim == 1
-    t2 = _gat_t2(sdf, dagg, dden)
-    src_tab = (jax.lax.optimization_barrier(
-        jnp.concatenate([h2f, ssf], axis=1)) if single else h2f)
+    # dst-side tables and src table per layout generation:
+    #   single v2 — src table is h2 alone; dst side splits into the dagg
+    #     table + a narrow [dden|sd] pair table so every gather table stays
+    #     ≤128 physical lanes (VMEM-staged; see GAT_SINGLE_V2)
+    #   single v1 — src [h2|ss] concat, dst T2 = [dagg|dden|sd]
+    #   blocked  — src h2 (panel gathers), dst T2; no sd residual — the dst
+    #     score half is recomputed from h2 @ al (a transient the concat
+    #     consumes, not a held array)
+    if single and GAT_SINGLE_LAYOUT == "split":
+        sdf = sd.astype(jnp.float32)
+        src_tab = jax.lax.optimization_barrier(h2f)
+        dagg_tab = jax.lax.optimization_barrier(dagg)
+        ds_tab = jax.lax.optimization_barrier(
+            jnp.concatenate([dden, sdf], axis=1))          # [n_pad, 2H]
+        base_f = _drop_base(fw_orig, seed, attn_drop)
+        stream = (cache if cache is not None
+                  else jnp.take(src_tab, fw_col, axis=0, mode="clip"))
+        dsd = _gat_pass("dsd", H, D, alpha, attn_drop, stream, fw_row,
+                        fw_ones, dagg_tab, smax, arf, base_f, fw_ct, n_pad,
+                        r_tile=r_tile, stream_has_ss=False,
+                        exact_scores=exact_scores, node2=ds_tab,
+                        split_t2=True)[:, :H]
+        # phase barrier: serialize the passes' gathers (each sweeps E rows)
+        dagg_tab, ds_tab, dsd, src_tab = jax.lax.optimization_barrier(
+            (dagg_tab, ds_tab, dsd, src_tab))
+        s1 = jnp.take(dagg_tab, bw_col, axis=0, mode="clip")
+        s2 = jnp.take(ds_tab, bw_col, axis=0, mode="clip")
+        base_b = _drop_base(bw_orig, seed, attn_drop)
+        outc = _gat_pass("dsrc", H, D, alpha, attn_drop, s1, bw_row,
+                         bw_ones, src_tab, smax, arf, base_b, bw_ct, n_pad,
+                         r_tile=r_tile, stream_has_ss=False,
+                         exact_scores=exact_scores, stream2=s2,
+                         split_t2=True)
+    else:
+        if single and GAT_SINGLE_LAYOUT == "h2":
+            # src table is h2 alone (ss in-register via ar); dst side keeps
+            # the one T2 concat table — 2 unique row sweeps total
+            sdf = sd.astype(jnp.float32)
+            src_tab = jax.lax.optimization_barrier(h2f)
+        elif single:
+            sdf = sd.astype(jnp.float32)
+            src_tab = jax.lax.optimization_barrier(
+                jnp.concatenate([h2f, ss.astype(jnp.float32)], axis=1))
+        else:
+            alf = al.astype(jnp.float32)
+            sdf = jax.lax.dot_general(
+                h2f, alf[:HD], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)[:, :H]
+            src_tab = jax.lax.optimization_barrier(h2f)
+        t2 = _gat_t2(sdf, dagg, dden)
+        has_ss = single and GAT_SINGLE_LAYOUT == "wide"
 
-    # fw-layout pass (grouping key = dst): gather the src table → dsd
-    dsd = _gat_apply("dsd", H, D, alpha, attn_drop, src_tab, t2, smax, arf,
-                     fw_col, fw_row, fw_ones, fw_ct, fw_orig, fw_bp,
-                     seed, n_pad, panel_rows, r_tile,
-                     src_has_ss=single, exact_scores=exact_scores)[:, :H]
+        # fw-layout pass (grouping key = dst): the src stream → dsd.
+        # Single-shot reuses the forward's cached gathered stream when
+        # available; otherwise the pass re-gathers the src table.
+        if single and cache is not None:
+            base = _drop_base(fw_orig, seed, attn_drop)
+            dsd = _gat_pass("dsd", H, D, alpha, attn_drop, cache, fw_row,
+                            fw_ones, t2, smax, arf, base, fw_ct, n_pad,
+                            r_tile=r_tile, stream_has_ss=has_ss,
+                            exact_scores=exact_scores)[:, :H]
+        else:
+            dsd = _gat_apply("dsd", H, D, alpha, attn_drop, src_tab, t2,
+                             smax, arf, fw_col, fw_row, fw_ones, fw_ct,
+                             fw_orig, fw_bp, seed, n_pad, panel_rows, r_tile,
+                             src_has_ss=has_ss,
+                             exact_scores=exact_scores)[:, :H]
 
-    # phase barrier: serialize the two passes' gathers (each sweeps E rows)
-    t2, dsd, src_tab = jax.lax.optimization_barrier((t2, dsd, src_tab))
+        # phase barrier: serialize the two passes' gathers
+        t2, dsd, src_tab = jax.lax.optimization_barrier((t2, dsd, src_tab))
 
-    # bw-layout pass (grouping key = src): gather T2 by destination → dh2+dss
-    outc = _gat_apply("dsrc", H, D, alpha, attn_drop, t2, src_tab, smax, arf,
-                      bw_col, bw_row, bw_ones, bw_ct, bw_orig, bw_bp,
-                      seed, n_pad, panel_rows, r_tile, src_has_ss=single,
-                      exact_scores=exact_scores)
+        # bw-layout pass (grouping key = src): gather T2 → dh2+dss
+        outc = _gat_apply("dsrc", H, D, alpha, attn_drop, t2, src_tab, smax,
+                          arf, bw_col, bw_row, bw_ones, bw_ct, bw_orig,
+                          bw_bp, seed, n_pad, panel_rows, r_tile,
+                          src_has_ss=has_ss, exact_scores=exact_scores)
     den_off = HD if HD + H <= HDp else HDp
     dh2 = outc[:, :HD]
     dss = outc[:, den_off:den_off + H]
 
     z = jnp.zeros_like
-    return (dsd.astype(sd.dtype), dss.astype(ss.dtype), dh2.astype(h2.dtype),
-            z(ar), z(seed),
+    dsd = dsd.astype(sd.dtype if single else h2.dtype)
+    dss = dss.astype(ss.dtype if single else h2.dtype)
+    return (dsd, dss, dh2.astype(h2.dtype),
+            z(ar), z(al), z(seed),
             z(fw_col), z(fw_row), z(fw_ones), z(fw_ct), z(fw_orig), z(fw_bp),
             z(bw_col), z(bw_row), z(bw_ones), z(bw_ct), z(bw_orig), z(bw_bp))
 

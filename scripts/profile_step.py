@@ -71,8 +71,15 @@ def main():
         parse_xplane(args.logdir, args.top)
         return
 
+    import time as _time
+
     import jax
     import jax.numpy as jnp
+
+    # settle after backend attach (relay deadlock — CLAUDE.md)
+    if jax.devices()[0].platform != "cpu":
+        _time.sleep(30)
+        print("post-attach settle done", flush=True)
     import optax
 
     from cogdl_tpu.data.graph import add_self_loops, sym_norm

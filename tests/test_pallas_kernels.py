@@ -391,6 +391,43 @@ class TestGatFused:
             np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4,
                                        err_msg=name)
 
+    @pytest.mark.parametrize("layout", ["wide", "split"])
+    def test_alternate_layouts_grads_identical(self, setup, monkeypatch,
+                                               layout):
+        """Every single-shot gather-table layout (bench --gat-layout)
+        computes identical grads to the default."""
+        from cogdl_tpu.ops.pallas import segment_kernels as sk
+
+        g, sd, ss, h, a_src = setup
+
+        def loss(sd, ss, h):
+            return jnp.sum(self._fused(g, sd, ss, h, a_src) ** 2)
+
+        g0 = jax.grad(loss, argnums=(0, 1, 2))(sd, ss, h)
+        monkeypatch.setattr(sk, "GAT_SINGLE_LAYOUT", layout)
+        g1 = jax.grad(loss, argnums=(0, 1, 2))(sd, ss, h)
+        for a, b, name in zip(g1, g0, ("dsd", "dss", "dh")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6, err_msg=name)
+
+    def test_stream_cache_grads_identical(self, setup, monkeypatch):
+        """The cached-stream backward (dsd pass reusing the forward's
+        gathered stream) computes the SAME grads as the re-gathering
+        default — identical inputs reach the identical kernel."""
+        from cogdl_tpu.ops.pallas import segment_kernels as sk
+
+        g, sd, ss, h, a_src = setup
+
+        def loss(sd, ss, h):
+            return jnp.sum(self._fused(g, sd, ss, h, a_src) ** 2)
+
+        g0 = jax.grad(loss, argnums=(0, 1, 2))(sd, ss, h)
+        monkeypatch.setattr(sk, "GAT_STREAM_CACHE_BYTES", 4 << 30)
+        g1 = jax.grad(loss, argnums=(0, 1, 2))(sd, ss, h)
+        for a, b, name in zip(g0, g1, ("dsd", "dss", "dh")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7, err_msg=name)
+
     def test_dropout_statistics_and_determinism(self, setup):
         g, sd, ss, h, a_src = setup
         o1 = self._fused(g, sd, ss, h, a_src, attn_drop=0.5, seed=123)
@@ -464,14 +501,15 @@ class TestGatFusedBlocked:
         assert ex["spmm_bw_pack"] is ex["spmm_fw_pack"]   # shared buffer
         assert ex["spmm_bw_orig"] is not ex["spmm_fw_orig"]
         rng = np.random.default_rng(13)
-        n = g.n_pad
-        sd = jnp.asarray(rng.normal(size=(n, self.H)).astype(np.float32))
         h = jnp.asarray(
-            rng.normal(size=(n, self.H, self.D)).astype(np.float32))
+            rng.normal(size=(g.n_pad, self.H, self.D)).astype(np.float32))
         a_src = jnp.asarray(
             rng.normal(size=(self.H, self.D)).astype(np.float32))
-        ss = jnp.einsum("nhd,hd->nh", h, a_src)
-        return g, sd, ss, h, a_src
+        # blocked layouts recompute BOTH score halves from h in-kernel —
+        # sd is as derived as ss here (the layer-level contract)
+        a_dst = jnp.asarray(
+            rng.normal(size=(self.H, self.D)).astype(np.float32))
+        return g, a_dst, a_src, h
 
     @staticmethod
     def _ref(g, sd, ss, h, alpha=0.2):
@@ -482,7 +520,7 @@ class TestGatFusedBlocked:
         att = ops.edge_softmax(g, e)
         return ops.mh_spmm(g, att, h)
 
-    def _fused(self, g, sd, ss, h, a_src, attn_drop=0.0, seed=0):
+    def _fused(self, g, a_dst, a_src, h, attn_drop=0.0, seed=0):
         from cogdl_tpu.ops.pallas.segment_kernels import (
             build_ar,
             gat_fused_p,
@@ -491,62 +529,71 @@ class TestGatFusedBlocked:
         ex = g.extras
         zb = jnp.zeros(0, jnp.int32)
         zf = jnp.zeros(0, jnp.float32)
+        sd = jnp.einsum("nhd,hd->nh", h, a_dst)
+        ss = jnp.einsum("nhd,hd->nh", h, a_src)
         ar = build_ar(a_src, self.H, self.D)
+        al = build_ar(a_dst, self.H, self.D)
         out = gat_fused_p(
             self.H, self.D, 0.2, attn_drop,
             int(g.meta_get("spmm_panel_rows")),
             int(g.meta_get("spmm_r_tile")), False,
-            sd, ss, h.reshape(-1, self.H * self.D), ar, jnp.uint32(seed),
+            sd, ss, h.reshape(-1, self.H * self.D), ar, al, jnp.uint32(seed),
             ex["spmm_fw_pack"], zb, zf,
             ex["spmm_fw_ct"], ex["spmm_fw_orig"], ex["spmm_fw_bp"],
             ex["spmm_bw_pack"], zb, zf,
             ex["spmm_bw_ct"], ex["spmm_bw_orig"], ex["spmm_bw_bp"])
         return out.reshape(-1, self.H, self.D)
 
+    def _ref_av(self, g, a_dst, a_src, h):
+        sd = jnp.einsum("nhd,hd->nh", h, a_dst)
+        ss = jnp.einsum("nhd,hd->nh", h, a_src)
+        return self._ref(g, sd, ss, h)
+
     def test_forward_parity(self, setup):
-        g, sd, ss, h, a_src = setup
-        ref = self._ref(g, sd, ss, h)
-        out = self._fused(g, sd, ss, h, a_src)
+        g, a_dst, a_src, h = setup
+        ref = self._ref_av(g, a_dst, a_src, h)
+        out = self._fused(g, a_dst, a_src, h)
         np.testing.assert_allclose(np.asarray(out)[: g.num_nodes],
                                    np.asarray(ref)[: g.num_nodes],
                                    rtol=1e-4, atol=1e-5)
 
     def test_grad_parity(self, setup):
-        g, sd, ss, h, a_src = setup
+        g, a_dst, a_src, h = setup
         w = jnp.asarray(np.random.default_rng(3).normal(
             size=(g.n_pad, self.H, self.D)).astype(np.float32))
         mask = g.node_mask()[:, None, None]
 
-        def loss_fused(sd, ss, h):
+        def loss_fused(a_dst, a_src, h):
             return jnp.sum(jnp.where(
-                mask, self._fused(g, sd, ss, h, a_src) * w, 0.0))
+                mask, self._fused(g, a_dst, a_src, h) * w, 0.0))
 
-        def loss_ref(sd, ss, h):
-            return jnp.sum(jnp.where(mask, self._ref(g, sd, ss, h) * w, 0.0))
+        def loss_ref(a_dst, a_src, h):
+            return jnp.sum(jnp.where(
+                mask, self._ref_av(g, a_dst, a_src, h) * w, 0.0))
 
-        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(sd, ss, h)
-        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(sd, ss, h)
-        for a, b, name in zip(gf, gr, ("dsd", "dss", "dh")):
-            a, b = np.asarray(a)[: g.num_nodes], np.asarray(b)[: g.num_nodes]
-            np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4,
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(a_dst, a_src, h)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(a_dst, a_src, h)
+        for a, b, name in zip(gf, gr, ("da_dst", "da_src", "dh")):
+            a, b = np.asarray(a), np.asarray(b)
+            np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3,
                                        err_msg=name)
 
     def test_dropout_determinism(self, setup):
-        g, sd, ss, h, a_src = setup
-        o1 = self._fused(g, sd, ss, h, a_src, attn_drop=0.5, seed=99)
-        o2 = self._fused(g, sd, ss, h, a_src, attn_drop=0.5, seed=99)
-        o3 = self._fused(g, sd, ss, h, a_src, attn_drop=0.5, seed=100)
+        g, a_dst, a_src, h = setup
+        o1 = self._fused(g, a_dst, a_src, h, attn_drop=0.5, seed=99)
+        o2 = self._fused(g, a_dst, a_src, h, attn_drop=0.5, seed=99)
+        o3 = self._fused(g, a_dst, a_src, h, attn_drop=0.5, seed=100)
         np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
         assert np.abs(np.asarray(o1) - np.asarray(o3)).max() > 1e-6
 
     def test_dropout_grads_finite(self, setup):
-        g, sd, ss, h, a_src = setup
+        g, a_dst, a_src, h = setup
 
-        def loss(sd, ss, h):
-            return jnp.sum(self._fused(g, sd, ss, h, a_src, attn_drop=0.3,
+        def loss(a_dst, a_src, h):
+            return jnp.sum(self._fused(g, a_dst, a_src, h, attn_drop=0.3,
                                        seed=4) ** 2)
 
-        grads = jax.grad(loss, argnums=(0, 1, 2))(sd, ss, h)
+        grads = jax.grad(loss, argnums=(0, 1, 2))(a_dst, a_src, h)
         for a in grads:
             assert np.isfinite(np.asarray(a)).all()
 
