@@ -54,8 +54,11 @@ def main():
                     help="GAT: exact-f32 kernel matmuls (6-pass MXU) "
                     "instead of the default mixed precision")
     ap.add_argument("--bf16", action="store_true",
-                    help="bf16 activations (f32 master weights); "
-                    "EXPERIMENTAL on this backend - scan+bf16 crashes")
+                    help="bf16 activations (f32 master weights). Measured "
+                    "2026-08-21: no longer crashes (prop-cache program) "
+                    "but 19x SLOWER (475 vs 24.8 ms - bf16 gather tables "
+                    "miss the VMEM-staged path); keep f32 for SpMM-bound "
+                    "models on this backend")
     ap.add_argument("--products", action="store_true",
                     help="full ogbn-products scale (2.45M nodes, ~124M edges)")
     ap.add_argument("--bf16-gather", action="store_true",
@@ -78,6 +81,10 @@ def main():
                     help="GAT single-shot gather-table layout (see "
                     "segment_kernels.GAT_SINGLE_LAYOUT; measured: wide "
                     "87.2 ms, split 91.3 ms at 100k)")
+    ap.add_argument("--gat-h2-nobarrier", action="store_true",
+                    help="GAT single-shot h2 layout: drop the "
+                    "optimization_barrier pin on the gather table (A/B "
+                    "whether the pin blocks VMEM staging)")
     ap.add_argument("--blocked-node-sd", action="store_true",
                     help="GAT blocked: use the precomputed sd node table "
                     "(round-1 design) instead of computing the dst score "
@@ -126,6 +133,10 @@ def main():
         from cogdl_tpu.ops.pallas import segment_kernels
 
         segment_kernels.GAT_SINGLE_LAYOUT = args.gat_layout
+    if args.gat_h2_nobarrier:
+        from cogdl_tpu.ops.pallas import segment_kernels
+
+        segment_kernels.GAT_H2_BARRIER = False
 
     if args.products:
         # OGB-scale: generate the graph AND build the kernel layouts on

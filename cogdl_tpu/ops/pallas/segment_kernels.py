@@ -88,6 +88,11 @@ GAT_BLOCKED_NODE_SD = False
 #   "h2"    — src h2 alone (≤128 lanes, ss via ``ar``), dst T2 concat:
 #             still 2 sweeps with the fwd table half the bytes.
 GAT_SINGLE_LAYOUT = "h2"
+# Pin the single-shot h2 gather table with an optimization_barrier. The
+# barrier was load-bearing for the v1 wide concat tables (serialized their
+# liveness for staging); whether it helps or hinders the plain h2 table is
+# measured via bench.py --gat-h2-nobarrier.
+GAT_H2_BARRIER = True
 
 
 def build_spmm_layout(
@@ -1029,7 +1034,8 @@ def _gat_fwd(H, D, alpha, attn_drop, panel_rows, r_tile, exact_scores,
         if GAT_SINGLE_LAYOUT in ("h2", "split"):
             # gather h2 ALONE (≤128 physical lanes) and recompute the src
             # score half in-register via ``ar`` — see GAT_SINGLE_LAYOUT
-            src_tab = jax.lax.optimization_barrier(h2f)
+            src_tab = (jax.lax.optimization_barrier(h2f)
+                       if GAT_H2_BARRIER else h2f)
             stream = jnp.take(src_tab, fw_col, axis=0, mode="clip")
             outc = _gat_pass("fwd", H, D, alpha, attn_drop, stream, fw_row,
                              fw_ones, node, smax, arf, base, fw_ct, n_pad,
@@ -1138,7 +1144,8 @@ def _gat_bwd(H, D, alpha, attn_drop, panel_rows, r_tile, exact_scores,
             # src table is h2 alone (ss in-register via ar); dst side keeps
             # the one T2 concat table — 2 unique row sweeps total
             sdf = sd.astype(jnp.float32)
-            src_tab = jax.lax.optimization_barrier(h2f)
+            src_tab = (jax.lax.optimization_barrier(h2f)
+                       if GAT_H2_BARRIER else h2f)
         elif single:
             sdf = sd.astype(jnp.float32)
             src_tab = jax.lax.optimization_barrier(
