@@ -276,3 +276,36 @@ def test_gat_fused_vjp_vs_torch_autograd():
                                atol=1e-4)
     np.testing.assert_allclose(da_dst, adt.grad.numpy(), rtol=1e-3,
                                atol=1e-4)
+
+
+def test_sage_training_parity():
+    """Full-batch SAGE (reference cogdl/models/nn/graphsage.py:148 ``SAGE``)
+    vs ours, trained identically on the shared SBM graph."""
+    from cogdl.models.nn.graphsage import SAGE as RefSAGE
+
+    g, row, col, x, y, masks = _shared_setup(seed=13)
+    torch.manual_seed(0)
+    ref_model = RefSAGE(16, 4, 32, 2, aggr="mean", dropout=0.5)
+    rg = _ref_graph(row, col, g.num_nodes)
+    ref = _train_reference(ref_model, rg, x, y, masks, epochs=120)
+
+    ours = _train_ours("sage", g, epochs=120, hidden_size=32, dropout=0.5,
+                       aggr="mean")
+    assert ours["test"] >= ref["test"] - 0.05, (ours, ref)
+
+
+def test_appnp_training_parity():
+    """APPNP (reference cogdl/models/nn/ppnp.py PPNP, propagation=appnp)
+    vs ours, trained identically on the shared SBM graph."""
+    from cogdl.models.nn.ppnp import PPNP as RefPPNP
+
+    g, row, col, x, y, masks = _shared_setup(seed=14)
+    torch.manual_seed(0)
+    ref_model = RefPPNP(16, 32, 4, num_layers=2, dropout=0.2,
+                        propagation="appnp", alpha=0.1, niter=10)
+    rg = _ref_graph(row, col, g.num_nodes)
+    ref = _train_reference(ref_model, rg, x, y, masks, epochs=120)
+
+    ours = _train_ours("appnp", g, epochs=120, hidden_size=32, dropout=0.2,
+                       propagation_steps=10, alpha=0.1)
+    assert ours["test"] >= ref["test"] - 0.05, (ours, ref)
