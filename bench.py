@@ -81,6 +81,9 @@ def main():
                     help="GAT single-shot gather-table layout (see "
                     "segment_kernels.GAT_SINGLE_LAYOUT; measured: wide "
                     "87.2 ms, split 91.3 ms at 100k)")
+    ap.add_argument("--gat-nophase", action="store_true",
+                    help="GAT single-shot: drop the backward phase barrier "
+                    "so the dsd pass can overlap the t2 gather DMA")
     ap.add_argument("--gat-h2-nobarrier", action="store_true",
                     help="GAT single-shot h2 layout: drop the "
                     "optimization_barrier pin on the gather table (A/B "
@@ -137,6 +140,10 @@ def main():
         from cogdl_tpu.ops.pallas import segment_kernels
 
         segment_kernels.GAT_H2_BARRIER = False
+    if args.gat_nophase:
+        from cogdl_tpu.ops.pallas import segment_kernels
+
+        segment_kernels.GAT_PHASE_BARRIER = False
 
     if args.products:
         # OGB-scale: generate the graph AND build the kernel layouts on

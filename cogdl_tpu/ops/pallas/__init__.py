@@ -152,11 +152,8 @@ def maybe_gat_fused(graph, score_dst, score_src, h, a_src, a_dst=None,
     al = (build_ar(jnp.asarray(a_dst).reshape(H, D), H, D)
           if a_dst is not None else jnp.zeros_like(ar))
     if attn_drop > 0.0 and dropout_rng is not None:
-        if packed and "spmm_fw_orig" not in extras:
-            raise ValueError(
-                "attention dropout on a blocked fused-GAT layout needs the "
-                "orig maps: prepare_spmm_device(..., with_orig=True, "
-                "with_dropout=True)")
+        # blocked (packed) layouts hash dropout masks from slot coordinates
+        # in-kernel — no orig maps or any other per-edge dropout state
         seed = jax.random.randint(dropout_rng, (), 0, 2**31 - 1,
                                   dtype=jnp.int32).astype(jnp.uint32)
     else:

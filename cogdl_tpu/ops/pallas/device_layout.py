@@ -272,10 +272,11 @@ def prepare_spmm_device(graph, symmetric: bool = False,
 
     Blocked (paneled) with_orig layouts store a single PACKED int32 slot
     stream (panel-local col | dst-tile row offset | validity) shared by both
-    directions; the per-direction ``orig`` maps (the only state attention
-    dropout needs) are stored only when ``with_dropout=True`` — they are
-    ~1.8 GB at products scale, and ``maybe_gat_fused`` raises if dropout is
-    requested on a graph prepared without them.
+    directions. Attention dropout needs NO stored state on this path — the
+    kernels hash masks from each slot's (dst, src) coordinates in-register
+    (the ~1.8 GB of per-direction orig maps this used to cost at products
+    scale are gone); ``with_dropout`` is accepted for compatibility and
+    ignored.
 
     ``panel_rows`` (None → auto from the node count): source-panel layouts
     for huge graphs — see :func:`build_spmm_layout_jax`."""
@@ -317,9 +318,10 @@ def prepare_spmm_device(graph, symmetric: bool = False,
     # sorted (group, col) stream), so only its orig map is kept (the rest of
     # the second build is transient and freed)
     if symmetric and with_orig:
-        if panel_rows > 0 and not with_dropout:
-            # packed layouts without dropout never store orig — skip the
-            # entire transposed build (a second full-edge device sort)
+        if panel_rows > 0:
+            # packed layouts never store orig (dropout masks are hashed
+            # from slot coordinates in-kernel) — skip the entire
+            # transposed build (a second full-edge device sort)
             bwd = fwd
         else:
             bwd = {**fwd, "orig_k": build_dir(col, row)["orig_k"]}
@@ -357,9 +359,6 @@ def prepare_spmm_device(graph, symmetric: bool = False,
     if packed:
         extras["spmm_fw_pack"] = fwd["pack_k"]
         extras["spmm_bw_pack"] = bwd["pack_k"]   # aliased when symmetric
-        if with_dropout:
-            extras["spmm_fw_orig"] = fwd["orig_k"]
-            extras["spmm_bw_orig"] = bwd["orig_k"]
     elif with_orig:
         # 1-D (single-panel) fused-GAT layouts: per-direction orig + ones
         for pre, lay in (("fw", fwd), ("bw", bwd)):

@@ -93,6 +93,11 @@ GAT_SINGLE_LAYOUT = "h2"
 # liveness for staging); whether it helps or hinders the plain h2 table is
 # measured via bench.py --gat-h2-nobarrier.
 GAT_H2_BARRIER = True
+# Serialize the two backward passes with a phase barrier (round-1 measured
+# a win when every pass gathered a wide table; with the h2 layout the dsd
+# pass's ~8 ms of MXU could instead hide under the t2 gather DMA) —
+# bench.py --gat-nophase A/Bs it.
+GAT_PHASE_BARRIER = True
 
 
 def build_spmm_layout(
@@ -563,14 +568,23 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
 
     def kernel(*refs):
         ct_ref = refs[0]
-        al_ref = None
+        al_ref = cp_ref = sd_ref = None
         if packed:
-            stream_ref, pack_ref, node_ref, smax_ref, ar_ref = refs[1:6]
-            nxt = 6
+            nxt = 1
+            if with_drop:
+                # prefetch scalars: per-chunk global-column offset (panel
+                # base) + the step seed — the dropout mask is hashed from
+                # the slot's (row, col) COORDINATES in-register, so no
+                # per-slot dropout state exists anywhere
+                cp_ref, sd_ref = refs[1], refs[2]
+                nxt = 3
+            stream_ref, pack_ref, node_ref, smax_ref, ar_ref = (
+                refs[nxt:nxt + 5])
+            nxt += 5
             if node_is_h2:
                 al_ref = refs[nxt]
                 nxt += 1
-            base_ref = refs[nxt] if with_drop else None
+            base_ref = None
         elif stream_has_ss:
             # the src table carries ss — no ar operand in this mode
             stream_ref, row_ref, w_ref, node_ref, smax_ref = refs[1:6]
@@ -633,10 +647,29 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
         keepn = None
         if with_drop:
             # counter-based dropout, fully in-register: murmur-style mixer
-            # of (orig edge id ^ seed) · H + head — fixed shifts only, and
+            # over a per-edge key · H + head — fixed shifts only, and
             # identical in every layout, so fwd and both bwd passes see the
-            # same mask without any [E, H] keep stream touching HBM
-            hx = (base_ref[:].astype(jnp.uint32)[:, None] * jnp.uint32(H)
+            # same mask without any [E, H] keep stream touching HBM.
+            # Packed (blocked) layouts derive the key from the slot's
+            # (dst, src) COORDINATES — dst = unpacked row for the
+            # dst-grouped passes, the col bits for the src-grouped pass —
+            # so no orig maps (~1.7 GB at products scale) exist at all;
+            # single-shot layouts key on (orig edge id ^ seed) as before.
+            if packed:
+                # Mosaic bitcasts need VECTORS: do the offset adds in i32
+                # (values < 2^31) and splat scalars before any bitcast
+                colg = jax.lax.bitcast_convert_type(
+                    pk & jnp.uint32((1 << 18) - 1), jnp.int32) + cp_ref[c]
+                cu = jax.lax.bitcast_convert_type(colg, jnp.uint32)
+                ru = jax.lax.bitcast_convert_type(base + off, jnp.uint32)
+                sv = jax.lax.bitcast_convert_type(
+                    jnp.full((T_CHUNK,), sd_ref[0], jnp.int32), jnp.uint32)
+                du, su = (ru, cu) if mode in ("fwd", "dsd") else (cu, ru)
+                ek = ((du * jnp.uint32(0x9E3779B1))
+                      ^ (su * jnp.uint32(0x85EBCA77)) ^ sv)
+            else:
+                ek = base_ref[:].astype(jnp.uint32)
+            hx = (ek[:, None] * jnp.uint32(H)
                   + jax.lax.broadcasted_iota(jnp.uint32, (T_CHUNK, 128), 1))
             hx = hx * jnp.uint32(747796405) + jnp.uint32(2891336453)
             hx = hx ^ (hx >> jnp.uint32(16))
@@ -774,6 +807,8 @@ def _gat_pass(mode, H, D, alpha, attn_drop, stream, row_k, w_k, node_tab,
               stream2: Optional[jnp.ndarray] = None,
               node2: Optional[jnp.ndarray] = None,
               split_t2: bool = False,
+              cp: Optional[jnp.ndarray] = None,
+              seed_arr: Optional[jnp.ndarray] = None,
               interpret: Optional[bool] = None):
     """One fused pass over (a block of) the layout. ``ct`` holds ABSOLUTE
     tile ids — the node table is always indexed globally; with
@@ -795,46 +830,53 @@ def _gat_pass(mode, H, D, alpha, attn_drop, stream, row_k, w_k, node_tab,
     Wout = 128 if mode == "dsd" else (
         HDp if HD + H <= HDp else HDp + 128)
     packed = pack is not None
-    in_specs = [pl.BlockSpec((T_CHUNK, Ws), lambda c, ct: (c, 0))]
+    # packed dropout passes prefetch (ct, col-offset, seed) scalars; every
+    # index_map must then accept the extra prefetch refs
+    in_specs = [pl.BlockSpec((T_CHUNK, Ws), lambda c, *pf: (c, 0))]
     args = [stream]
     if packed:
-        in_specs.append(pl.BlockSpec((T_CHUNK,), lambda c, ct: (c,)))
+        in_specs.append(pl.BlockSpec((T_CHUNK,), lambda c, *pf: (c,)))
         args.append(pack)
     else:
         if split_t2 and mode == "dsrc":
             W2 = stream2.shape[1]
             in_specs.append(pl.BlockSpec((T_CHUNK, W2),
-                                         lambda c, ct: (c, 0)))
+                                         lambda c, *pf: (c, 0)))
             args.append(stream2)
         in_specs += [
-            pl.BlockSpec((T_CHUNK,), lambda c, ct: (c,)),
-            pl.BlockSpec((T_CHUNK,), lambda c, ct: (c,)),
+            pl.BlockSpec((T_CHUNK,), lambda c, *pf: (c,)),
+            pl.BlockSpec((T_CHUNK,), lambda c, *pf: (c,)),
         ]
         args += [row_k, w_k]
-    in_specs.append(pl.BlockSpec((r_tile, Wn), lambda c, ct: (ct[c], 0)))
+    in_specs.append(pl.BlockSpec((r_tile, Wn), lambda c, *pf: (pf[0][c], 0)))
     args.append(node_tab)
     if not packed and split_t2 and mode == "dsd":
         Wn2 = node2.shape[1]
         in_specs.append(pl.BlockSpec((r_tile, Wn2),
-                                     lambda c, ct: (ct[c], 0)))
+                                     lambda c, *pf: (pf[0][c], 0)))
         args.append(node2)
-    in_specs.append(pl.BlockSpec((8, 128), lambda c, ct: (0, 0)))
+    in_specs.append(pl.BlockSpec((8, 128), lambda c, *pf: (0, 0)))
     args.append(smax_tab)
     if not (stream_has_ss and not packed):
-        in_specs.append(pl.BlockSpec((HDp, 128), lambda c, ct: (0, 0)))
+        in_specs.append(pl.BlockSpec((HDp, 128), lambda c, *pf: (0, 0)))
         args.append(ar)
     if node_is_h2:
-        in_specs.append(pl.BlockSpec((HDp, 128), lambda c, ct: (0, 0)))
+        in_specs.append(pl.BlockSpec((HDp, 128), lambda c, *pf: (0, 0)))
         args.append(al)
-    if attn_drop > 0.0:
-        in_specs.append(pl.BlockSpec((T_CHUNK,), lambda c, ct: (c,)))
+    if attn_drop > 0.0 and not packed:
+        in_specs.append(pl.BlockSpec((T_CHUNK,), lambda c, *pf: (c,)))
         args.append(base)
     if local_out:
-        out_spec = pl.BlockSpec((r_tile, Wout), lambda c, ct: (ct[c] - ct[0], 0))
+        out_spec = pl.BlockSpec((r_tile, Wout),
+                                lambda c, *pf: (pf[0][c] - pf[0][0], 0))
     else:
-        out_spec = pl.BlockSpec((r_tile, Wout), lambda c, ct: (ct[c], 0))
+        out_spec = pl.BlockSpec((r_tile, Wout), lambda c, *pf: (pf[0][c], 0))
+    if packed and attn_drop > 0.0:
+        n_prefetch, pf_args = 3, (ct, cp, seed_arr)
+    else:
+        n_prefetch, pf_args = 1, (ct,)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1, grid=(n_chunks,), in_specs=in_specs,
+        num_scalar_prefetch=n_prefetch, grid=(n_chunks,), in_specs=in_specs,
         out_specs=out_spec)
     return pl.pallas_call(
         _make_gat_pass_kernel(mode, H, D, HDp, r_tile, alpha, attn_drop,
@@ -849,7 +891,7 @@ def _gat_pass(mode, H, D, alpha, attn_drop, stream, row_k, w_k, node_tab,
             transcendentals=E_k * 128,
         ),
         interpret=interpret,
-    )(ct, *args)
+    )(*pf_args, *args)
 
 
 def _gat_apply(mode, H, D, alpha, attn_drop, table, node_tab, smax_tab, ar,
@@ -874,8 +916,10 @@ def _gat_apply(mode, H, D, alpha, attn_drop, table, node_tab, smax_tab, ar,
     # blocked layouts are PACKED: ``col`` carries one int32 per slot
     # (panel-local col | dst-tile row offset << 18 | validity << 26) — a
     # third of the col+row+ones footprint at products scale; ``row``/``ones``
-    # are unused dummies. ``orig`` (per-direction) exists only when the graph
-    # was prepared with_dropout.
+    # are unused dummies. Attention dropout needs NO per-slot state: the
+    # mask is hashed in-kernel from each slot's (dst, src) coordinates
+    # (global col = panel base + packed col bits), so ``orig`` maps are
+    # never consulted on this path.
     n_blocks, bc = ct.shape
     n_local = bc * r_tile
     Wt = table.shape[1]
@@ -886,18 +930,12 @@ def _gat_apply(mode, H, D, alpha, attn_drop, table, node_tab, smax_tab, ar,
     if bp is None or panel_rows <= 0:
         bp = jnp.zeros(n_blocks, jnp.int32)
     with_drop = attn_drop > 0.0
-    if with_drop and (orig is None or orig.ndim != 2):
-        raise ValueError(
-            "attention dropout on a blocked fused-GAT layout needs the "
-            "orig maps: prepare_spmm_device(..., with_orig=True, "
-            "with_dropout=True)")
+    seed_arr = (jax.lax.bitcast_convert_type(
+        seed.astype(jnp.uint32), jnp.int32).reshape(1)
+        if with_drop else None)
 
     def body(out, b):
-        if with_drop:
-            pack_b, ct_b, orig_b, pid = b
-        else:
-            pack_b, ct_b, pid = b
-            orig_b = None
+        pack_b, ct_b, pid = b
         first = ct_b[0]
         col_b = pack_b & jnp.int32((1 << 18) - 1)
         if panel_rows > 0:
@@ -910,12 +948,14 @@ def _gat_apply(mode, H, D, alpha, attn_drop, table, node_tab, smax_tab, ar,
         stream = jnp.take(src, col_b, axis=0, mode="clip")
         if stream.dtype != jnp.float32:
             stream = stream.astype(jnp.float32)
-        base = _drop_base(orig_b, seed, attn_drop)
+        cp_b = (jnp.full((bc,), pid * panel_rows, jnp.int32)
+                if with_drop else None)
         local = _gat_pass(mode, H, D, alpha, attn_drop, stream, None,
-                          None, node_tab, smax_tab, ar, base, ct_b, n_local,
+                          None, node_tab, smax_tab, ar, None, ct_b, n_local,
                           r_tile=r_tile, local_out=True, pack=pack_b,
                           exact_scores=exact_scores, al=al,
-                          node_is_h2=node_is_h2)
+                          node_is_h2=node_is_h2, cp=cp_b,
+                          seed_arr=seed_arr)
         # local tiles this block's chunks never visited hold undefined
         # kernel memory — zero them before accumulating
         visited = jnp.zeros(bc, jnp.bool_).at[ct_b - first].set(
@@ -926,7 +966,7 @@ def _gat_apply(mode, H, D, alpha, attn_drop, table, node_tab, smax_tab, ar,
         out = jax.lax.dynamic_update_slice(out, slab + local, (off, 0))
         return out, None
 
-    xs = (col, ct, orig, bp) if with_drop else (col, ct, bp)
+    xs = (col, ct, bp)
     out = jnp.zeros((n_pad + n_local, Wout), jnp.float32)
     out, _ = jax.lax.scan(body, out, xs)
     return out[:n_pad]
@@ -1151,10 +1191,13 @@ def _gat_bwd(H, D, alpha, attn_drop, panel_rows, r_tile, exact_scores,
             src_tab = jax.lax.optimization_barrier(
                 jnp.concatenate([h2f, ss.astype(jnp.float32)], axis=1))
         else:
-            alf = al.astype(jnp.float32)
+            # slice al to its H meaningful columns BEFORE the matmul — the
+            # full-width product is a [n_pad, 128] (1.25 GB at products)
+            # HLO temp that tipped the dropout config over the HBM edge
+            alf = al.astype(jnp.float32)[:HD, :H]
             sdf = jax.lax.dot_general(
-                h2f, alf[:HD], dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)[:, :H]
+                h2f, alf, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
             src_tab = jax.lax.optimization_barrier(h2f)
         t2 = _gat_t2(sdf, dagg, dden)
         has_ss = single and GAT_SINGLE_LAYOUT == "wide"
@@ -1176,7 +1219,9 @@ def _gat_bwd(H, D, alpha, attn_drop, panel_rows, r_tile, exact_scores,
                              exact_scores=exact_scores)[:, :H]
 
         # phase barrier: serialize the two passes' gathers
-        t2, dsd, src_tab = jax.lax.optimization_barrier((t2, dsd, src_tab))
+        if GAT_PHASE_BARRIER:
+            t2, dsd, src_tab = jax.lax.optimization_barrier(
+                (t2, dsd, src_tab))
 
         # bw-layout pass (grouping key = src): gather T2 → dh2+dss
         outc = _gat_apply("dsrc", H, D, alpha, attn_drop, t2, src_tab, smax,

@@ -499,7 +499,9 @@ class TestGatFusedBlocked:
         assert "spmm_fw_col" not in ex        # packed stream replaces col/row
         assert ex["spmm_fw_pack"].ndim == 2   # blocked layout
         assert ex["spmm_bw_pack"] is ex["spmm_fw_pack"]   # shared buffer
-        assert ex["spmm_bw_orig"] is not ex["spmm_fw_orig"]
+        # dropout masks are hashed from slot coordinates in-kernel — no
+        # orig maps exist on packed layouts
+        assert "spmm_fw_orig" not in ex and "spmm_bw_orig" not in ex
         rng = np.random.default_rng(13)
         h = jnp.asarray(
             rng.normal(size=(g.n_pad, self.H, self.D)).astype(np.float32))
@@ -539,9 +541,9 @@ class TestGatFusedBlocked:
             int(g.meta_get("spmm_r_tile")), False,
             sd, ss, h.reshape(-1, self.H * self.D), ar, al, jnp.uint32(seed),
             ex["spmm_fw_pack"], zb, zf,
-            ex["spmm_fw_ct"], ex["spmm_fw_orig"], ex["spmm_fw_bp"],
+            ex["spmm_fw_ct"], zb, ex["spmm_fw_bp"],
             ex["spmm_bw_pack"], zb, zf,
-            ex["spmm_bw_ct"], ex["spmm_bw_orig"], ex["spmm_bw_bp"])
+            ex["spmm_bw_ct"], zb, ex["spmm_bw_bp"])
         return out.reshape(-1, self.H, self.D)
 
     def _ref_av(self, g, a_dst, a_src, h):
@@ -596,6 +598,31 @@ class TestGatFusedBlocked:
         grads = jax.grad(loss, argnums=(0, 1, 2))(a_dst, a_src, h)
         for a in grads:
             assert np.isfinite(np.asarray(a)).all()
+
+    def test_dropout_vjp_matches_finite_differences(self, setup):
+        """At a FIXED seed the fused op is a deterministic function, so its
+        hand-derived VJP must match central differences — this catches any
+        disagreement between the forward's and the two backward passes'
+        coordinate-hashed dropout masks (each pass regenerates the mask
+        independently, in a different slot order)."""
+        g, a_dst, a_src, h = setup
+        rng = np.random.default_rng(17)
+        w = jnp.asarray(rng.normal(
+            size=(g.n_pad, self.H, self.D)).astype(np.float32))
+
+        def loss(h):
+            return jnp.sum(self._fused(g, a_dst, a_src, h, attn_drop=0.4,
+                                       seed=77) * w)
+
+        grad = jax.grad(loss)(h)
+        for k in range(3):
+            v = jnp.asarray(rng.normal(size=h.shape).astype(np.float32))
+            eps = 1e-3
+            fd = (float(loss(h + eps * v)) - float(loss(h - eps * v))) / (
+                2 * eps)
+            an = float(jnp.vdot(grad, v))
+            assert abs(fd - an) <= 2e-2 * max(abs(fd), abs(an), 1.0), (
+                k, fd, an)
 
 
 def test_symmetric_transposed_layout_identical():
