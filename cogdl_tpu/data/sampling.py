@@ -71,10 +71,14 @@ def sample_adj(
 class NeighborSampler:
     """Multi-hop fan-out sampler → per-hop bipartite block Graphs.
 
-    Each batch yields ``(blocks, input_ids, seed_ids)`` where ``blocks[k]`` is
-    a statically shaped Graph whose edges point sampled hop-(k+1) sources into
-    hop-k destinations, with local (relabelled) indices; ``blocks[0].x`` rows
-    are gathered input features. All batches share identical shapes.
+    Each batch yields ``(blocks, input_ids, seed_ids)``. Blocks are ordered
+    OUTERMOST-FIRST to match the model contract (GraphSAGE consumes
+    ``blocks[i]`` at layer ``i``, and layer 0 must cover the LARGEST frontier
+    so later layers aggregate properly mixed representations): ``blocks[0]``
+    holds the edges sampled at the last expansion hop (dst = the full
+    frontier), ``blocks[-1]`` the seed-destination edges. ``blocks[0].x``
+    rows are gathered input features over the shared node frame. All batches
+    share identical shapes.
     """
 
     def __init__(self, graph: Graph, fanouts: Sequence[int],
@@ -151,6 +155,7 @@ class NeighborSampler:
                                num_nodes=frame.shape[0],
                                n_pad=n_pad, e_pad=e_pads[k])
                 blocks.append(blk)
+            blocks.reverse()  # outermost-first: layer i consumes blocks[i]
             feats = None
             if x_full is not None:
                 feats = np.zeros((n_pad, x_full.shape[1]), x_full.dtype)

@@ -11,6 +11,7 @@ SUPPORTED_WRAPPERS: Dict[str, str] = {
     "node_classification": "cogdl_tpu.wrappers.node_classification.NodeClfWrapper",
     "gcnmix": "cogdl_tpu.wrappers.node_classification.GCNMixWrapper",
     "neighbor_sampling": "cogdl_tpu.wrappers.sampled_node_classification.SampledNodeClfWrapper",
+    "neighbor_sampling_device": "cogdl_tpu.wrappers.sampled_node_classification.DeviceSampledNodeClfWrapper",
     "cluster": "cogdl_tpu.wrappers.sampled_node_classification.ClusterNodeClfWrapper",
     "graphsaint": "cogdl_tpu.wrappers.sampled_node_classification.GraphSAINTWrapper",
     "graph_classification": "cogdl_tpu.wrappers.graph_classification.GraphClfWrapper",

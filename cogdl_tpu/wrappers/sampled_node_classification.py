@@ -92,6 +92,74 @@ class SampledNodeClfWrapper(NodeClfWrapper):
                                self._block_x(blocks), training=False)
 
 
+class DeviceSampledNodeClfWrapper(NodeClfWrapper):
+    """Neighbor-sampled training with ON-DEVICE sampling: the resident CSR is
+    sampled inside the jitted train step (data/device_sampling.py), so a batch
+    ships only a ``[B]`` seed array instead of ~8 MB of block structure — the
+    TPU-native answer to the reference's C++ sampler + DataLoader workers
+    (cogdl/data/sampler.py:62-117, operators/sample/sample.cpp). Evaluation is
+    full-batch, as in the host-sampled wrapper."""
+
+    refresh_per_epoch = True
+
+    def __init__(self, model, dataset=None, fanouts=(10, 10),
+                 batch_size: int = 256, seed: int = 0):
+        super().__init__(model, dataset)
+        self.fanouts = tuple(int(f) for f in fanouts)
+        self.batch_size = int(batch_size)
+        self.seed = seed
+        self._sampler = None
+
+    def prepare_graph(self, graph: Graph) -> Graph:
+        graph = super().prepare_graph(graph)
+        from ..data.device_sampling import DeviceNeighborSampler
+
+        self._sampler = DeviceNeighborSampler(
+            graph, self.fanouts, batch_size=self.batch_size, seed=self.seed)
+        return graph
+
+    def train_batches(self, graph: Graph):
+        # per-batch payload: the resident graph (already committed on device,
+        # rides the pytree as an argument — no transfer) + one seed row
+        return [{"graph": graph, "seeds": jnp.asarray(row)}
+                for row in self._sampler.epoch_seeds()]
+
+    def _forward(self, variables, graph, seeds, sample_key, drop_key,
+                 training, mutable):
+        from ..data.device_sampling import sample_blocks_device
+
+        blocks, _ = sample_blocks_device(graph, seeds, sample_key,
+                                         self.fanouts)
+        x = jnp.take(blocks[0].extras["x_table"], blocks[0].extras["frame"],
+                     axis=0, mode="clip")
+        out = self.model.apply(variables, list(blocks), x, training=training,
+                               rngs={"dropout": drop_key}, mutable=mutable)
+        return blocks, out
+
+    def loss(self, variables, batch, rng, training: bool = True):
+        sample_key, drop_key = jax.random.split(rng)
+        mutable = ["batch_stats"] if "batch_stats" in variables else False
+        blocks, out = self._forward(variables, batch["graph"], batch["seeds"],
+                                    sample_key, drop_key, training, mutable)
+        logits, updates = out if mutable else (out, {})
+        B = self.batch_size
+        mask = jnp.zeros(logits.shape[0], bool).at[:B].set(True)
+        if blocks[0].train_mask is not None:
+            mask = mask & blocks[0].train_mask
+        return masked_cross_entropy(logits, blocks[0].y, mask), updates
+
+    def init(self, rng, graph: Graph):
+        from ..data.device_sampling import sample_blocks_device
+
+        seeds = jnp.asarray(self._sampler.epoch_seeds(shuffle=False)[0])
+        blocks, _ = sample_blocks_device(
+            graph, seeds, jax.random.PRNGKey(self.seed), self.fanouts)
+        x = jnp.take(blocks[0].extras["x_table"], blocks[0].extras["frame"],
+                     axis=0, mode="clip")
+        return self.model.init({"params": rng, "dropout": rng}, list(blocks),
+                               x, training=False)
+
+
 class ClusterNodeClfWrapper(NodeClfWrapper):
     """ClusterGCN: BFS-partition subgraph batches
     (reference cluster_dw.py ClusterWrapper)."""

@@ -1,0 +1,157 @@
+"""On-device neighbor sampling: the jittable fanout sampler over the resident
+CSR must produce valid, statically shaped blocks equivalent in distribution to
+the host sampler, and the device-sampled wrapper must learn end-to-end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cogdl_tpu.data.device_sampling import (
+    DeviceNeighborSampler,
+    plan_sizes,
+    sample_blocks_device,
+)
+from cogdl_tpu.data.graph import add_self_loops, from_coo
+from cogdl_tpu.datasets.synthetic import sbm_graph
+
+
+@pytest.fixture(scope="module")
+def g():
+    return add_self_loops(sbm_graph(num_nodes=300, seed=1))
+
+
+def _neighbor_sets(g):
+    E = g.num_edges
+    row = np.asarray(g.row)[:E]
+    col = np.asarray(g.col)[:E]
+    nbrs = {}
+    for r, c in zip(row.tolist(), col.tolist()):
+        nbrs.setdefault(r, set()).add(c)
+    return nbrs
+
+
+def test_sampled_edges_are_real(g):
+    seeds = jnp.arange(32, dtype=jnp.int32)
+    blocks, frame = sample_blocks_device(g, seeds, jax.random.PRNGKey(0),
+                                         (5, 5))
+    assert len(blocks) == 2
+    nbrs = _neighbor_sets(g)
+    frame = np.asarray(frame)
+    for b in blocks:
+        rows = np.asarray(b.row)[: b.num_edges]
+        cols = np.asarray(b.col)[: b.num_edges]
+        w = np.asarray(b.edge_weight)[: b.num_edges]
+        sink = b.n_pad - 1
+        for r, c, wi in list(zip(rows, cols, w))[:200]:
+            if wi == 0:  # dead slot (zero-degree dst) → sink source
+                assert c == sink
+                continue
+            assert frame[c] in nbrs[frame[r]]
+
+
+def test_frame_layout_and_sizes(g):
+    B, fanouts = 16, (4, 3)
+    sizes = plan_sizes(B, fanouts)
+    assert sizes == [16, 80, 320]
+    seeds = jnp.arange(B, dtype=jnp.int32) * 3
+    blocks, frame = sample_blocks_device(g, seeds, jax.random.PRNGKey(1),
+                                         fanouts)
+    # seeds are the first B frame rows; blocks outermost-first
+    np.testing.assert_array_equal(np.asarray(frame)[:B], np.asarray(seeds))
+    assert blocks[0].num_edges == sizes[1] * fanouts[1]   # outer hop
+    assert blocks[1].num_edges == sizes[0] * fanouts[0]   # seed hop
+    assert blocks[0].n_pad == blocks[1].n_pad
+    # labels/masks ride blocks[0]; train positions confined to real frame
+    assert blocks[0].y is not None
+
+
+def test_static_shapes_single_compile(g):
+    fanouts = (5, 5)
+    traces = []
+
+    @jax.jit
+    def f(seeds, key):
+        traces.append(1)
+        blocks, frame = sample_blocks_device(g, seeds, key, fanouts)
+        return frame
+
+    f(jnp.arange(32, dtype=jnp.int32), jax.random.PRNGKey(0))
+    f(jnp.arange(32, 64, dtype=jnp.int32), jax.random.PRNGKey(1))
+    assert len(traces) == 1  # one trace, shapes static across batches
+
+
+def test_zero_degree_dst_aggregates_zero():
+    # node 3 is isolated (no self-loops added): its slots must point at the
+    # frame sink so mean/sum aggregation yields exactly 0 — matching the host
+    # sampler, which drops those edges
+    ei = np.array([[0, 1, 2], [1, 2, 0]])
+    g = from_coo(ei, num_nodes=4, x=np.eye(4, 8, dtype=np.float32),
+                 y=np.zeros(4, np.int64),
+                 train_mask=np.ones(4, bool), meta={"num_classes": 2})
+    seeds = jnp.asarray([3, 0], jnp.int32)
+    blocks, frame = sample_blocks_device(g, seeds, jax.random.PRNGKey(0),
+                                         (3,))
+    from cogdl_tpu.ops import aggregate
+
+    x = jnp.take(blocks[0].extras["x_table"], blocks[0].extras["frame"],
+                 axis=0, mode="clip")
+    agg = aggregate(blocks[0], x, "mean")
+    np.testing.assert_allclose(np.asarray(agg[0]), 0.0)   # isolated seed
+    assert float(jnp.abs(agg[1]).sum()) > 0               # connected seed
+
+
+def test_sampling_distribution_uniform(g):
+    """Marginal over a seed's sampled sources ≈ uniform over its neighbors
+    (with-replacement semantics of the reference sample_adj)."""
+    nbrs = _neighbor_sets(g)
+    seed_id = max(nbrs, key=lambda k: len(nbrs[k]))
+    deg = len(nbrs[seed_id])
+    counts = {}
+    draws = 0
+    seeds = jnp.full((8,), seed_id, jnp.int32)
+    for t in range(30):
+        blocks, frame = sample_blocks_device(g, seeds, jax.random.PRNGKey(t),
+                                             (8,))
+        b = blocks[0]
+        cols = np.asarray(b.col)[: b.num_edges]
+        fr = np.asarray(frame)
+        for c in cols:
+            counts[fr[c]] = counts.get(fr[c], 0) + 1
+            draws += 1
+    assert set(counts) <= nbrs[seed_id]
+    # every neighbor seen, and no one hugely over-represented
+    assert len(counts) == deg
+    expected = draws / deg
+    assert max(counts.values()) < 3.0 * expected
+
+
+def test_device_sampler_epoch_seeds(g):
+    s = DeviceNeighborSampler(g, (5, 5), batch_size=32, seed=0)
+    mat = s.epoch_seeds()
+    assert mat.shape == (len(s), 32)
+    train = set(np.nonzero(np.asarray(g.train_mask)[: g.num_nodes])[0])
+    assert set(mat.ravel().tolist()) <= train
+
+
+def test_device_sampled_wrapper_learns():
+    from cogdl_tpu.experiments import train
+
+    res = train("sbm", "sage", wrapper="neighbor_sampling_device", seed=0,
+                epochs=30, eval_step=5, hidden_size=32,
+                fanouts=(5, 5), batch_size=64, lr=1e-2)
+    assert res["test_acc"] > 0.55, res
+
+
+def test_host_vs_device_training_parity():
+    """Both sampling routes must reach comparable accuracy on the same graph
+    (equivalence of the pipelines, not of individual draws)."""
+    from cogdl_tpu.experiments import train
+
+    kw = dict(seed=0, epochs=25, eval_step=5, hidden_size=32,
+              batch_size=64, lr=1e-2)
+    host = train("sbm", "sage", wrapper="neighbor_sampling",
+                 fanouts=[5, 5], **kw)
+    dev = train("sbm", "sage", wrapper="neighbor_sampling_device",
+                fanouts=(5, 5), **kw)
+    assert abs(host["test_acc"] - dev["test_acc"]) < 0.25, (host, dev)
