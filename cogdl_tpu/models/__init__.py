@@ -66,6 +66,7 @@ SUPPORTED_MODELS: Dict[str, str] = {
     "infograph": "cogdl_tpu.models.nn.infograph.InfoGraph",
     "gcc": "cogdl_tpu.models.nn.gcc.GCC",
     "gnnguard_gcn": "cogdl_tpu.models.nn.gnnguard.GNNGuardGCN",
+    "robustgcn": "cogdl_tpu.models.nn.robustgcn.RobustGCN",
     "graphmae": "cogdl_tpu.models.nn.graphmae.GraphMAE",
     # graph classification + pooling
     "diffpool": "cogdl_tpu.models.nn.diffpool.DiffPool",

@@ -330,6 +330,20 @@ def speit_injection_attack(model_apply, variables, graph: Graph,
     return g_adv.replace(x=jnp.asarray(x))
 
 
+# modification attack family (edge flips under budget) lives in its own
+# module; re-exported here so utils.grb is the one GRB namespace
+from .grb_modification import (  # noqa: E402,F401
+    apply_edge_flips,
+    dice_modification_attack,
+    fga_modification_attack,
+    flip_modification_attack,
+    nea_modification_attack,
+    prbcd_modification_attack,
+    rand_modification_attack,
+    stack_modification_attack,
+)
+
+
 def gnnguard_reweight(graph: Graph, x: jnp.ndarray,
                       threshold: float = 0.1) -> Graph:
     """GNNGuard edge reweighting (reference examples/GRB/defense/

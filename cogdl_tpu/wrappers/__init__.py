@@ -56,6 +56,7 @@ DEFAULT_WRAPPER = {
     "correct_smooth_mlp": "correct_smooth",
     "gcc": "gcc",
     "gcnmix": "gcnmix", "drgcn": "node_classification",
+    "robustgcn": "node_classification", "gnnguard_gcn": "node_classification",
     "drgat": "node_classification", "autognn": "node_classification",
     "prone++": "network_embedding",
     "gin": "graph_classification", "diffpool": "graph_classification",

@@ -172,3 +172,126 @@ def test_trainer_tdgia_hook():
     res = train("sbm", "gcn", seed=0, epochs=6, eval_step=3,
                 hidden_size=16, attack="tdgia", attack_every=3)
     assert "attack_clean_acc" in res
+
+
+# ---------------------------------------------------------------------------
+# Round-3: GRB modification attack family + RobustGCN defense
+# ---------------------------------------------------------------------------
+
+def _acc(apply, variables, g, y=None, mask=None):
+    from cogdl_tpu.utils.evaluator import masked_accuracy
+
+    y = g.y if y is None else y
+    mask = (g.test_mask & g.node_mask()) if mask is None else mask
+    return float(masked_accuracy(apply(variables, g), y, mask))
+
+
+def test_apply_edge_flips_toggles_both_directions(trained):
+    from cogdl_tpu.utils.grb import apply_edge_flips
+
+    _, _, graph = trained
+    E = graph.num_edges
+    row = np.asarray(graph.row)[:E]
+    col = np.asarray(graph.col)[:E]
+    nonloop = row != col
+    i, j = int(row[nonloop][0]), int(col[nonloop][0])
+    # pick an absent pair
+    present = set(zip(row.tolist(), col.tolist()))
+    a, b = next((a, b) for a in range(graph.num_nodes)
+                for b in range(graph.num_nodes)
+                if a != b and (a, b) not in present)
+    g2 = apply_edge_flips(graph, np.array([[i, j], [a, b]]))
+    E2 = g2.num_edges
+    s2 = set(zip(np.asarray(g2.row)[:E2].tolist(),
+                 np.asarray(g2.col)[:E2].tolist()))
+    assert (i, j) not in s2 and (j, i) not in s2
+    assert (a, b) in s2 and (b, a) in s2
+
+
+def test_dice_attack_budget_and_damage(trained):
+    from cogdl_tpu.utils.grb import dice_modification_attack
+
+    apply, variables, graph = trained
+    g_adv = dice_modification_attack(graph, n_edge_mod=150, seed=0)
+    assert g_adv.num_nodes == graph.num_nodes
+    assert abs(g_adv.num_edges - graph.num_edges) <= 2 * 150
+    assert _acc(apply, variables, g_adv) < _acc(apply, variables, graph)
+
+
+def test_rand_and_flip_attacks_run(trained):
+    from cogdl_tpu.utils.grb import (flip_modification_attack,
+                                     rand_modification_attack)
+
+    apply, variables, graph = trained
+    clean = _acc(apply, variables, graph)
+    for g_adv in (rand_modification_attack(graph, n_edge_mod=100, seed=0),
+                  flip_modification_attack(graph, n_edge_mod=100,
+                                           flip_type="deg"),
+                  flip_modification_attack(graph, n_edge_mod=60,
+                                           flip_type="eigen"),
+                  flip_modification_attack(graph, n_edge_mod=60,
+                                           flip_type="bet")):
+        assert g_adv.num_nodes == graph.num_nodes
+        assert _acc(apply, variables, g_adv) <= clean + 0.02
+
+
+def test_nea_stack_spectral_attacks(trained):
+    from cogdl_tpu.utils.grb import (nea_modification_attack,
+                                     stack_modification_attack)
+
+    apply, variables, graph = trained
+    clean = _acc(apply, variables, graph)
+    for fn in (nea_modification_attack, stack_modification_attack):
+        g_adv = fn(graph, n_edge_mod=80)
+        assert abs(g_adv.num_edges - graph.num_edges) <= 2 * 80
+        assert _acc(apply, variables, g_adv) <= clean + 0.02
+
+
+def test_fga_gradient_attack(trained):
+    from cogdl_tpu.utils.grb import fga_modification_attack
+
+    apply, variables, graph = trained
+    g_adv = fga_modification_attack(apply, variables, graph, n_edge_mod=60,
+                                    n_candidates=1024, seed=0)
+    assert _acc(apply, variables, g_adv) < _acc(apply, variables, graph)
+
+
+def test_prbcd_attack(trained):
+    from cogdl_tpu.utils.grb import prbcd_modification_attack
+
+    apply, variables, graph = trained
+    g_adv = prbcd_modification_attack(apply, variables, graph,
+                                      n_edge_mod=120, block_size=2048,
+                                      n_epoch=20, seed=0)
+    assert abs(g_adv.num_edges - graph.num_edges) <= 2 * 120
+    assert _acc(apply, variables, g_adv) < _acc(apply, variables, graph)
+
+
+def test_robustgcn_trains_and_resists_modification(trained):
+    """RobustGCN (examples/GRB/defense/robustgcn.py rebuild) learns the task
+    and, under the same transferred DICE modification, keeps at least as much
+    accuracy as the undefended GCN."""
+    from cogdl_tpu.experiments import train as _train
+    from cogdl_tpu.models import build_model
+    from cogdl_tpu.utils.grb import dice_modification_attack
+    from cogdl_tpu.wrappers.node_classification import NodeClfWrapper
+
+    apply, variables, graph = trained
+    ds = build_dataset("sbm")
+    model = build_model("robustgcn", in_features=ds.num_features,
+                        out_features=ds.num_classes, hidden_size=32,
+                        dropout=0.0)
+    w = NodeClfWrapper(model, ds)
+    res = Trainer(TrainerConfig(epochs=40)).run(w, ds.graph)
+    assert res["test_acc"] > 0.8, res
+    rv = res.pop("_variables")
+    rgraph = w.prepare_graph(ds.graph)
+
+    def rapply(v, g):
+        return model.apply(v, g, g.x, training=False)
+
+    g_adv = dice_modification_attack(graph, n_edge_mod=200, seed=0)
+    gcn_adv = _acc(apply, variables, g_adv)
+    # same flips transplanted onto the robustgcn's (identical) graph
+    rob_adv = _acc(rapply, rv, g_adv)
+    assert rob_adv >= gcn_adv - 0.05, (rob_adv, gcn_adv)
