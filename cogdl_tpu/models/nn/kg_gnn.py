@@ -34,13 +34,26 @@ class DistMult(nn.Module):
 
 class ConvE(nn.Module):
     """ConvE scorer (link_prediction_utils.py:42): reshape [s; r] into a 2-D
-    grid, convolve, project back to the embedding dim, dot with the object."""
+    grid, convolve, project back to the embedding dim, dot with the object.
+
+    ``norm="layer"`` (default) replaces the reference's three BatchNorms with
+    LayerNorms — jit-pure, no mutable state riding the training loop.
+    ``norm="batch"`` reproduces the reference's exact op sequence with
+    inference-style BatchNorm (running statistics held at their stored
+    values), which makes reference-weight transplants score identically
+    (tests/test_round3_components.py ConvE parity)."""
 
     dim: int
     num_filter: int = 20
     kernel_size: int = 7
     k_w: int = 10
     dropout: float = 0.3
+    norm: str = "layer"  # layer | batch
+
+    def _norm(self, name):
+        if self.norm == "batch":
+            return nn.BatchNorm(use_running_average=True, name=name)
+        return nn.LayerNorm(name=name)
 
     @nn.compact
     def __call__(self, sub, rel, obj, training: bool = False,
@@ -48,22 +61,25 @@ class ConvE(nn.Module):
         assert self.dim % self.k_w == 0
         k_h = self.dim // self.k_w
         b = sub.shape[0]
+        # [ent; rel] interleaved into a [2·k_w, k_h] grid, channels-last
+        # (same row-major flattening as the reference's channels-first view)
         h = jnp.stack([sub, rel], axis=1)                    # [B, 2, dim]
         h = h.transpose(0, 2, 1).reshape(b, 2 * self.k_w, k_h, 1)
-        h = nn.LayerNorm(name="ln0")(h)
+        h = self._norm("ln0")(h)
         # the reference hard-crashes when dim/k_w < kernel_size; clamp the
         # kernel to the grid instead so small hidden sizes stay usable
         ks = max(min(self.kernel_size, k_h, 2 * self.k_w), 1)
         h = nn.Conv(self.num_filter, (ks, ks),
                     padding="VALID", name="conv")(h)
-        h = nn.relu(nn.LayerNorm(name="ln1")(h))
+        h = nn.relu(self._norm("ln1")(h))
         if training and self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=False)(h)
         h = h.reshape(b, -1)
         h = nn.Dense(self.dim, name="fc")(h)
-        h = nn.relu(nn.LayerNorm(name="ln2")(h))
+        h = nn.relu(self._norm("ln2")(h))
         bias = self.param("bias", nn.initializers.zeros, (self.dim,))
         if all_entities:
+            # predict() path (link_prediction_utils.py:87): no bias term
             return h @ obj.T                                 # [B, N]
         return jnp.sum(h * obj + bias, axis=-1)
 

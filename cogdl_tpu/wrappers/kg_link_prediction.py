@@ -40,7 +40,8 @@ class KGLinkPredictionWrapper:
 
     def __init__(self, model, dataset=None, score_func: str = "distmult",
                  batch_size: int = 1024, neg_ratio: int = 1,
-                 penalty: float = 0.001, seed: int = 0):
+                 penalty: float = 0.001, protocol: str = "raw",
+                 seed: int = 0):
         if dataset is None or dataset.triples is None:
             raise ValueError(
                 "kg_link_prediction needs a triples dataset "
@@ -52,6 +53,14 @@ class KGLinkPredictionWrapper:
         self.batch_size = batch_size
         self.neg_ratio = max(int(neg_ratio), 1)
         self.penalty = penalty
+        if protocol not in ("raw", "filtered"):
+            raise ValueError("protocol must be 'raw' or 'filtered'")
+        # "raw" is the reference default (link_prediction_utils.py:8; its
+        # protocol="filtered" branch raises NotImplementedError). "filtered"
+        # is the published-leaderboard protocol (BASELINE.md MRR tables),
+        # shared with the triple-embedding wrapper: other KNOWN true triples
+        # are excluded from each ranking.
+        self.protocol = protocol
         self.seed = seed
         hidden = getattr(model, "hidden_size", 64)
         # rebuild the encoder for the KG convention: hidden-sized ends and
@@ -87,6 +96,16 @@ class KGLinkPredictionWrapper:
             "val": np.asarray(t["valid"], np.int64),
             "test": np.asarray(t["test"], np.int64),
         }
+        if self.protocol == "filtered":
+            # known-true map over ALL splits, in ranking coordinates:
+            # (h, r) → tails and (t, r + R) → heads (inverse relation)
+            known: Dict[tuple, set] = {}
+            for split in (train, self._eval_triples["val"],
+                          self._eval_triples["test"]):
+                for hh, rr, tt in np.asarray(split, np.int64):
+                    known.setdefault((int(hh), int(rr)), set()).add(int(tt))
+                    known.setdefault((int(tt), int(rr) + R), set()).add(int(hh))
+            self._known = known
         return g
 
     def train_batches(self, graph):
@@ -144,9 +163,11 @@ class KGLinkPredictionWrapper:
         return out
 
     def _rank(self, variables, graph, triples, batch: int = 512):
-        """Raw-protocol mean reciprocal rank: rank the true tail among all
-        entities for (h, r, ?) and the true head via the inverse relation
-        (r + R) — cal_mrr's ranks_h + ranks_t."""
+        """Mean reciprocal rank: rank the true tail among all entities for
+        (h, r, ?) and the true head via the inverse relation (r + R) —
+        cal_mrr's ranks_h + ranks_t. Under ``protocol="filtered"`` the
+        scores of other known-true candidates are dropped to -inf before
+        ranking (the triple-embedding wrapper's protocol, shared here)."""
         R = self.num_relations
         trip = np.asarray(triples, np.int64)
         heads = np.concatenate([trip[:, 0], trip[:, 2]])
@@ -163,10 +184,17 @@ class KGLinkPredictionWrapper:
             if n < batch:  # static-shape pad
                 h = np.pad(h, (0, batch - n))
                 r = np.pad(r, (0, batch - n))
-            s = np.asarray(score_fn(variables, graph, jnp.asarray(h, jnp.int32),
-                                    jnp.asarray(r, jnp.int32)))[:n]
+            # np.array (not asarray): jax buffers are read-only and the
+            # filtered protocol writes -inf into the score rows
+            s = np.array(score_fn(variables, graph, jnp.asarray(h, jnp.int32),
+                                  jnp.asarray(r, jnp.int32)))[:n]
             s = s[:, : self.num_entities]
-            tgt_score = s[np.arange(n), tgt]
+            tgt_score = s[np.arange(n), tgt].copy()
+            if self.protocol == "filtered":
+                for b_i in range(n):
+                    others = self._known.get((int(h[b_i]), int(r[b_i])))
+                    if others:
+                        s[b_i, list(others)] = -np.inf
             ranks.append(1 + (s > tgt_score[:, None]).sum(1))
         ranks = np.concatenate(ranks).astype(np.float64)
         hits = {k: float((ranks <= k).mean()) for k in (1, 3, 10)}
