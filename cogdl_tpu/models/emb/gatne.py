@@ -32,29 +32,41 @@ class GATNE(EmbeddingModel):
 
     def train_embeddings(self, graph: Graph) -> Dict[int, np.ndarray]:
         """Returns {edge_type: [N, D] embedding} — one view per layer of the
-        multiplex graph (plus 0 = base when untyped)."""
+        multiplex graph (plus 0 = base when untyped).
+
+        The reference (gatne.py:104) learns a shared base embedding plus a
+        type-specific ``edge_dim``-sized u-embedding combined through
+        attention. Rebuilt here as: base SGNS over the MERGED graph +
+        per-type SGNS at ``edge_dim`` dimensions projected into the base
+        space by a fixed JL projection — same decomposition (shared base,
+        small per-type correction, capacity set by ``edge_dim``), without
+        the trained attention head."""
         E = graph.num_edges
         etype = (np.asarray(graph.edge_type)[:E]
                  if graph.edge_type is not None else np.zeros(E, np.int64))
         row = np.asarray(graph.row)[:E]
         col = np.asarray(graph.col)[:E]
-        out = {}
-        base = None
-        for t in np.unique(etype):
-            sel = etype == t
-            from ...data.graph import from_coo
+        from ...data.graph import from_coo
 
-            g_t = from_coo(np.stack([row[sel], col[sel]]),
-                           num_nodes=graph.num_nodes)
+        def sgns_on(r, c, dim, seed):
+            g_t = from_coo(np.stack([r, c]), num_nodes=graph.num_nodes)
             indptr, indices = build_csr(g_t)
             walks = random_walks(indptr, indices, self.walk_num,
-                                 self.walk_length, seed=self.seed + int(t))
+                                 self.walk_length, seed=seed)
             pairs = walks_to_pairs(walks, self.window_size, seed=self.seed,
                                    max_pairs=1_000_000)
-            emb = train_sgns(pairs, graph.num_nodes, dim=self.hidden_size,
-                             num_negative=self.negative,
-                             epochs=self.iteration, seed=self.seed + int(t))
-            if base is None:
-                base = emb
-            out[int(t)] = 0.7 * emb + 0.3 * base  # base + type-specific mix
+            return train_sgns(pairs, graph.num_nodes, dim=dim,
+                              num_negative=self.negative,
+                              epochs=self.iteration, seed=seed)
+
+        base = sgns_on(row, col, self.hidden_size, self.seed)
+        proj = (np.random.default_rng(self.seed)
+                .normal(size=(self.edge_dim, self.hidden_size))
+                .astype(np.float32) / np.sqrt(self.edge_dim))
+        out = {}
+        for t in np.unique(etype):
+            sel = etype == t
+            u_t = sgns_on(row[sel], col[sel], self.edge_dim,
+                          self.seed + 1 + int(t))
+            out[int(t)] = base + u_t @ proj
         return out

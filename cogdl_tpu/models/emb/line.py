@@ -20,7 +20,7 @@ class LINE(EmbeddingModel):
         self.negative = negative
         self.iteration = iteration
 
-    def train_embeddings(self, graph: Graph) -> np.ndarray:
+    def _sample_pairs(self, graph: Graph) -> np.ndarray:
         rng = np.random.default_rng(self.seed)
         E = graph.num_edges
         row = np.asarray(graph.row)[:E]
@@ -29,7 +29,27 @@ class LINE(EmbeddingModel):
         probs = w / w.sum()
         idx = rng.choice(E, size=min(self.num_samples, max(E * 20, E)), p=probs)
         pairs = np.stack([row[idx], col[idx]], 1)
-        pairs = np.concatenate([pairs, pairs[:, ::-1]], 0)
-        return train_sgns(pairs, graph.num_nodes, dim=self.hidden_size,
-                          num_negative=self.negative, epochs=self.iteration,
-                          seed=self.seed)
+        return np.concatenate([pairs, pairs[:, ::-1]], 0)
+
+    def train_embeddings(self, graph: Graph) -> np.ndarray:
+        """order=1: first-order proximity (tied vertex table); order=2:
+        second-order (separate context table); order=3: both at dim/2,
+        L2-normalised halves concatenated (reference line.py:86-108)."""
+        if self.order not in (1, 2, 3):
+            raise ValueError(f"LINE order must be 1, 2 or 3, got {self.order}")
+        pairs = self._sample_pairs(graph)
+
+        def run(order, dim, seed):
+            e = train_sgns(pairs, graph.num_nodes, dim=dim,
+                           num_negative=self.negative, epochs=self.iteration,
+                           seed=seed, tie_context=(order == 1))
+            n = np.linalg.norm(e, axis=1, keepdims=True)
+            return e / np.maximum(n, 1e-12)
+
+        if self.order == 1:
+            return run(1, self.hidden_size, self.seed)
+        if self.order == 2:
+            return run(2, self.hidden_size, self.seed)
+        half = max(self.hidden_size // 2, 1)
+        return np.hstack([run(1, half, self.seed),
+                          run(2, half, self.seed + 1)])

@@ -158,8 +158,13 @@ def train_sgns(
     epochs: int = 2,
     lr: float = 0.025,
     seed: int = 0,
+    tie_context: bool = False,
 ) -> np.ndarray:
-    """Skip-gram with negative sampling, jit-stepped on device."""
+    """Skip-gram with negative sampling, jit-stepped on device.
+
+    ``tie_context=True`` scores contexts/negatives against the SAME vertex
+    table (first-order proximity — LINE order 1, reference line.py:124
+    updates ``emb_vertex`` for both endpoints)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -175,9 +180,10 @@ def train_sgns(
     @jax.jit
     def step(params, opt_state, centers, contexts, negatives):
         def loss_fn(p):
+            ctx = p["in"] if tie_context else p["out"]
             c = p["in"][centers]                       # [B, D]
-            pos = jnp.sum(c * p["out"][contexts], -1)
-            neg = jnp.einsum("bd,bkd->bk", c, p["out"][negatives])
+            pos = jnp.sum(c * ctx[contexts], -1)
+            neg = jnp.einsum("bd,bkd->bk", c, ctx[negatives])
             lsig = jax.nn.log_sigmoid   # stable (hand-rolled log1p(exp)
             # overflows once embedding norms grow)
             return -(jnp.mean(lsig(pos)) + jnp.mean(lsig(-neg)))
