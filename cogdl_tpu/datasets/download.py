@@ -167,7 +167,10 @@ def extract_archive(path: str, folder: Optional[str] = None,
             z.extractall(folder)
     elif tarfile.is_tarfile(path):
         with tarfile.open(path) as t:
-            t.extractall(folder, filter="data")
+            if hasattr(tarfile, "data_filter"):
+                t.extractall(folder, filter="data")
+            else:  # filter= is a late backport (< 3.10.12 / 3.11.4)
+                t.extractall(folder)
     elif path.endswith(".gz"):
         with gzip.open(path, "rb") as src, \
                 open(path[: -len(".gz")], "wb") as dst:

@@ -108,6 +108,9 @@ def raw_experiment(datasets, models, seeds=(1,), **kwargs) -> Dict[str, List[Dic
     (reference experiments.py:269). Each named dataset is built ONCE and
     shared across its model × seed variants — re-parsing per seed wastes
     minutes at OGB scale."""
+    # sharing contract: one built Dataset is reused across every model × seed
+    # variant, so training must never mutate the dataset/graph in place —
+    # wrappers return transformed COPIES (prepare_graph) and never write back
     built: Dict[int, Any] = {}
 
     def resolve(ds):

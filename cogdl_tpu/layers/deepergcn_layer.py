@@ -32,7 +32,10 @@ class GENConv(nn.Module):
     residual: bool = False
     use_msg_norm: bool = False
     learn_msg_scale: bool = True
-    activation: str = "relu"
+    # None → identity update-MLP, matching the reference GENConv default
+    # (deepergcn_layer.py activation=None via get_activation(None));
+    # DeeperGCN/RevGCN built with defaults therefore match reference defaults
+    activation: object = None
     eps: float = 1e-7
 
     @nn.compact

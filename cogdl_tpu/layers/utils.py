@@ -20,8 +20,11 @@ _ACTIVATIONS = {
 }
 
 
-def get_activation(name: str):
-    """Activation lookup (reference: cogdl/utils/utils.py get_activation)."""
+def get_activation(name):
+    """Activation lookup (reference: cogdl/utils/utils.py get_activation —
+    including its ``None`` → identity behaviour)."""
+    if name is None:
+        return _ACTIVATIONS["identity"]
     try:
         return _ACTIVATIONS[name]
     except KeyError:

@@ -655,6 +655,11 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
             # dst-grouped passes, the col bits for the src-grouped pass —
             # so no orig maps (~1.7 GB at products scale) exist at all;
             # single-shot layouts key on (orig edge id ^ seed) as before.
+            # LIMITATION (coordinate keying): parallel/duplicate edges
+            # between the same (dst, src) pair share one keep/drop decision
+            # on blocked layouts — dropout is correlated across multigraph
+            # duplicates (the orig-id key gave each its own mask). Simple
+            # graphs (every GRB/OGB benchmark here) are unaffected.
             if packed:
                 # Mosaic bitcasts need VECTORS: do the offset adds in i32
                 # (values < 2^31) and splat scalars before any bitcast

@@ -143,6 +143,19 @@ class Trainer:
 
     def run(self, wrapper, graph) -> Dict[str, float]:
         cfg = self.cfg
+        if cfg.bf16 and jax.devices()[0].platform not in ("cpu",):
+            import warnings
+
+            # measured 2026-08-21 (BENCH r2): bf16 gather TABLES fall off the
+            # TPU VMEM-staged gather path — 19x slower on SpMM-bound GCN at
+            # 100k (475 vs 24.8 ms) and 3.7x at products scale. bf16 only
+            # helps matmul-bound models here.
+            warnings.warn(
+                "Trainer(bf16=True) on TPU: gather-bound GNNs (GCN/GAT/SAGE "
+                "message passing) measured up to 19x SLOWER in bf16 on this "
+                "backend because bf16 gather tables miss the VMEM-staged "
+                "fast path; keep f32 unless the model is matmul-bound.",
+                stacklevel=2)
         if hasattr(wrapper, "prepare_graph"):
             graph = wrapper.prepare_graph(graph)
         rng = jax.random.PRNGKey(cfg.seed)

@@ -462,11 +462,10 @@ def test_genconv_layer_activation_parity():
     F_in, F_out = 10, 6
     x = rng.normal(size=(n, F_in)).astype(np.float32)
 
-    # activation must be explicit: the reference's get_activation(None)
-    # silently returns identity (cogdl/utils/utils.py:151-165)
+    # both sides at their DEFAULT activation (None → identity update-MLP,
+    # reference get_activation(None)); ours defaults to None too since r3
     ref_layer = RefGEN(F_in, F_out, aggr="softmax_sg", beta=1.3,
-                       residual=False, use_msg_norm=False,
-                       activation="relu")
+                       residual=False, use_msg_norm=False)
     ref_layer.eval()
     with torch.no_grad():
         ref = ref_layer(_ref_graph(row, col, n), torch.tensor(x)).numpy()
