@@ -69,6 +69,11 @@ def main():
                     "models on this backend")
     ap.add_argument("--products", action="store_true",
                     help="full ogbn-products scale (2.45M nodes, ~124M edges)")
+    ap.add_argument("--blocked", action="store_true",
+                    help="use the blocked source-panel device layouts "
+                    "(the --products path: panel gathers at ~2.9 vs ~11 "
+                    "ns/row) at ANY scale — A/B vs the single-shot path "
+                    "at 100k-400k where tables fall off VMEM staging")
     ap.add_argument("--bf16-gather", action="store_true",
                     help="bf16 gather tables at products scale — MEASURED "
                     "3.7x SLOWER on this backend (bf16 gathers miss the "
@@ -163,7 +168,7 @@ def main():
         segment_kernels.GAT_PHASE_BARRIER = False
 
     graph_uncached = None
-    if args.products:
+    if args.products or args.blocked:
         # OGB-scale: generate the graph AND build the kernel layouts on
         # device (the host link is too slow for multi-GB edge/layout arrays);
         # undirected ⇒ Aᵀ=A ⇒ backward reuses the forward layout, and the
@@ -290,6 +295,7 @@ def main():
         "vs_baseline": round(edges_per_sec / BASELINE_EDGES_PER_SEC, 4),
         "step_ms": round(1000 * dt / args.steps, 2),
         "device": str(jax.devices()[0]), "bf16": args.bf16,
+        "blocked_layout": bool(args.products or args.blocked),
         "prop_cache": prop_cached,
         "gather_sweeps": sweeps,
         "vs_gather_floor": round(edges_per_sec / floor, 3),
