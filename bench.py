@@ -127,13 +127,13 @@ def main():
                     help="also write the JSON result line to this file")
     args = ap.parse_args()
     _settle()
-    if args.sampled:
-        return (bench_sampled(args) if args.host_sampler
-                else bench_sampled_device(args))
     if args.products:
         args.nodes, args.avg_degree = 2_450_000, 50
         if args.r_tile is None:
             args.r_tile = 256   # measured best at products (4.31 s vs 5.42)
+    if args.sampled:
+        return (bench_sampled(args) if args.host_sampler
+                else bench_sampled_device(args))
     if args.r_tile is None:
         args.r_tile = 128
 
@@ -336,9 +336,18 @@ def bench_sampled_device(args):
     from cogdl_tpu.models import build_model
     from cogdl_tpu.utils.evaluator import masked_cross_entropy
 
-    graph = powerlaw_graph(args.nodes, avg_degree=args.avg_degree,
-                           feat_dim=args.feat_dim, device_features=True)
-    graph = add_self_loops(graph)
+    if args.products:
+        # OGB scale: the CSR + features generate straight on device (the
+        # host link is too slow for a 124M-edge COO); the device sampler
+        # only needs row_ptr/col + resident x/y/mask tables
+        from cogdl_tpu.datasets.synthetic import powerlaw_graph_device
+
+        graph = powerlaw_graph_device(args.nodes, avg_degree=args.avg_degree,
+                                      feat_dim=args.feat_dim)
+    else:
+        graph = powerlaw_graph(args.nodes, avg_degree=args.avg_degree,
+                               feat_dim=args.feat_dim, device_features=True)
+        graph = add_self_loops(graph)
     fanouts = tuple(int(f) for f in args.fanouts.split(","))
     B = args.batch_size
     model = build_model("sage", in_features=args.feat_dim,

@@ -163,6 +163,10 @@ class DeviceNeighborSampler:
             node_idx = np.nonzero(
                 np.asarray(graph.train_mask)[: graph.num_nodes])[0]
         self.node_idx = np.asarray(node_idx, np.int32)
+        if self.node_idx.size == 0:
+            raise ValueError(
+                "DeviceNeighborSampler: no seed nodes (empty train mask and "
+                "no node_idx given)")
 
     def __len__(self):
         return (len(self.node_idx) + self.batch_size - 1) // self.batch_size
