@@ -62,9 +62,15 @@ def apply_edge_flips(graph: Graph, flips: np.ndarray) -> Graph:
         if i == j:
             continue
         if i * N + j in present:
+            present.discard(i * N + j)
+            present.discard(j * N + i)
             drop.add(i * N + j)
             drop.add(j * N + i)
         else:
+            # track as we go so (j, i) duplicates / re-flips of a pair the
+            # loop already added don't create parallel edges
+            present.add(i * N + j)
+            present.add(j * N + i)
             add.append((i, j))
             add.append((j, i))
     keep = ~np.isin(row * N + col, np.fromiter(drop, np.int64, len(drop))) \
@@ -457,7 +463,10 @@ def fga_modification_attack(model_apply, variables, graph: Graph,
     rnd = np.stack([rng.choice(targets, n_rand),
                     rng.integers(0, N, n_rand)], axis=1)
     rnd = rnd[rnd[:, 0] != rnd[:, 1]]
-    cand = np.unique(np.concatenate([inc, rnd]), axis=0)
+    cand = np.concatenate([inc, rnd])
+    # canonical (min, max) orientation: both orders of one undirected pair
+    # must occupy a single relaxation slot (the block symmetrises itself)
+    cand = np.unique(np.stack([cand.min(1), cand.max(1)], axis=1), axis=0)
 
     loss_fn, exists = _relaxed_forward_loss(
         model_apply, variables, graph, cand, targets, labels)
@@ -509,7 +518,9 @@ def prbcd_modification_attack(model_apply, variables, graph: Graph,
 
     def draw(k):
         c = np.stack([rng.integers(0, N, k), rng.integers(0, N, k)], axis=1)
-        return c[c[:, 0] != c[:, 1]]
+        c = c[c[:, 0] != c[:, 1]]
+        # canonical undirected orientation (one slot per pair)
+        return np.stack([c.min(1), c.max(1)], axis=1)
 
     def top_up(cand):
         while cand.shape[0] < block_size:
