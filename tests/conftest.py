@@ -38,6 +38,9 @@ _SLOW_MODULES = {
     "test_training_parity.py",
     "test_robustness.py",
     "test_oag.py",
+    # long multi-hundred-epoch component trainings (KG 250 epochs, GCC MoCo,
+    # SAINT) — measured 8+ min of the lane
+    "test_round2_components.py",
 }
 
 

@@ -143,6 +143,7 @@ def test_device_sampled_wrapper_learns():
     assert res["test_acc"] > 0.55, res
 
 
+@pytest.mark.slow
 def test_host_vs_device_training_parity():
     """Both sampling routes must reach comparable accuracy on the same graph
     (equivalence of the pipelines, not of individual draws)."""

@@ -78,6 +78,7 @@ def test_conve_scoring_parity_vs_reference():
     # our all_entities path deliberately keeps the full pipeline.
 
 
+@pytest.mark.slow
 def test_conve_wrapper_trains():
     res = train("random-kg", "rgcn", wrapper="kg_link_prediction",
                 score_func="conve", epochs=30, eval_every=30,
