@@ -137,9 +137,26 @@ class Trainer:
         if cfg.attack == "speit":
             return grb.speit_injection_attack(apply, variables, graph,
                                               seed=cfg.seed)
+        # modification family (edge flips under budget, utils/grb_modification)
+        # — adversarial training targets the TRAIN nodes, like the feature
+        # attacks above
+        if cfg.attack == "dice":
+            return grb.dice_modification_attack(graph, seed=cfg.seed,
+                                                mask=mask)
+        if cfg.attack == "flip":
+            return grb.flip_modification_attack(graph, mask=mask)
+        if cfg.attack == "rand_flip":
+            return grb.rand_modification_attack(graph, seed=cfg.seed,
+                                                mask=mask)
+        if cfg.attack == "fga":
+            return grb.fga_modification_attack(apply, variables, graph,
+                                               seed=cfg.seed, mask=mask)
+        if cfg.attack == "prbcd":
+            return grb.prbcd_modification_attack(apply, variables, graph,
+                                                 seed=cfg.seed, mask=mask)
         raise ValueError(
             f"unknown attack {cfg.attack!r}; known: fgsm | pgd | injection "
-            "| tdgia | speit")
+            "| tdgia | speit | dice | flip | rand_flip | fga | prbcd")
 
     def run(self, wrapper, graph) -> Dict[str, float]:
         cfg = self.cfg

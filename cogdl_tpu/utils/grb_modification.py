@@ -90,8 +90,9 @@ def apply_edge_flips(graph: Graph, flips: np.ndarray) -> Graph:
                      test_mask=cut(graph.test_mask))
 
 
-def _target_ids(graph: Graph) -> np.ndarray:
-    return np.nonzero(np.asarray(graph.test_mask)[: graph.num_nodes])[0]
+def _target_ids(graph: Graph, mask=None) -> np.ndarray:
+    m = graph.test_mask if mask is None else mask
+    return np.nonzero(np.asarray(m)[: graph.num_nodes])[0]
 
 
 def _target_incident_edges(graph: Graph,
@@ -108,14 +109,14 @@ def _target_incident_edges(graph: Graph,
 
 def dice_modification_attack(graph: Graph, n_edge_mod: int = 50,
                              ratio_delete: float = 0.6,
-                             seed: int = 0) -> Graph:
+                             seed: int = 0, mask=None) -> Graph:
     """DICE — Delete Internally, Connect Externally (reference dice.py:11):
     remove same-label edges incident to test nodes, then add edges from test
     nodes to different-label nodes, under a total budget."""
     rng = np.random.default_rng(seed)
     N = graph.num_nodes
     y = np.asarray(graph.y)[:N]
-    targets = _target_ids(graph)
+    targets = _target_ids(graph, mask)
     pairs = _target_incident_edges(graph, targets)
     internal = pairs[y[pairs[:, 0]] == y[pairs[:, 1]]]
     n_delete = int(np.floor(n_edge_mod * ratio_delete))
@@ -145,11 +146,11 @@ def dice_modification_attack(graph: Graph, n_edge_mod: int = 50,
 
 
 def rand_modification_attack(graph: Graph, n_edge_mod: int = 50,
-                             seed: int = 0) -> Graph:
+                             seed: int = 0, mask=None) -> Graph:
     """RAND (reference rand.py:10): flip a random subset of target-incident
     edges."""
     rng = np.random.default_rng(seed)
-    pairs = _target_incident_edges(graph, _target_ids(graph))
+    pairs = _target_incident_edges(graph, _target_ids(graph, mask))
     if pairs.shape[0] == 0:
         return graph
     pairs = pairs[rng.permutation(pairs.shape[0])]
@@ -222,11 +223,11 @@ def _eigen_centrality(graph: Graph, iters: int = 100) -> np.ndarray:
 
 def flip_modification_attack(graph: Graph, n_edge_mod: int = 50,
                              flip_type: str = "deg", mode: str = "descend",
-                             seed: int = 0) -> Graph:
+                             seed: int = 0, mask=None) -> Graph:
     """FLIP (reference flip.py:11): flip target-incident edges in
     centrality-score order — ``deg`` (endpoint degree sum), ``bet``
     (betweenness), ``eigen`` (eigenvector centrality)."""
-    pairs = _target_incident_edges(graph, _target_ids(graph))
+    pairs = _target_incident_edges(graph, _target_ids(graph, mask))
     if pairs.shape[0] == 0:
         return graph
     if flip_type == "deg":
@@ -446,7 +447,7 @@ def _predicted_labels(model_apply, variables, graph: Graph) -> jnp.ndarray:
 
 def fga_modification_attack(model_apply, variables, graph: Graph,
                             n_edge_mod: int = 50, n_candidates: int = 2048,
-                            seed: int = 0) -> Graph:
+                            seed: int = 0, mask=None) -> Graph:
     """FGA — Fast Gradient Attack (reference fga.py:11). Greedy loop: take
     the gradient of the target loss wrt the flip relaxation and flip the
     highest-gradient candidate each round. The reference densifies the
@@ -456,7 +457,7 @@ def fga_modification_attack(model_apply, variables, graph: Graph,
     same greedy rule."""
     rng = np.random.default_rng(seed)
     N = graph.num_nodes
-    targets = _target_ids(graph)
+    targets = _target_ids(graph, mask)
     labels = _predicted_labels(model_apply, variables, graph)
     inc = _target_incident_edges(graph, targets)
     n_rand = max(n_candidates - inc.shape[0], n_candidates // 2)
@@ -501,7 +502,7 @@ def prbcd_modification_attack(model_apply, variables, graph: Graph,
                               resample_every: Optional[int] = None,
                               lr: float = 0.2,
                               final_samples: int = 10,
-                              seed: int = 0) -> Graph:
+                              seed: int = 0, mask=None) -> Graph:
     """PRBCD — Projected Randomized Block Coordinate Descent (reference
     prbcd.py:32). Relax edge flips to weights on a random candidate block,
     run projected gradient ascent on the tanh-margin loss, periodically
@@ -511,7 +512,7 @@ def prbcd_modification_attack(model_apply, variables, graph: Graph,
     reuses one compiled gradient program even across resamples."""
     rng = np.random.default_rng(seed)
     N = graph.num_nodes
-    targets = _target_ids(graph)
+    targets = _target_ids(graph, mask)
     labels = _predicted_labels(model_apply, variables, graph)
     n_resample = (int(0.75 * n_epoch) if resample_every is None
                   else resample_every)

@@ -295,3 +295,15 @@ def test_robustgcn_trains_and_resists_modification(trained):
     # same flips transplanted onto the robustgcn's (identical) graph
     rob_adv = _acc(rapply, rv, g_adv)
     assert rob_adv >= gcn_adv - 0.05, (rob_adv, gcn_adv)
+
+
+def test_trainer_modification_attack_hooks():
+    """TrainerConfig.attack accepts the modification family; adversarial
+    training targets train nodes and still learns."""
+    from cogdl_tpu.experiments import train
+
+    for atk in ("dice", "rand_flip"):
+        res = train("sbm", "gcn", seed=0, epochs=8, eval_step=4,
+                    hidden_size=16, attack=atk, attack_every=4)
+        assert "attack_clean_acc" in res
+        assert res["test_acc"] > 0.5, (atk, res)
