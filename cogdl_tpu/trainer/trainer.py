@@ -232,6 +232,42 @@ class Trainer:
             new_model_state = {**model_state, **updates}
             return params2, new_model_state, opt_state2, loss
 
+        # TPU-native epoch scan: wrappers exposing `epoch_xs(graph)` +
+        # `make_batch(graph, x)` (e.g. the on-device sampler) train a WHOLE
+        # epoch inside one jitted lax.scan — one dispatch + one readback per
+        # epoch instead of per batch, which matters when the host link adds
+        # ~27 ms RTT per call. Falls back to the per-batch loop under
+        # adversarial training (the attack rebuilds graphs host-side).
+        scan_epochs = (hasattr(wrapper, "epoch_xs")
+                       and hasattr(wrapper, "make_batch")
+                       and not cfg.attack)
+
+        @jax.jit
+        def train_epoch(params, model_state, opt_state, g, xs, rng):
+            def body(carry, x):
+                params, model_state, opt_state, rng = carry
+                rng, step_rng = jax.random.split(rng)
+
+                def loss_fn(p):
+                    if cfg.bf16:
+                        p = _cast_bf16(p)
+                    loss, updates = wrapper.loss(
+                        {"params": p, **model_state},
+                        wrapper.make_batch(g, x), step_rng, training=True)
+                    return loss.astype(jnp.float32), updates
+
+                (loss, updates), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                grads = jax.tree.map(lambda a: a.astype(jnp.float32), grads)
+                upd, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, upd)
+                return (params, {**model_state, **updates}, opt_state,
+                        rng), loss
+
+            (params, model_state, opt_state, _), losses = jax.lax.scan(
+                body, (params, model_state, opt_state, rng), xs)
+            return params, model_state, opt_state, losses
+
         if getattr(wrapper, "jit_eval", True):
             @jax.jit
             def eval_step(params, model_state, g):
@@ -282,18 +318,25 @@ class Trainer:
                     elif profiling and epoch == 1 + cfg.profile_epochs:
                         jax.profiler.stop_trace()
                         profiling = False
-                if refresh and epoch > 0:
+                if refresh and epoch > 0 and not scan_epochs:
                     batches = wrapper.train_batches(graph)
                 if cfg.attack and epoch % max(cfg.attack_every, 1) == 0:
                     adv = self._attack_graph(
                         wrapper, graph, {"params": params, **model_state})
                     batches = wrapper.train_batches(adv)
-                losses = []
-                for b in batches:
-                    rng, step_rng = jax.random.split(rng)
-                    params, model_state, opt_state, loss = train_step(
-                        params, model_state, opt_state, b, step_rng)
-                    losses.append(loss)
+                if scan_epochs:
+                    rng, epoch_rng = jax.random.split(rng)
+                    params, model_state, opt_state, losses = train_epoch(
+                        params, model_state, opt_state, graph,
+                        wrapper.epoch_xs(graph), epoch_rng)
+                    losses = [losses]
+                else:
+                    losses = []
+                    for b in batches:
+                        rng, step_rng = jax.random.split(rng)
+                        params, model_state, opt_state, loss = train_step(
+                            params, model_state, opt_state, b, step_rng)
+                        losses.append(loss)
                 if (epoch + 1) % cfg.eval_step == 0:
                     train_loss = float(jnp.mean(jnp.stack(losses)))
                     if cfg.nan_guard:
@@ -341,7 +384,8 @@ class Trainer:
                         if patience_left <= 0:
                             break
                 if cfg.progress and (epoch % 20 == 0):
-                    print(f"epoch {epoch}: loss={float(losses[-1]):.4f}")
+                    print(f"epoch {epoch}: "
+                          f"loss={float(jnp.mean(losses[-1])):.4f}")
             if profiling:  # early stop landed inside the traced window
                 jax.profiler.stop_trace()
             if hasattr(wrapper, "post_stage"):

@@ -124,6 +124,15 @@ class DeviceSampledNodeClfWrapper(NodeClfWrapper):
         return [{"graph": graph, "seeds": jnp.asarray(row)}
                 for row in self._sampler.epoch_seeds()]
 
+    # Trainer epoch-scan protocol: the whole epoch (sampling included) runs
+    # inside ONE jitted lax.scan over the [n_batches, B] seed matrix — one
+    # dispatch + one readback per epoch
+    def epoch_xs(self, graph: Graph):
+        return jnp.asarray(self._sampler.epoch_seeds())
+
+    def make_batch(self, graph: Graph, x):
+        return {"graph": graph, "seeds": x}
+
     def _forward(self, variables, graph, seeds, sample_key, drop_key,
                  training, mutable):
         from ..data.device_sampling import sample_blocks_device
