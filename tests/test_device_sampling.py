@@ -156,3 +156,16 @@ def test_host_vs_device_training_parity():
     dev = train("sbm", "sage", wrapper="neighbor_sampling_device",
                 fanouts=(5, 5), **kw)
     assert abs(host["test_acc"] - dev["test_acc"]) < 0.25, (host, dev)
+
+
+def test_device_wrapper_attack_fallback():
+    """Adversarial training disables the epoch scan (attacks rebuild graphs
+    host-side) and the per-batch fallback still trains + reports
+    under-attack metrics."""
+    from cogdl_tpu.experiments import train
+
+    res = train("sbm", "sage", wrapper="neighbor_sampling_device", seed=0,
+                epochs=8, eval_step=4, hidden_size=16, fanouts=(4, 4),
+                batch_size=32, attack="fgsm", attack_every=4)
+    assert "attack_clean_acc" in res
+    assert res["test_acc"] > 0.5
