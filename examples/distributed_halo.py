@@ -4,9 +4,17 @@
         python examples/distributed_halo.py
 """
 
+import os
 import sys
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+# honor JAX_PLATFORMS=cpu even where a sitecustomize pre-imports jax with a
+# different platform (env alone is too late there; jax.config still works)
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import jax
 import jax.numpy as jnp

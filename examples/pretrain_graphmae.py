@@ -1,8 +1,16 @@
 """GraphMAE self-supervised pretraining + linear probe (BASELINE config 5)."""
 
+import os
 import sys
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+# honor JAX_PLATFORMS=cpu even where a sitecustomize pre-imports jax with a
+# different platform (env alone is too late there; jax.config still works)
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 from cogdl_tpu.experiments import train
 
