@@ -68,7 +68,11 @@ def main():
                     "miss the VMEM-staged path); keep f32 for SpMM-bound "
                     "models on this backend")
     ap.add_argument("--products", action="store_true",
-                    help="full ogbn-products scale (2.45M nodes, ~124M edges)")
+                    help="full ogbn-products scale (2.45M nodes, ~124M "
+                    "edges). NOTE: this backend kills device programs over "
+                    "~20 s — for GAT at this scale (12 s/step) run with "
+                    "--warmup 1 --steps 1 --repeats 3 so each lax.scan "
+                    "program stays under the cap (CLAUDE.md)")
     ap.add_argument("--blocked", action="store_true",
                     help="use the blocked source-panel device layouts "
                     "(the --products path: panel gathers at ~2.9 vs ~11 "

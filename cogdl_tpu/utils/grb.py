@@ -338,6 +338,7 @@ from .grb_modification import (  # noqa: E402,F401
     fga_modification_attack,
     flip_modification_attack,
     nea_modification_attack,
+    pgd_modification_attack,
     prbcd_modification_attack,
     rand_modification_attack,
     stack_modification_attack,

@@ -34,6 +34,7 @@ __all__ = [
     "stack_modification_attack",
     "fga_modification_attack",
     "prbcd_modification_attack",
+    "pgd_modification_attack",
 ]
 
 
@@ -598,3 +599,25 @@ def prbcd_modification_attack(model_apply, variables, graph: Graph,
     if picked.shape[0] == 0:
         return graph
     return apply_edge_flips(graph, picked.astype(np.int64))
+
+
+def pgd_modification_attack(model_apply, variables, graph: Graph,
+                            n_edge_mod: int = 50, n_node_mod: int = 50,
+                            epsilon: float = 0.1, steps: int = 10,
+                            step_size: float = 0.02,
+                            seed: int = 0, mask=None) -> Graph:
+    """Joint structure+feature PGD (reference modification/pgd.py:13):
+    random edge flips around the targets, then PGD feature optimisation of
+    a random subset of ``n_node_mod`` target nodes on the modified graph."""
+    from .grb import pgd_attack_features
+
+    g2 = rand_modification_attack(graph, n_edge_mod, seed=seed, mask=mask)
+    rng = np.random.default_rng(seed + 1)
+    targets = _target_ids(graph, mask)
+    if targets.size == 0:
+        return g2
+    mod = rng.choice(targets, size=min(n_node_mod, targets.size),
+                     replace=False)
+    fmask = jnp.zeros(g2.n_pad, bool).at[jnp.asarray(mod)].set(True)
+    return pgd_attack_features(model_apply, variables, g2, epsilon=epsilon,
+                               steps=steps, step_size=step_size, mask=fmask)

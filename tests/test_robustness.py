@@ -307,3 +307,14 @@ def test_trainer_modification_attack_hooks():
                     hidden_size=16, attack=atk, attack_every=4)
         assert "attack_clean_acc" in res
         assert res["test_acc"] > 0.5, (atk, res)
+
+
+def test_pgd_modification_attack(trained):
+    from cogdl_tpu.utils.grb import pgd_modification_attack
+
+    apply, variables, graph = trained
+    g_adv = pgd_modification_attack(apply, variables, graph, n_edge_mod=100,
+                                    n_node_mod=100, epsilon=0.3, steps=5,
+                                    step_size=0.1)
+    assert g_adv.num_nodes == graph.num_nodes
+    assert _acc(apply, variables, g_adv) < _acc(apply, variables, graph)
