@@ -134,11 +134,16 @@ def sample_blocks_device(
         w = jnp.concatenate(
             [alive_e.astype(jnp.float32),
              jnp.zeros((e_pad - e_real,), jnp.float32)])
+        meta = {"fanout": f, "frontier": n}
+        if graph.meta_get("num_classes") is not None:
+            meta["num_classes"] = graph.num_classes
         blocks.append(Graph(
             row_ptr=jnp.asarray(rp), row=jnp.asarray(rows), col=cols,
             edge_weight=w, num_nodes=S, num_edges=e_real,
-            meta=(("num_classes", graph.num_classes),)
-            if graph.meta_get("num_classes") is not None else (),
+            # static regular-fanout meta: every real dst has EXACTLY f slots
+            # in dst-major order, so aggregation reduces a [n, f, F] reshape
+            # instead of running a segment scatter (ops.aggregate fast path)
+            meta=tuple(sorted(meta.items())),
         ))
 
     blocks[0] = blocks[0].replace(

@@ -243,6 +243,20 @@ def s_dot_t(graph, src, dst):
 
 def aggregate(graph: Graph, x: jnp.ndarray, how: str = "sum") -> jnp.ndarray:
     """Neighborhood aggregation of source features into destinations."""
+    f = graph.meta_get("fanout")
+    if f and how in ("sum", "mean"):
+        # regular-fanout block (device sampler): every real dst owns EXACTLY
+        # f dst-major slots, so the "scatter" is a [n, f, F] reshape-reduce —
+        # no segment op at all (dead slots carry zero features/weights)
+        n = graph.meta_get("frontier")
+        msg = seg.gather(x, graph.col[: n * f]).reshape(n, f, -1)
+        if how == "sum":
+            msg = msg * graph.edge_weight[: n * f].reshape(n, f, 1)
+            red = jnp.sum(msg, axis=1)
+        else:
+            red = jnp.mean(msg, axis=1)
+        out = jnp.zeros((graph.n_pad, red.shape[-1]), red.dtype)
+        return jax.lax.dynamic_update_slice(out, red, (0, 0))
     if how == "sum":
         return spmm(graph, x)
     msg = seg.gather(x, graph.col)

@@ -169,3 +169,31 @@ def test_device_wrapper_attack_fallback():
                 batch_size=32, attack="fgsm", attack_every=4)
     assert "attack_clean_acc" in res
     assert res["test_acc"] > 0.5
+
+
+def test_regular_fanout_aggregate_matches_segment_path(g):
+    """The reshape-reduce fast path for regular-fanout blocks must equal the
+    generic segment aggregation exactly (real rows; pads are masked)."""
+    from cogdl_tpu.ops import aggregate
+    from cogdl_tpu.ops import segment as seg
+
+    seeds = jnp.arange(24, dtype=jnp.int32)
+    blocks, frame = sample_blocks_device(g, seeds, jax.random.PRNGKey(5),
+                                         (4, 3))
+    x = jnp.take(blocks[0].extras["x_table"], blocks[0].extras["frame"],
+                 axis=0, mode="clip")
+    for b in blocks:
+        fast_mean = aggregate(b, x, "mean")
+        fast_sum = aggregate(b, x, "sum")
+        # force the generic path by dropping the fanout meta
+        generic = b.replace(meta=tuple(
+            kv for kv in b.meta if kv[0] not in ("fanout", "frontier")))
+        slow_mean = aggregate(generic, x, "mean")
+        slow_sum = aggregate(generic, x, "sum")
+        n = b.meta_get("frontier")
+        np.testing.assert_allclose(np.asarray(fast_mean)[:n],
+                                   np.asarray(slow_mean)[:n],
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(fast_sum)[:n],
+                                   np.asarray(slow_sum)[:n],
+                                   rtol=1e-5, atol=1e-5)
