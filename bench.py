@@ -396,10 +396,9 @@ def bench_sampled_device(args):
                              blocks[0].extras["frame"], axis=0, mode="clip")
                 logits = model.apply({"params": p}, list(blocks), x,
                                      training=True, rngs={"dropout": dk})
-                mask = jnp.zeros(logits.shape[0], bool).at[:B].set(True)
-                if blocks[0].train_mask is not None:
-                    mask = mask & blocks[0].train_mask
-                return masked_cross_entropy(logits, blocks[0].y, mask)
+                ex = blocks[0].extras
+                return masked_cross_entropy(logits[:B], ex["seed_y"],
+                                            ex["seed_train_mask"])
 
             loss, grads = jax.value_and_grad(loss_fn)(p)
             upd, o = tx.update(grads, o, p)

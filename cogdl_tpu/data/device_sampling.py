@@ -71,8 +71,9 @@ def sample_blocks_device(
     Graphs over one shared node frame (outermost-first, one per layer);
     ``frame`` is the padded ``int32[n_pad]`` global-id array whose first
     ``len(seeds)`` rows are the seeds. ``blocks[0]`` carries the gather
-    extras (``frame`` + resident ``x_table``), frame labels and train mask,
-    mirroring the host ``NeighborSampler(device_features=True)`` contract.
+    extras (``frame`` + resident ``x_table``) plus SEED-row labels and train
+    mask (``seed_y``/``seed_train_mask``, ``[B]``-sized — the loss slices
+    logits to the seed rows, so full-frame label streams never exist).
     """
     fanouts = tuple(int(f) for f in fanouts)
     B = int(seeds.shape[0])
@@ -106,12 +107,15 @@ def sample_blocks_device(
     frame = jnp.concatenate(
         [cur, jnp.full((n_pad - S,), g_sink, jnp.int32)])
 
+    # labels/masks only for the SEED rows (the loss never reads deeper frame
+    # rows; full-frame [n_pad] gathers + masks cost 1-2 ms each at B=1024 —
+    # the 1-D T(1024) layout penalty, scripts/profile_sampled.py)
+    seed_ids = frame[:B]
     y_f = tm_f = None
     if graph.y is not None:
-        y_f = jnp.take(graph.y, frame, axis=0, mode="clip")
+        y_f = jnp.take(graph.y, seed_ids, axis=0, mode="clip")
     if graph.train_mask is not None:
-        tm_f = jnp.take(graph.train_mask, frame, mode="clip")
-        tm_f = tm_f & (jnp.arange(n_pad, dtype=jnp.int32) < S)
+        tm_f = jnp.take(graph.train_mask, seed_ids, mode="clip")
 
     blocks: List[Graph] = []
     for k in reversed(range(len(fanouts))):
@@ -147,8 +151,8 @@ def sample_blocks_device(
         ))
 
     blocks[0] = blocks[0].replace(
-        y=y_f, train_mask=tm_f,
-        extras={"frame": frame, "x_table": graph.x})
+        extras={"frame": frame, "x_table": graph.x,
+                "seed_y": y_f, "seed_train_mask": tm_f})
     return tuple(blocks), frame
 
 

@@ -152,10 +152,12 @@ class DeviceSampledNodeClfWrapper(NodeClfWrapper):
                                     sample_key, drop_key, training, mutable)
         logits, updates = out if mutable else (out, {})
         B = self.batch_size
-        mask = jnp.zeros(logits.shape[0], bool).at[:B].set(True)
-        if blocks[0].train_mask is not None:
-            mask = mask & blocks[0].train_mask
-        return masked_cross_entropy(logits, blocks[0].y, mask), updates
+        # seed rows only: logits[:B] + the [B]-sized label/mask extras (the
+        # deeper frame rows never enter the loss — avoids [n_pad] streams)
+        ex = blocks[0].extras
+        mask = (ex["seed_train_mask"] if ex["seed_train_mask"] is not None
+                else jnp.ones((B,), bool))
+        return masked_cross_entropy(logits[:B], ex["seed_y"], mask), updates
 
     def init(self, rng, graph: Graph):
         from ..data.device_sampling import sample_blocks_device

@@ -75,10 +75,9 @@ def main():
                          blocks[0].extras["frame"], axis=0, mode="clip")
             logits = model.apply({"params": p}, list(blocks), x,
                                  training=True, rngs={"dropout": key})
-            mask = jnp.zeros(logits.shape[0], bool).at[:B].set(True)
-            if blocks[0].train_mask is not None:
-                mask = mask & blocks[0].train_mask
-            return masked_cross_entropy(logits, blocks[0].y, mask)
+            ex = blocks[0].extras
+            return masked_cross_entropy(logits[:B], ex["seed_y"],
+                                        ex["seed_train_mask"])
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         upd, opt_state = tx.update(grads, opt_state, params)

@@ -62,8 +62,9 @@ def test_frame_layout_and_sizes(g):
     assert blocks[0].num_edges == sizes[1] * fanouts[1]   # outer hop
     assert blocks[1].num_edges == sizes[0] * fanouts[0]   # seed hop
     assert blocks[0].n_pad == blocks[1].n_pad
-    # labels/masks ride blocks[0]; train positions confined to real frame
-    assert blocks[0].y is not None
+    # seed-row labels/masks ride blocks[0].extras ([B]-sized)
+    assert blocks[0].extras["seed_y"].shape == (B,)
+    assert blocks[0].extras["seed_train_mask"].shape == (B,)
 
 
 def test_static_shapes_single_compile(g):
