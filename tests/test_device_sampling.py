@@ -198,3 +198,13 @@ def test_regular_fanout_aggregate_matches_segment_path(g):
         np.testing.assert_allclose(np.asarray(fast_sum)[:n],
                                    np.asarray(slow_sum)[:n],
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_three_hop_device_sampling():
+    """fanouts generalise past 2 hops (3-layer SAGE over 3 blocks)."""
+    from cogdl_tpu.experiments import train
+
+    res = train("sbm", "sage", wrapper="neighbor_sampling_device", seed=0,
+                epochs=25, eval_step=5, hidden_size=32, num_layers=3,
+                fanouts=(4, 4, 3), batch_size=64, lr=1e-2)
+    assert res["test_acc"] > 0.55, res
