@@ -26,10 +26,16 @@ class GAT(nn.Module):
     exact_scores: bool = False
 
     @nn.compact
-    def __call__(self, graph: Graph, x: Optional[jnp.ndarray] = None,
+    def __call__(self, graph, x: Optional[jnp.ndarray] = None,
                  training: bool = False):
+        """``graph`` is a Graph (full batch) or a sequence of per-hop block
+        Graphs (sampled mini-batch, outermost-first — the GraphSAGE blocks
+        contract, enabling neighbor-sampled GAT training the reference's
+        full-batch-only GAT cannot do)."""
+        blocks = (list(graph) if isinstance(graph, (list, tuple))
+                  else [graph] * self.num_layers)
         if x is None:
-            x = graph.x
+            x = blocks[0].x
         for i in range(self.num_layers - 1):
             if self.dropout > 0 and training:
                 x = nn.Dropout(rate=self.dropout, deterministic=False)(x)
@@ -38,7 +44,7 @@ class GAT(nn.Module):
                 attn_drop=self.attn_drop, activation="elu",
                 residual=self.residual, norm=self.norm, concat=True,
                 exact_scores=self.exact_scores, name=f"layer{i}",
-            )(graph, x, training)
+            )(blocks[i], x, training)
         if self.dropout > 0 and training:
             x = nn.Dropout(rate=self.dropout, deterministic=False)(x)
         return GATLayer(
@@ -46,4 +52,4 @@ class GAT(nn.Module):
             attn_drop=self.attn_drop, concat=False,
             exact_scores=self.exact_scores,
             name=f"layer{self.num_layers - 1}",
-        )(graph, x, training)
+        )(blocks[-1], x, training)

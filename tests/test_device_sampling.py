@@ -208,3 +208,14 @@ def test_three_hop_device_sampling():
                 epochs=25, eval_step=5, hidden_size=32, num_layers=3,
                 fanouts=(4, 4, 3), batch_size=64, lr=1e-2)
     assert res["test_acc"] > 0.55, res
+
+
+def test_sampled_gat_via_device_wrapper():
+    """GAT consumes per-hop blocks like GraphSAGE — neighbor-sampled GAT
+    training, a capability the reference's full-batch-only GAT lacks."""
+    from cogdl_tpu.experiments import train
+
+    res = train("sbm", "gat", wrapper="neighbor_sampling_device", seed=0,
+                epochs=25, eval_step=5, hidden_size=8, nhead=4, dropout=0.0,
+                attn_drop=0.0, fanouts=(5, 5), batch_size=64, lr=1e-2)
+    assert res["test_acc"] > 0.55, res
