@@ -354,9 +354,12 @@ def bench_sampled_device(args):
         graph = add_self_loops(graph)
     fanouts = tuple(int(f) for f in args.fanouts.split(","))
     B = args.batch_size
-    model = build_model("sage", in_features=args.feat_dim,
-                        out_features=graph.num_classes,
-                        hidden_size=args.hidden, dropout=0.0)
+    name = args.model if args.model in ("sage", "gat") else "sage"
+    kw = dict(in_features=args.feat_dim, out_features=graph.num_classes,
+              hidden_size=args.hidden, dropout=0.0)
+    if name == "gat":  # blocks-consuming GAT (minibatch attention)
+        kw.update(hidden_size=args.hidden // 8, nhead=8, attn_drop=0.0)
+    model = build_model(name, **kw)
     sampler = DeviceNeighborSampler(graph, fanouts, batch_size=B)
     rows = [sampler.epoch_seeds()]
     while sum(r.shape[0] for r in rows) < args.warmup + args.steps:
@@ -424,7 +427,7 @@ def bench_sampled_device(args):
 
     eps = edges_per_batch * args.steps / dt
     _emit({
-        "metric": f"SAGE sampled-train edge-slots/sec (1 chip, on-device "
+        "metric": f"{name.upper()} sampled-train edge-slots/sec (1 chip, on-device "
                   f"sampler, powerlaw {args.nodes}n x{args.avg_degree}, "
                   f"fanouts {args.fanouts}, B={B})",
         "value": round(eps),
