@@ -53,6 +53,26 @@ class GATLayer(nn.Module):
                               a_dst=a_dst, alpha=self.alpha, attn_drop=drop,
                               dropout_rng=rng,
                               exact_scores=self.exact_scores)
+        f = graph.meta_get("fanout")
+        if out is None and f:
+            # regular-fanout block (device sampler): each real dst owns
+            # EXACTLY f dst-major slots, so per-dst softmax + aggregation are
+            # [n, f, ...] reshape-reduces — no segment ops (cf. ops.aggregate
+            # fast path). Dead slots (weight 0) are masked to -inf.
+            n = graph.meta_get("frontier")
+            cols = graph.col[: n * f]
+            e = (jnp.repeat(score_dst[:n], f, axis=0)
+                 + jnp.take(score_src, cols, axis=0, mode="clip"))
+            e = jax.nn.leaky_relu(e, self.alpha).reshape(n, f, H)
+            w = graph.edge_weight[: n * f].reshape(n, f, 1)
+            att = jax.nn.softmax(jnp.where(w > 0, e, -1e30), axis=1)
+            if self.attn_drop > 0 and training:
+                att = nn.Dropout(rate=self.attn_drop,
+                                 deterministic=False)(att)
+            msg = jnp.take(h, cols, axis=0, mode="clip").reshape(n, f, H, D)
+            red = jnp.sum(att[..., None] * msg, axis=1)        # [n, H, D]
+            out = jax.lax.dynamic_update_slice(
+                jnp.zeros((graph.n_pad, H, D), red.dtype), red, (0, 0, 0))
         if out is None:
             from ..ops.spmm import gather_src
 

@@ -219,3 +219,26 @@ def test_sampled_gat_via_device_wrapper():
                 epochs=25, eval_step=5, hidden_size=8, nhead=4, dropout=0.0,
                 attn_drop=0.0, fanouts=(5, 5), batch_size=64, lr=1e-2)
     assert res["test_acc"] > 0.55, res
+
+
+def test_regular_fanout_gat_layer_matches_generic(g):
+    """GATLayer's reshape-softmax fast path over regular-fanout blocks equals
+    the generic segment edge-softmax path (real rows)."""
+    from cogdl_tpu.layers import GATLayer
+
+    seeds = jnp.arange(16, dtype=jnp.int32)
+    blocks, frame = sample_blocks_device(g, seeds, jax.random.PRNGKey(9),
+                                         (4, 3))
+    x = jnp.take(blocks[0].extras["x_table"], blocks[0].extras["frame"],
+                 axis=0, mode="clip")
+    layer = GATLayer(8, nhead=2, attn_drop=0.0)
+    for b in blocks:
+        v = layer.init(jax.random.PRNGKey(0), b, x, training=False)
+        fast = layer.apply(v, b, x, training=False)
+        generic = b.replace(meta=tuple(
+            kv for kv in b.meta if kv[0] not in ("fanout", "frontier")))
+        slow = layer.apply(v, generic, x, training=False)
+        n = b.meta_get("frontier")
+        np.testing.assert_allclose(np.asarray(fast)[:n],
+                                   np.asarray(slow)[:n],
+                                   rtol=1e-4, atol=1e-5)
