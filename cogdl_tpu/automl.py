@@ -6,8 +6,10 @@ search space incl. layer type for the ``autognn`` meta-model).
 
 optuna is not available in this environment, so the search backend is
 pluggable: ``backend="optuna"`` uses it when importable, otherwise a built-in
-random/TPE-lite sampler runs the identical protocol (sample → train over
-seeds → mean val metric → keep best).
+TPE-lite sampler (``_suggest_tpe``: Parzen density ratio over the past
+trials — random for the first ``n_startup`` trials, then candidates drawn
+from the good-quantile density and ranked by l(x)/g(x)) runs the identical
+protocol (sample → train over seeds → mean val metric → keep best).
 """
 
 from __future__ import annotations
@@ -40,6 +42,89 @@ def _sample(space: Dict, rng: np.random.Generator) -> Dict[str, Any]:
         else:
             raise ValueError(f"unknown space kind {kind}")
     return out
+
+
+def _to_unit(spec, v) -> float:
+    """Map a numeric parameter into its search-space coordinate (log space
+    for loguniform) so one bandwidth rule covers every kind."""
+    kind = spec[0]
+    if kind == "loguniform":
+        return float(np.log(v))
+    return float(v)
+
+
+def _numeric_bounds(spec):
+    kind = spec[0]
+    lo, hi = spec[1], spec[2]
+    if kind == "loguniform":
+        return float(np.log(lo)), float(np.log(hi))
+    return float(lo), float(hi)
+
+
+def _from_unit(spec, u):
+    kind = spec[0]
+    lo, hi = _numeric_bounds(spec)
+    u = float(np.clip(u, lo, hi))
+    if kind == "loguniform":
+        # exp(log(hi)) can exceed hi by 1 ulp — clip in the original domain
+        return float(min(max(np.exp(u), spec[1]), spec[2]))
+    if kind == "int":
+        return int(round(u))
+    return float(u)
+
+
+def _parzen_logpdf(x: float, centers: np.ndarray, bw: float) -> float:
+    """log of a Gaussian-mixture density with one component per past trial
+    (the 1-D Parzen estimator TPE uses per dimension)."""
+    z = (x - centers) / bw
+    lp = -0.5 * z * z - np.log(bw * np.sqrt(2 * np.pi))
+    m = lp.max()
+    return float(m + np.log(np.mean(np.exp(lp - m))))
+
+
+def _suggest_tpe(space: Dict, history: List, rng: np.random.Generator,
+                 gamma: float = 0.25, n_candidates: int = 24) -> Dict[str, Any]:
+    """TPE-lite: split past ``(params, value)`` trials at the γ-quantile,
+    fit per-dimension Parzen densities l(x) (good) and g(x) (bad), draw
+    candidates from l and return the one maximising Σ log l − log g.
+    Mirrors optuna's TPESampler shape (reference experiments.py:25-76 uses
+    optuna's study.optimize) without the dependency."""
+    order = sorted(history, key=lambda t: -t[1])
+    n_good = max(1, int(np.ceil(gamma * len(order))))
+    good = [t[0] for t in order[:n_good]]
+    bad = [t[0] for t in order[n_good:]] or good
+
+    best_cand, best_score = None, -np.inf
+    for _ in range(n_candidates):
+        cand, score = {}, 0.0
+        for k, spec in space.items():
+            kind = spec[0]
+            if kind == "categorical":
+                cats = spec[1]
+                idx = {c: i for i, c in enumerate(cats)}
+                cg = np.ones(len(cats))
+                for p in good:
+                    cg[idx[p[k]]] += 1
+                cb = np.ones(len(cats))
+                for p in bad:
+                    cb[idx[p[k]]] += 1
+                pg, pb = cg / cg.sum(), cb / cb.sum()
+                i = int(rng.choice(len(cats), p=pg))
+                cand[k] = cats[i]
+                score += float(np.log(pg[i]) - np.log(pb[i]))
+            else:
+                lo, hi = _numeric_bounds(spec)
+                bw = max((hi - lo) / max(np.sqrt(len(good)), 1.0), 1e-12)
+                cg = np.array([_to_unit(spec, p[k]) for p in good])
+                cb = np.array([_to_unit(spec, p[k]) for p in bad])
+                u = float(np.clip(cg[rng.integers(len(cg))]
+                                  + bw * rng.standard_normal(), lo, hi))
+                cand[k] = _from_unit(spec, u)
+                score += (_parzen_logpdf(u, cg, bw)
+                          - _parzen_logpdf(u, cb, bw))
+        if score > best_score:
+            best_cand, best_score = cand, score
+    return best_cand
 
 
 class AutoML:
@@ -110,8 +195,14 @@ class AutoML:
             study.optimize(obj, n_trials=self.n_trials)
         else:
             rng = np.random.default_rng(0)
-            for _ in range(self.n_trials):
-                self._objective(_sample(self.space, rng))
+            n_startup = min(max(4, self.n_trials // 4), self.n_trials)
+            history: List = []
+            for t in range(self.n_trials):
+                if t < n_startup:
+                    params = _sample(self.space, rng)
+                else:
+                    params = _suggest_tpe(self.space, history, rng)
+                history.append((params, self._objective(params)))
         return {
             "best_params": self.best_params,
             "best_value": self.best_value,
