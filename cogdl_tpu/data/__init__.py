@@ -5,6 +5,7 @@ from .graph import (
     from_coo,
     pad_to,
     remove_self_loops,
+    reorder,
     reverse,
     row_norm,
     sym_norm,
@@ -13,5 +14,6 @@ from .graph import (
 
 __all__ = [
     "Graph", "from_coo", "sym_norm", "row_norm", "col_norm",
-    "add_self_loops", "remove_self_loops", "to_undirected", "reverse", "pad_to",
+    "add_self_loops", "remove_self_loops", "to_undirected", "reverse",
+    "reorder", "pad_to",
 ]

@@ -59,6 +59,10 @@ def main():
     ap.add_argument("--feat-dim", type=int, default=100)
     ap.add_argument("--hidden", type=int, default=128)
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--prop-cache", action="store_true",
+                    help="apply ops.cache_propagation (the bench's default "
+                    "GCN config) so the profile matches bench.py")
+    ap.add_argument("--r-tile", type=int, default=256)
     ap.add_argument("--device-graph", action="store_true",
                     help="use the device-side generator + device layout "
                     "build (the --products path) at the given --nodes")
@@ -93,23 +97,36 @@ def main():
         from cogdl_tpu.ops.pallas.device_layout import prepare_spmm_device
 
         graph = powerlaw_graph_device(args.nodes, avg_degree=args.avg_degree,
-                                      feat_dim=args.feat_dim)
+                                      feat_dim=args.feat_dim,
+                                      pad_multiple=args.r_tile)
         if _is_tpu():
             graph = prepare_spmm_device(graph, symmetric=True,
-                                        with_orig=args.model == "gat")
+                                        with_orig=args.model == "gat",
+                                        r_tile=args.r_tile)
+            import jax.numpy as _jnp
+            z = _jnp.zeros(1, _jnp.int32)
+            graph = graph.replace(row=z, col=z,
+                                  edge_weight=_jnp.zeros(1, _jnp.float32))
     else:
         graph = powerlaw_graph(args.nodes, avg_degree=args.avg_degree,
                                feat_dim=args.feat_dim, device_features=True)
         graph = sym_norm(add_self_loops(graph))
         if _is_tpu():
             graph = prepare_spmm(graph)
+    if args.prop_cache and args.model == "gcn":
+        from cogdl_tpu.ops import cache_propagation
+
+        graph = cache_propagation(graph)
     kw = dict(in_features=args.feat_dim, out_features=graph.num_classes,
               hidden_size=args.hidden, dropout=0.0)
     if args.model == "gat":
         kw.update(nhead=8, hidden_size=args.hidden // 8, attn_drop=0.0)
     model = build_model(args.model, **kw)
     rng = jax.random.PRNGKey(0)
-    variables = model.init(rng, graph, graph.x, training=False)
+    # jit the init — eager init at products scale materialises every
+    # multi-GB intermediate and OOMs (CLAUDE.md)
+    variables = jax.jit(model.init, static_argnames="training")(
+        rng, graph, graph.x, training=False)
     tx = optax.adam(1e-2)
     opt_state = tx.init(variables["params"])
 
