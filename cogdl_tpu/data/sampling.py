@@ -242,43 +242,73 @@ class Prefetcher:
         t.join()
 
 
-def bfs_partition(graph: Graph, n_parts: int, seed: int = 0) -> np.ndarray:
+def bfs_partition(graph: Graph, n_parts: int, seed: int = 0,
+                  weights=None, node_slack: float = 1.5) -> np.ndarray:
     """Balanced BFS-grown partition — the METIS replacement
     (reference ClusteredDataset uses `import metis`, sampler.py:194).
-    Greedy multi-source BFS with per-part size caps."""
+    Greedy multi-source BFS with per-part budget caps.
+
+    ``weights=None`` balances node counts (the original behaviour).
+    ``weights="degree"`` balances per-part IN-degree sums instead — the
+    right objective for distributed dst-partitioned SpMM, where the padded
+    per-shard edge count ``El = max_p edges(p)`` sets every shard's cost; a
+    secondary node-count cap (``node_slack`` × the balanced share) bounds
+    the per-shard node padding ``Nl``. An explicit per-node weight array is
+    also accepted."""
     N = graph.num_nodes
     indptr, indices, _ = graph_csr(graph)
     rng = np.random.default_rng(seed)
-    cap = (N + n_parts - 1) // n_parts
+    if weights is None:
+        wt = np.ones(N, np.int64)
+        node_cap = None
+    else:
+        if isinstance(weights, str):
+            if weights != "degree":
+                raise ValueError(f"unknown weights {weights!r}")
+            wt = (indptr[1:] - indptr[:-1]).astype(np.int64) + 1
+        else:
+            wt = np.asarray(weights, np.int64)
+        node_cap = int(np.ceil(N / n_parts * node_slack))
+    cap = int(np.ceil(wt.sum() / n_parts))
     part = np.full(N, -1, np.int64)
-    sizes = np.zeros(n_parts, np.int64)
+    sizes = np.zeros(n_parts, np.int64)      # weight budget used
+    counts = np.zeros(n_parts, np.int64)     # node counts
+
+    def fits(p):
+        return sizes[p] < cap and (node_cap is None or counts[p] < node_cap)
+
     seeds = rng.choice(N, size=n_parts, replace=False if N >= n_parts else True)
     frontiers = [[s] for s in seeds]
     for p, s in enumerate(seeds):
         if part[s] == -1:
             part[s] = p
-            sizes[p] += 1
+            sizes[p] += wt[s]
+            counts[p] += 1
     active = True
     while active:
         active = False
         for p in range(n_parts):
-            if sizes[p] >= cap or not frontiers[p]:
+            if not fits(p) or not frontiers[p]:
                 continue
             nxt = []
             for u in frontiers[p]:
                 for v in indices[indptr[u]: indptr[u + 1]]:
-                    if part[v] == -1 and sizes[p] < cap:
+                    if part[v] == -1 and fits(p):
                         part[v] = p
-                        sizes[p] += 1
+                        sizes[p] += wt[v]
+                        counts[p] += 1
                         nxt.append(v)
             frontiers[p] = nxt
             if nxt:
                 active = True
-    # unassigned (disconnected) → smallest parts
+    # unassigned (disconnected / capped out) → lightest part under node cap
     for v in np.nonzero(part == -1)[0]:
-        p = int(np.argmin(sizes))
+        order = np.argsort(sizes)
+        p = next((int(q) for q in order
+                  if node_cap is None or counts[q] < node_cap), int(order[0]))
         part[v] = p
-        sizes[p] += 1
+        sizes[p] += wt[v]
+        counts[p] += 1
     return part
 
 

@@ -35,48 +35,105 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def partition_graph(graph: Graph, n_shards: int) -> Dict[str, np.ndarray]:
-    """Contiguous destination-node partition → stacked per-shard arrays.
+def shard_assignment(graph: Graph, n_shards: int,
+                     method: str = "contiguous", seed: int = 0):
+    """Node → shard assignment with within-shard local ids.
+
+    ``contiguous``: ``part = id // Nl`` (the original split — pathological
+    on real power-law graphs: shard 0 gets every hub).
+    ``bfs``: degree-weighted BFS-grown balanced partition
+    (:func:`cogdl_tpu.data.sampling.bfs_partition`, the METIS replacement —
+    reference sampler.py:188-245) — per-shard IN-degree sums are balanced so
+    the padded edge count ``El = max_p edges(p)`` stays near the mean.
+
+    Returns ``(part[N], local[N], Nl)`` with the invariant that the
+    relabeled global id ``gid = part·Nl + local`` is unique, so collective
+    code (all_gather tables, ring ownership tests) works unchanged on
+    ``gid``-indexed columns.
+    """
+    N = graph.num_nodes
+    if method == "contiguous":
+        Nl = _round_up(graph.n_pad, n_shards) // n_shards
+        ids = np.arange(N, dtype=np.int64)
+        part = ids // Nl
+        return part, ids - part * Nl, Nl
+    if method != "bfs":
+        raise ValueError(f"unknown partition method {method!r}")
+    from ..data.sampling import bfs_partition
+
+    part = bfs_partition(graph, n_shards, seed=seed, weights="degree")
+    counts = np.bincount(part, minlength=n_shards)
+    offsets = np.zeros(n_shards + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    order = np.argsort(part, kind="stable")
+    ranks = np.empty(N, np.int64)
+    ranks[order] = np.arange(N)
+    local = ranks - offsets[part]
+    Nl = _round_up(int(counts.max()) if N else 1, 8)
+    return part, local, Nl
+
+
+def _gather_shard_nodes(a, node_list, fill=0):
+    """node-data array → [P, Nl, ...] per-shard rows via an id gather
+    (node_list[p, i] = global id of shard p's i-th node, -1 on padding)."""
+    if a is None:
+        return None
+    a = np.asarray(a)
+    P_, Nl = node_list.shape
+    out = np.full((P_, Nl) + a.shape[1:], fill, a.dtype)
+    valid = node_list >= 0
+    out[valid] = a[node_list[valid]]
+    return out
+
+
+def partition_graph(graph: Graph, n_shards: int,
+                    method: str = "contiguous",
+                    seed: int = 0) -> Dict[str, np.ndarray]:
+    """Destination-node partition → stacked per-shard arrays.
 
     Returns dict of numpy arrays with leading dim ``n_shards``:
       x[P, Nl, F], y[P, Nl], train_mask[P, Nl],
-      row_local[P, El] (dst relative to shard), col[P, El] (global src),
+      row_local[P, El] (dst relative to shard), col[P, El] (gid src:
+      ``part·Nl + local`` — equals the raw global id for ``contiguous``),
       w[P, El], edge_mask implicit via w=0 padding.
     """
-    N = graph.num_nodes
-    Nl = _round_up(graph.n_pad, n_shards) // n_shards
     E = graph.num_edges
     row = np.asarray(graph.row)[:E]
     col = np.asarray(graph.col)[:E]
     w = np.asarray(graph.edge_weight)[:E]
-    shard_of = row // Nl
+    part, local, Nl = shard_assignment(graph, n_shards, method, seed)
+    shard_of = part[row]
+    gid = part * Nl + local
 
     counts = np.bincount(shard_of, minlength=n_shards)
     El = _round_up(int(counts.max()) if E else 1, 8)
 
-    row_l = np.zeros((n_shards, El), np.int32)
+    # pad edge slots point at the LAST local row (w=0) so row_l stays
+    # nondecreasing — the consumers pass indices_are_sorted=True
+    row_l = np.full((n_shards, El), Nl - 1, np.int32)
     col_g = np.zeros((n_shards, El), np.int32)
     w_s = np.zeros((n_shards, El), np.float32)
     for p in range(n_shards):
-        sel = shard_of == p
-        k = int(sel.sum())
-        row_l[p, :k] = row[sel] - p * Nl
-        col_g[p, :k] = col[sel]
-        w_s[p, :k] = w[sel]
+        sel = np.nonzero(shard_of == p)[0]
+        k = sel.shape[0]
+        rl = local[row[sel]]
+        # keep per-shard edges dst-sorted: the consumers pass
+        # indices_are_sorted=True to segment_sum
+        order = np.argsort(rl, kind="stable")
+        row_l[p, :k] = rl[order]
+        col_g[p, :k] = gid[col[sel[order]]]
+        w_s[p, :k] = w[sel[order]]
 
-    def shard_nodes(a, fill=0):
-        if a is None:
-            return None
-        a = np.asarray(a)
-        out = np.full((n_shards * Nl,) + a.shape[1:], fill, a.dtype)
-        out[: a.shape[0]] = a[: n_shards * Nl]
-        return out.reshape((n_shards, Nl) + a.shape[1:])
+    node_list = np.full((n_shards, Nl), -1, np.int64)
+    node_list[part, local] = np.arange(graph.num_nodes)
 
+    nmask = np.zeros(graph.n_pad, bool)
+    nmask[: graph.num_nodes] = True
     return {
-        "x": shard_nodes(graph.x),
-        "y": shard_nodes(graph.y),
-        "train_mask": shard_nodes(graph.train_mask, False),
-        "node_mask": shard_nodes(np.asarray(graph.node_mask())),
+        "x": _gather_shard_nodes(graph.x, node_list),
+        "y": _gather_shard_nodes(graph.y, node_list),
+        "train_mask": _gather_shard_nodes(graph.train_mask, node_list, False),
+        "node_mask": _gather_shard_nodes(nmask, node_list, False),
         "row_local": row_l,
         "col": col_g,
         "w": w_s,
@@ -271,7 +328,8 @@ def device_put_parts(mesh: Mesh, parts: Dict):
 # ---------------------------------------------------------------------------
 
 def partition_graph_halo(graph: Graph, n_shards: int,
-                         axis: str = AXIS) -> "Graph":
+                         axis: str = AXIS, method: str = "bfs",
+                         seed: int = 0) -> "Graph":
     """Contiguous destination partition with EXTENDED-local column indexing
     and per-pair halo send tables — comm volume O(boundary), not O(N).
 
@@ -290,14 +348,14 @@ def partition_graph_halo(graph: Graph, n_shards: int,
         accounting.
     """
     N = graph.num_nodes
-    Nl = _round_up(graph.n_pad, n_shards) // n_shards
-    n_local = Nl + 8                        # + sink rows for pad edges
     E = graph.num_edges
     row = np.asarray(graph.row)[:E]
     col = np.asarray(graph.col)[:E]
     w = np.asarray(graph.edge_weight)[:E]
-    shard_of_dst = row // Nl
-    shard_of_src = col // Nl
+    part, local_id, Nl = shard_assignment(graph, n_shards, method, seed)
+    n_local = Nl + 8                        # + sink rows for pad edges
+    shard_of_dst = part[row]
+    shard_of_src = part[col]
 
     counts = np.bincount(shard_of_dst, minlength=n_shards)
     El = _round_up(int(counts.max()) if E else 1, 8)
@@ -321,7 +379,7 @@ def partition_graph_halo(graph: Graph, n_shards: int,
     for p in range(n_shards):
         for q in range(n_shards):
             s = halo[p][q]
-            send[q, p, : len(s)] = s - q * Nl
+            send[q, p, : len(s)] = local_id[s]
             hcount[p, q] = len(s)
 
     # extended-local column remap + per-shard CSR
@@ -332,10 +390,10 @@ def partition_graph_halo(graph: Graph, n_shards: int,
     for p in range(n_shards):
         sel = shard_of_dst == p
         k = int(sel.sum())
-        rl = row[sel] - p * Nl
+        rl = local_id[row[sel]]
         cg = col[sel]
         cq = shard_of_src[sel]
-        cl = np.where(cq == p, cg - p * Nl, 0).astype(np.int64)
+        cl = np.where(cq == p, local_id[cg], 0).astype(np.int64)
         rem = cq != p
         for q in range(n_shards):
             m = rem & (cq == q)
@@ -349,19 +407,23 @@ def partition_graph_halo(graph: Graph, n_shards: int,
         w_s[p, :k] = w[sel][order]
         ptrs[p] = np.searchsorted(row_l[p], np.arange(n_local + 1))
 
+    node_list = np.full((n_shards, Nl), -1, np.int64)
+    node_list[part, local_id] = np.arange(N)
+
     def shard_nodes(a, fill=0):
         if a is None:
             return None
         a = np.asarray(a)
         out = np.full((n_shards, n_local) + a.shape[1:], fill, a.dtype)
-        flat = np.full((n_shards * Nl,) + a.shape[1:], fill, a.dtype)
-        flat[: min(a.shape[0], n_shards * Nl)] = a[: n_shards * Nl]
-        out[:, :Nl] = flat.reshape((n_shards, Nl) + a.shape[1:])
+        out[:, :Nl] = _gather_shard_nodes(a, node_list, fill)
         return jnp.asarray(out)
 
     meta = dict(graph.meta)
-    meta.update(halo_axis=axis, halo_hp=Hp, halo_nl=Nl)
-    nm = shard_nodes(np.asarray(graph.node_mask()), False)
+    meta.update(halo_axis=axis, halo_hp=Hp, halo_nl=Nl,
+                halo_partition=method)
+    nmask_np = np.zeros(graph.n_pad, bool)
+    nmask_np[:N] = True
+    nm = shard_nodes(nmask_np, False)
     return Graph(
         row_ptr=jnp.asarray(ptrs), row=jnp.asarray(row_l),
         col=jnp.asarray(col_x), edge_weight=jnp.asarray(w_s),
@@ -376,6 +438,7 @@ def partition_graph_halo(graph: Graph, n_shards: int,
                    else shard_nodes(graph.test_mask, False) & nm),
         extras={"halo_send": jnp.asarray(send),
                 "halo_count": jnp.asarray(hcount),
+                "halo_nodes": jnp.asarray(node_list.astype(np.int32)),
                 "real_node": nm},
         meta=tuple(sorted(meta.items())),
     )

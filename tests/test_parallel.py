@@ -207,7 +207,11 @@ def test_halo_partition_spmm_matches_single_device(g):
     out = shard_map(local, mesh=mesh, in_specs=(P(AXIS),),
                     out_specs=P(AXIS), check_vma=False)(stacked)
     Nl = stacked.meta_get("halo_nl")
-    got = np.asarray(out)[:, :Nl].reshape(-1, g.x.shape[1])[: g.num_nodes]
+    shard_rows = np.asarray(out)[:, :Nl].reshape(-1, g.x.shape[1])
+    # un-permute via the partition's node map (BFS relabels nodes)
+    nodes = np.asarray(stacked.extras["halo_nodes"]).reshape(-1)
+    got = np.zeros((g.num_nodes, g.x.shape[1]), np.float32)
+    got[nodes[nodes >= 0]] = shard_rows[nodes >= 0]
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 

@@ -121,3 +121,100 @@ def test_reorder_rcm_reduces_bandwidth():
 
     g_rcm = reorder(g_rand, "rcm")
     assert bandwidth(g_rcm) < bandwidth(g_rand)
+
+
+# ---------------------------------------------------------------------------
+# BFS/degree-balanced halo partitioning (parallel/halo.py, VERDICT r3 #3)
+# ---------------------------------------------------------------------------
+
+def _shuffled(g):
+    from cogdl_tpu.data.graph import reorder
+
+    return reorder(g, "random")  # synthetic ids are born degree-ordered
+
+
+def test_bfs_partition_balances_edges_on_powerlaw():
+    from cogdl_tpu.data.graph import add_self_loops, sym_norm
+    from cogdl_tpu.datasets.synthetic import powerlaw_graph
+    from cogdl_tpu.parallel.halo import (halo_comm_volume, partition_graph,
+                                         partition_graph_halo)
+
+    g = _shuffled(sym_norm(add_self_loops(
+        powerlaw_graph(50_000, avg_degree=20, feat_dim=16))))
+
+    def stats(method):
+        ec = partition_graph(g, 8, method=method)["edge_counts"]
+        vol = halo_comm_volume(partition_graph_halo(g, 8, method=method))
+        return ec.max() / ec.mean(), vol
+
+    ratio_c, vol_c = stats("contiguous")
+    ratio_b, vol_b = stats("bfs")
+    # degree-weighted BFS: padded per-shard edge count tracks the mean …
+    assert ratio_b < ratio_c, (ratio_b, ratio_c)
+    assert ratio_b < 1.05
+    # … and the PADDED halo exchange (what actually crosses the ICI —
+    # Hp is the all_to_all row count) shrinks too
+    assert vol_b["halo_rows_padded"] < vol_c["halo_rows_padded"], (vol_b,
+                                                                   vol_c)
+
+
+def test_bfs_partition_cuts_halo_on_community_graph():
+    """On a graph WITH community structure (where partitioning can matter),
+    BFS-grown shards align with communities and the exact boundary shrinks.
+    (On a locality-free random graph the exact boundary is partition-
+    invariant — information, not code, is the limit.)"""
+    from cogdl_tpu.data.graph import add_self_loops, sym_norm
+    from cogdl_tpu.datasets.synthetic import sbm_graph
+    from cogdl_tpu.parallel.halo import halo_comm_volume, partition_graph_halo
+
+    g = _shuffled(sym_norm(add_self_loops(sbm_graph(
+        num_nodes=16_000, num_classes=8, p_in=0.004, p_out=0.00005,
+        seed=0))))
+    vol_c = halo_comm_volume(partition_graph_halo(g, 8, method="contiguous"))
+    vol_b = halo_comm_volume(partition_graph_halo(g, 8, method="bfs"))
+    assert vol_b["halo_rows_exact"] < 0.75 * vol_c["halo_rows_exact"], (
+        vol_b, vol_c)
+
+
+def test_partition_graph_bfs_spmm_matches():
+    """partition_graph(method='bfs') feeds the all-gather/ring SpMM the
+    same way contiguous does — outputs match the single-device spmm after
+    un-permuting via gid."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from cogdl_tpu import ops
+    from cogdl_tpu.data.graph import add_self_loops, sym_norm
+    from cogdl_tpu.datasets.synthetic import sbm_graph
+    from cogdl_tpu.parallel.halo import (AXIS, halo_spmm_allgather,
+                                         halo_spmm_ring, partition_graph)
+    from cogdl_tpu.parallel.mesh import make_mesh
+
+    g = _shuffled(sym_norm(add_self_loops(sbm_graph(num_nodes=512, seed=0))))
+    parts = partition_graph(g, 8, method="bfs")
+    Nl = parts["n_local"]
+    mesh = make_mesh(8)
+    x = jnp.asarray(parts["x"].reshape(-1, parts["x"].shape[-1]))
+    row_l = jnp.asarray(parts["row_local"].reshape(-1))
+    col = jnp.asarray(parts["col"].reshape(-1))
+    w = jnp.asarray(parts["w"].reshape(-1))
+    ref = np.asarray(ops.spmm(g, g.x))[: g.num_nodes]
+
+    for fn in (halo_spmm_allgather, halo_spmm_ring):
+        sharded = jax.shard_map(
+            lambda xx, rl, cg, ww: fn(xx, rl, cg, ww),
+            mesh=mesh, in_specs=(P(AXIS),) * 4, out_specs=P(AXIS))
+        with mesh:
+            out = np.asarray(jax.jit(sharded)(x, row_l, col, w))
+        # un-permute: shard p's row i is global node node_list[p, i]
+        part, local, Nl2 = __import__(
+            "cogdl_tpu.parallel.halo", fromlist=["shard_assignment"]
+        ).shard_assignment(g, 8, "bfs")
+        assert Nl2 == Nl
+        got = np.zeros_like(ref)
+        gid = part * Nl + local
+        got = out[gid]
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
