@@ -218,3 +218,24 @@ def test_partition_graph_bfs_spmm_matches():
         gid = part * Nl + local
         got = out[gid]
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_comm_volume_artifact():
+    """COMM_VOLUME_r04.json (scripts/comm_volume.py): exact per-strategy
+    exchange volumes, monotone in P, boundary exchange below all-gather."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "COMM_VOLUME_r04.json")
+    with open(path) as f:
+        doc = json.load(f)
+    s = doc["strategies"]
+    for key in ("all_gather_rows", "halo_rows_padded", "halo_rows_exact"):
+        vals = [s[str(P)][key] for P in (2, 4, 8)]
+        assert vals == sorted(vals), (key, vals)
+    assert s["8"]["halo_rows_padded"] < s["8"]["all_gather_rows"]
+    # the scaling model must cover the >=80% target regime somewhere real:
+    # products-scale compute at planning-number ICI bandwidth
+    eff = doc["efficiency_model"]["gcn-products"]["4"]["B=45GB/s"]
+    assert eff >= 0.8, eff
