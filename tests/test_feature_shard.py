@@ -1,0 +1,159 @@
+"""Feature-sharded sampled training (papers100M-class path, VERDICT r3 #4):
+the feature table and the CSR col table live row/edge-sharded on the mesh —
+NO device holds a full replica — and the sampled train loss matches the
+replicated single-chip path exactly."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from cogdl_tpu.data.device_sampling import sample_blocks_device
+from cogdl_tpu.data.graph import add_self_loops
+from cogdl_tpu.datasets.synthetic import powerlaw_graph
+from cogdl_tpu.parallel import (gather_sharded_rows, gather_sharded_rows_dp,
+                                make_mesh, sample_blocks_device_sharded,
+                                shard_rows, sharded_frame_features)
+from cogdl_tpu.parallel.feature_shard import AXIS
+
+NDEV = 8
+
+
+@pytest.fixture(scope="module")
+def g():
+    return add_self_loops(powerlaw_graph(2000, avg_degree=8, feat_dim=32,
+                                         seed=0))
+
+
+def test_shard_rows_no_replica(g):
+    mesh = make_mesh(NDEV)
+    xs = shard_rows(g.x, mesh)
+    # every device holds exactly rows/P rows — no full copy anywhere
+    shards = xs.addressable_shards
+    assert len(shards) == NDEV
+    rows = xs.shape[0]
+    for s in shards:
+        assert s.data.shape == (rows // NDEV, g.x.shape[1])
+
+
+def test_gather_sharded_rows_matches_take(g):
+    mesh = make_mesh(NDEV)
+    xs = shard_rows(g.x, mesh)
+    idx = jnp.asarray(np.random.default_rng(0).integers(
+        0, g.num_nodes, 257), jnp.int32)
+
+    fn = jax.jit(jax.shard_map(
+        functools.partial(gather_sharded_rows, axis=AXIS),
+        mesh=mesh, in_specs=(P(AXIS), P()), out_specs=P()))
+    with mesh:
+        out = fn(xs, idx)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(jnp.take(g.x, idx, axis=0)),
+                               rtol=1e-6)
+
+
+def test_gather_sharded_rows_dp_per_device_sets(g):
+    mesh = make_mesh(NDEV)
+    xs = shard_rows(g.x, mesh)
+    M = 64
+    rng = np.random.default_rng(1)
+    idx = jnp.asarray(rng.integers(0, g.num_nodes, (NDEV, M)), jnp.int32)
+
+    fn = jax.jit(jax.shard_map(
+        functools.partial(gather_sharded_rows_dp, axis=AXIS),
+        mesh=mesh, in_specs=(P(AXIS), P(AXIS)), out_specs=P(AXIS)))
+    with mesh:
+        out = fn(xs, idx.reshape(-1))
+    out = np.asarray(out).reshape(NDEV, M, -1)
+    ref = np.asarray(g.x)[np.asarray(idx)]
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
+
+
+def test_gather_sharded_rows_grad_flows_to_owner(g):
+    """The VJP routes feature grads back to the owning shard only."""
+    mesh = make_mesh(NDEV)
+    xs = shard_rows(g.x, mesh)
+    idx = jnp.asarray([3, 700, 1500], jnp.int32)
+
+    def loss_local(x_local, idx):
+        rows = gather_sharded_rows(x_local, idx, AXIS)
+        return jax.lax.psum(jnp.sum(rows ** 2), AXIS) / NDEV
+
+    fn = jax.jit(jax.shard_map(
+        jax.grad(loss_local), mesh=mesh,
+        in_specs=(P(AXIS), P()), out_specs=P(AXIS)))
+    with mesh:
+        gx = np.asarray(fn(xs, idx))
+    ref = np.zeros_like(gx)
+    x_np = np.asarray(g.x)
+    for i in np.asarray(idx):
+        ref[i] += 2 * x_np[i]
+    np.testing.assert_allclose(gx, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_sampled_loss_matches_replicated(g):
+    """End-to-end: dp-sampled SAGE loss with feature- AND edge-sharded
+    tables == the replicated device-sampler loss, same seeds/keys."""
+    from cogdl_tpu.models import build_model
+    from cogdl_tpu.utils.evaluator import masked_cross_entropy
+
+    mesh = make_mesh(NDEV)
+    B, fanouts = 8, (3, 2)
+    model = build_model("sage", in_features=g.num_features,
+                        out_features=g.num_classes, hidden_size=16,
+                        dropout=0.0)
+
+    seeds_all = jnp.asarray(
+        np.random.default_rng(2).integers(0, g.num_nodes, (NDEV, B)),
+        jnp.int32)
+    key = jax.random.PRNGKey(11)
+
+    # ---- replicated reference: per-device batches sampled independently
+    ref_losses = []
+    variables = None
+    for d in range(NDEV):
+        kd = jax.random.fold_in(key, d)
+        blocks, _ = sample_blocks_device(g, seeds_all[d], kd, fanouts)
+        x = jnp.take(blocks[0].extras["x_table"],
+                     blocks[0].extras["frame"], axis=0, mode="clip")
+        if variables is None:
+            variables = model.init(jax.random.PRNGKey(0), list(blocks), x,
+                                   training=False)
+        logits = model.apply(variables, list(blocks), x, training=False)
+        y = jnp.take(g.y, blocks[0].extras["frame"][:B], mode="clip")
+        ref_losses.append(float(masked_cross_entropy(
+            logits[:B], y, jnp.ones(B, bool))))
+    ref_loss = float(np.mean(ref_losses))
+
+    # ---- sharded path: x sharded by node rows, col sharded by edge slots
+    e_tab = int(g.col.shape[0])
+    xs = shard_rows(g.x, mesh)
+    cols = shard_rows(g.col, mesh)
+    e_tab_pad = int(cols.shape[0])
+    meta = {"num_nodes": g.num_nodes, "n_pad": g.n_pad, "e_tab": e_tab,
+            "num_classes": g.num_classes}
+
+    def local_loss(params, x_local, col_local, row_ptr, y, seeds):
+        me = jax.lax.axis_index(AXIS)
+        kd = jax.random.fold_in(key, me)
+        blocks, frame = sample_blocks_device_sharded(
+            row_ptr, col_local, meta, seeds, kd, fanouts, axis=AXIS, dp=True)
+        x = sharded_frame_features(x_local, frame, axis=AXIS, dp=True)
+        logits = model.apply({"params": params}, list(blocks), x,
+                             training=False)
+        yb = jnp.take(y, frame[:B], mode="clip")
+        loss = masked_cross_entropy(logits[:B], yb, jnp.ones(B, bool))
+        return jax.lax.pmean(loss, AXIS)
+
+    fn = jax.jit(jax.shard_map(
+        local_loss, mesh=mesh,
+        in_specs=(P(), P(AXIS), P(AXIS), P(), P(), P(AXIS)),
+        out_specs=P(), check_vma=False))
+    with mesh:
+        loss = float(fn(variables["params"], xs, cols, g.row_ptr, g.y,
+                        seeds_all.reshape(-1)))
+    assert abs(loss - ref_loss) < 1e-4, (loss, ref_loss)
+    assert e_tab_pad >= e_tab
