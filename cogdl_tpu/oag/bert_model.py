@@ -1,10 +1,17 @@
 """BERT encoder in flax — the OAGBert backbone.
 
-Rebuild of reference cogdl/oag/bert_model.py (573 LoC torch BERT) as an
-idiomatic flax transformer: bf16-friendly, MXU-shaped (head_dim multiples of
-64/128), jit-compiled end to end. The dual-position variant
-(dual_position_bert_model.py) is a flag: a second position embedding table
-added for span decoding.
+Rebuild of reference cogdl/oag/bert_model.py (573 LoC torch
+``BertForPreTrainingPreLN``) as an idiomatic flax transformer. The reference
+is a **pre-LN** BERT (GPT-2-style): each sublayer computes
+``h + sublayer(LayerNorm(h))`` (PreAttentionLayerNorm /
+PostAttentionLayerNorm, bert_model.py:306-327) with one FinalLayerNorm after
+the stack (:328-334) — this module reproduces that computation exactly
+(eps 1e-12, exact erf-GELU, additive −10000 attention mask) so converted
+torch checkpoints (``convert.convert_torch_state_dict``) match outputs to
+float tolerance. The dual-position variant (dual_position_bert_model.py)
+adds a second position lookup THROUGH THE SAME TABLE
+(dual_position_bert_model.py:31 reads ``position_embeddings``, not the
+``position_embeddings_second`` it declares — reproduced faithfully).
 """
 
 from __future__ import annotations
@@ -14,6 +21,13 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+LN_EPS = 1e-12
+
+
+def _gelu(x):
+    # reference LinearActivation uses torch F.gelu = exact erf form
+    return jax.nn.gelu(x, approximate=False)
 
 
 class BertConfig:
@@ -47,8 +61,9 @@ class BertSelfAttention(nn.Module):
         k = nn.Dense(D, name="key")(h).reshape(B, L, H, hd)
         v = nn.Dense(D, name="value")(h).reshape(B, L, H, hd)
         scores = jnp.einsum("blhd,bmhd->bhlm", q, k) / jnp.sqrt(hd)
-        big_neg = jnp.asarray(-1e30, scores.dtype)
-        scores = jnp.where(mask[:, None, None, :], scores, big_neg)
+        # reference extended mask: (1 - mask) * -10000 added to the scores
+        scores = scores + (1.0 - mask[:, None, None, :].astype(scores.dtype)
+                           ) * -10000.0
         att = jax.nn.softmax(scores, axis=-1)
         if self.dropout > 0 and training:
             att = nn.Dropout(rate=self.dropout, deterministic=False)(att)
@@ -56,10 +71,13 @@ class BertSelfAttention(nn.Module):
         out = nn.Dense(D, name="out")(ctx)
         if self.dropout > 0 and training:
             out = nn.Dropout(rate=self.dropout, deterministic=False)(out)
-        return nn.LayerNorm(name="ln")(h + out)
+        return out
 
 
 class BertLayer(nn.Module):
+    """Pre-LN transformer block (reference BertLayer, bert_model.py:306):
+    ``h1 = h + attn(ln_pre(h)); out = h1 + ff(ln_post(h1))``."""
+
     hidden_size: int
     num_heads: int
     intermediate_size: int
@@ -67,19 +85,25 @@ class BertLayer(nn.Module):
 
     @nn.compact
     def __call__(self, h, mask, training: bool = False):
-        h = BertSelfAttention(self.hidden_size, self.num_heads, self.dropout,
-                              name="attn")(h, mask, training)
-        ff = nn.Dense(self.intermediate_size, name="ff1")(h)
-        ff = jax.nn.gelu(ff)
+        a = nn.LayerNorm(epsilon=LN_EPS, name="ln_pre")(h)
+        a = BertSelfAttention(self.hidden_size, self.num_heads, self.dropout,
+                              name="attn")(a, mask, training)
+        h = h + a
+        ff = nn.LayerNorm(epsilon=LN_EPS, name="ln_post")(h)
+        ff = nn.Dense(self.intermediate_size, name="ff1")(ff)
+        ff = _gelu(ff)
         ff = nn.Dense(self.hidden_size, name="ff2")(ff)
         if self.dropout > 0 and training:
             ff = nn.Dropout(rate=self.dropout, deterministic=False)(ff)
-        return nn.LayerNorm(name="ln")(h + ff)
+        return h + ff
 
 
 class BertModel(nn.Module):
-    """Encoder + pooler + MLM head (tied-free) — enough surface for OAGBert
-    inference: encode, span probabilities, masked-token scoring."""
+    """Encoder + pooler + MLM head — enough surface for OAGBert inference:
+    encode, span probabilities, masked-token scoring. The MLM decoder is
+    TIED to the token embedding (reference BertLMPredictionHead,
+    bert_model.py:397-415: ``decoder.weight = word_embeddings.weight`` plus
+    a free bias)."""
 
     vocab_size: int = 30522
     hidden_size: int = 768
@@ -102,31 +126,33 @@ class BertModel(nn.Module):
             token_type_ids = jnp.zeros((B, L), jnp.int32)
         if position_ids is None:
             position_ids = jnp.broadcast_to(jnp.arange(L), (B, L))
-        emb = nn.Embed(self.vocab_size, self.hidden_size, name="tok_emb")(
-            input_ids)
-        emb += nn.Embed(self.max_position, self.hidden_size, name="pos_emb")(
-            position_ids)
+        tok = nn.Embed(self.vocab_size, self.hidden_size, name="tok_emb")
+        pos = nn.Embed(self.max_position, self.hidden_size, name="pos_emb")
+        emb = tok(input_ids) + pos(position_ids)
         if self.dual_position:
-            # dual-position table for span decoding
-            # (reference dual_position_bert_model.py)
+            # second position lookup through the SAME table — matching the
+            # reference forward (dual_position_bert_model.py:31)
             pid2 = (position_ids if position_ids_second is None
                     else position_ids_second)
-            emb += nn.Embed(self.max_position, self.hidden_size,
-                            name="pos_emb2")(pid2)
+            emb += pos(pid2)
         emb += nn.Embed(self.type_vocab_size, self.hidden_size,
                         name="type_emb")(token_type_ids)
-        h = nn.LayerNorm(name="emb_ln")(emb)
+        h = nn.LayerNorm(epsilon=LN_EPS, name="emb_ln")(emb)
         if self.dropout > 0 and training:
             h = nn.Dropout(rate=self.dropout, deterministic=False)(h)
         for i in range(self.num_layers):
             h = BertLayer(self.hidden_size, self.num_heads,
                           self.intermediate_size, self.dropout,
                           name=f"layer{i}")(h, attention_mask, training)
+        h = nn.LayerNorm(epsilon=LN_EPS, name="final_ln")(h)
         pooled = jnp.tanh(nn.Dense(self.hidden_size, name="pooler")(h[:, 0]))
         if not with_mlm:
             return h, pooled
         m = nn.Dense(self.hidden_size, name="mlm_transform")(h)
-        m = jax.nn.gelu(m)
-        m = nn.LayerNorm(name="mlm_ln")(m)
-        mlm = nn.Dense(self.vocab_size, name="mlm_out")(m)
+        m = _gelu(m)
+        m = nn.LayerNorm(epsilon=LN_EPS, name="mlm_ln")(m)
+        # tied decoder: logits = m @ tok_emb.T + bias
+        mlm_bias = self.param("mlm_bias", nn.initializers.zeros,
+                              (self.vocab_size,))
+        mlm = m @ tok.embedding.T + mlm_bias
         return h, pooled, mlm
