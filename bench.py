@@ -86,6 +86,18 @@ def main():
                     help="dst-tile height for --products layouts; default "
                     "256 at products (cuts chunk-quantisation padding "
                     "344M->212M slots for 2x MXU work per slot), 128 else")
+    ap.add_argument("--reorder", default=None,
+                    choices=["degree", "bfs", "rcm", "random"],
+                    help="relabel nodes before layout build (host-graph "
+                    "configs only; note the synthetic generator is born "
+                    "degree-ordered — use random to simulate an arbitrary "
+                    "real-world labeling, random+degree to A/B recovery)")
+    ap.add_argument("--reorder2", default=None,
+                    choices=["degree", "bfs", "rcm", "random"],
+                    help="second reorder applied after --reorder")
+    ap.add_argument("--no-block-accum", action="store_true",
+                    help="A/B: disable the in-kernel aliased accumulation "
+                    "in the blocked streaming driver (r4)")
     ap.add_argument("--no-prop-cache", action="store_true",
                     help="GCN: disable the exact first-layer propagation "
                     "cache (P = ÂX precomputed once; removes 2 of the 4 "
@@ -150,6 +162,10 @@ def main():
     from cogdl_tpu.data.graph import add_self_loops, sym_norm
     from cogdl_tpu.ops.pallas import _is_tpu, prepare_spmm
 
+    if args.no_block_accum:
+        from cogdl_tpu.ops.pallas import segment_kernels
+
+        segment_kernels.SPMM_BLOCK_ACCUM = False
     if args.stream_cache:
         from cogdl_tpu.ops.pallas import segment_kernels
 
@@ -195,8 +211,11 @@ def main():
             graph = graph.replace(row=z, col=z,
                                   edge_weight=jnp.zeros(1, jnp.float32))
     else:
+        relabel = ([args.reorder, args.reorder2] if args.reorder2
+                   else args.reorder)
         graph = powerlaw_graph(args.nodes, avg_degree=args.avg_degree,
-                               feat_dim=args.feat_dim, device_features=True)
+                               feat_dim=args.feat_dim, device_features=True,
+                               relabel=relabel)
         graph = sym_norm(add_self_loops(graph))
         if _is_tpu():
             graph = prepare_spmm(graph)

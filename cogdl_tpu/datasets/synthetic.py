@@ -88,6 +88,42 @@ def sbm_graph(
     return g
 
 
+def _relabel_coo(row, col, num_nodes: int, method: str, seed: int = 0):
+    """Host-side node relabeling of a COO edge list (pre-device-transfer
+    companion of data.graph.reorder — the tunneled device link makes
+    post-hoc permutation of resident arrays impractical)."""
+    rng = np.random.default_rng(seed)
+    if method == "degree":
+        deg = (np.bincount(row, minlength=num_nodes)
+               + np.bincount(col, minlength=num_nodes))
+        perm = np.argsort(-deg, kind="stable")
+    elif method == "random":
+        perm = rng.permutation(num_nodes)
+    elif method in ("bfs", "rcm"):
+        import scipy.sparse as sp
+        from scipy.sparse import csgraph
+
+        adj = sp.csr_matrix((np.ones(row.shape[0], np.float32), (row, col)),
+                            shape=(num_nodes, num_nodes))
+        adj = adj + adj.T
+        if method == "rcm":
+            perm = np.asarray(csgraph.reverse_cuthill_mckee(adj), np.int64)
+        else:
+            deg = (np.bincount(row, minlength=num_nodes)
+                   + np.bincount(col, minlength=num_nodes))
+            order = csgraph.breadth_first_order(
+                adj, int(np.argmax(deg)), directed=False,
+                return_predecessors=False)
+            seen = np.zeros(num_nodes, bool)
+            seen[order] = True
+            perm = np.concatenate([order, np.nonzero(~seen)[0]])
+    else:
+        raise ValueError(method)
+    rank = np.empty(num_nodes, np.int64)
+    rank[perm] = np.arange(num_nodes)
+    return rank[row], rank[col]
+
+
 def powerlaw_graph(
     num_nodes: int,
     avg_degree: int = 15,
@@ -95,6 +131,7 @@ def powerlaw_graph(
     num_classes: int = 47,
     seed: int = 0,
     device_features: bool = False,
+    relabel=None,
 ) -> Graph:
     """Preferential-attachment-style power-law graph at arbitrary scale —
     the SpMM benchmark workload (ogbn-products stand-in). Degree distribution
@@ -111,6 +148,12 @@ def powerlaw_graph(
     probs /= probs.sum()
     col = rng.choice(num_nodes, size=num_edges, p=probs).astype(np.int64)
     row = rng.integers(0, num_nodes, size=num_edges).astype(np.int64)
+    if relabel:
+        # note: ids are BORN degree-ordered (Zipf rank = id), so
+        # relabel="random" simulates an arbitrary real-world labeling and
+        # ["random", "degree"] tests recovery
+        for method in ([relabel] if isinstance(relabel, str) else relabel):
+            row, col = _relabel_coo(row, col, num_nodes, method, seed)
     if device_features:
         g = from_coo(
             np.stack([row, col]), num_nodes=num_nodes,

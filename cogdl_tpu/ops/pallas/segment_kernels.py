@@ -59,6 +59,11 @@ F_BLK = 128      # feature lanes per grid step
 # are processed in blocks of this many chunks (2048 chunks × 1024 slots ×
 # 128 lanes × 4 B = 1 GB per message block).
 BLOCK_CHUNKS = 2048
+
+# blocked streaming accumulates in-kernel via input_output_aliases instead
+# of the local-slab + dynamic_update_slice route (r4; bench --no-block-accum
+# re-tests the old path)
+SPMM_BLOCK_ACCUM = True
 # Single-shot fused GAT can keep the forward's gathered [h2|ss] stream as a
 # VJP residual (PHYSICAL size — lanes round up to 128 — must fit this
 # budget); the backward dsd pass then reuses it instead of re-gathering.
@@ -187,6 +192,94 @@ def _make_seg_mm_kernel(r_tile: int):
     return _seg_mm_kernel
 
 
+def _make_seg_mm_accum_kernel(r_tile: int):
+    """Accumulating variant: out is ALIASED to the acc input, so the kernel
+    read-modify-writes the global output in place — the blocked streaming
+    driver then needs no local slab / visited-mask / dynamic_update_slice
+    (measured ~27% of the products GCN step in the r4 profile)."""
+    from jax.experimental import pallas as pl
+
+    def _kernel(chunk_tile_ref, acc_ref, msg_ref, row_ref, w_ref, out_ref):
+        c = pl.program_id(1)
+        tile = chunk_tile_ref[c]
+        is_first = jnp.logical_or(
+            c == 0, chunk_tile_ref[jnp.maximum(c - 1, 0)] != tile)
+
+        rows = row_ref[:][None, :]
+        base = tile * r_tile
+        r_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (r_tile, T_CHUNK), 0) + base
+        p = jnp.where(rows == r_ids, w_ref[:][None, :],
+                      0.0).astype(msg_ref.dtype)
+        contrib = jax.lax.dot_general(
+            p, msg_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
+
+        @pl.when(is_first)
+        def _():
+            # first chunk of this tile IN THIS CALL: seed from the running
+            # accumulator (prior panels' partial sums live there)
+            out_ref[:] = acc_ref[:] + contrib
+
+        @pl.when(jnp.logical_not(is_first))
+        def _():
+            out_ref[:] += contrib
+
+    return _kernel
+
+
+def sorted_segment_matmul_accum(
+    acc: jnp.ndarray,         # [n_pad, F] running output (updated in place)
+    msg: jnp.ndarray,         # [E_k, F] messages in padded layout
+    row_k: jnp.ndarray,       # [E_k] absolute destination rows
+    w_k: jnp.ndarray,         # [E_k] per-slot weights (0 on pads)
+    chunk_tile: jnp.ndarray,  # [n_chunks] int32, monotonic (ABSOLUTE tiles)
+    interpret: Optional[bool] = None,
+    r_tile: int = R_TILE,
+) -> jnp.ndarray:
+    """acc[r] += Σ_e w_k[e]·msg[e] over slots with row_k[e]==r. The result
+    aliases ``acc`` (donated); tiles no chunk touches keep their prior
+    values — callers stream mega-blocks and pass the SAME buffer through."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    E_k, F = msg.shape
+    n_pad = acc.shape[0]
+    assert F % F_BLK == 0 and acc.shape[1] == F, (acc.shape, F)
+    assert n_pad % r_tile == 0, (n_pad, r_tile)
+    n_chunks = E_k // T_CHUNK
+    nf = F // F_BLK
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nf, n_chunks),
+        in_specs=[
+            pl.BlockSpec((r_tile, F_BLK), lambda f, c, ct: (ct[c], f)),
+            pl.BlockSpec((T_CHUNK, F_BLK), lambda f, c, ct: (c, f)),
+            pl.BlockSpec((T_CHUNK,), lambda f, c, ct: (c,)),
+            pl.BlockSpec((T_CHUNK,), lambda f, c, ct: (c,)),
+        ],
+        out_specs=pl.BlockSpec((r_tile, F_BLK), lambda f, c, ct: (ct[c], f)),
+    )
+    return pl.pallas_call(
+        _make_seg_mm_accum_kernel(r_tile),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, F), acc.dtype),
+        # operand indices INCLUDE the scalar-prefetch arg: acc is operand 1
+        input_output_aliases={1: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=2 * E_k * r_tile * F,
+            bytes_accessed=E_k * F * 4 + 2 * n_chunks * r_tile * F * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(chunk_tile, acc, msg, row_k, w_k)
+
+
 def sorted_segment_matmul(
     msg: jnp.ndarray,         # [E_k, F] messages in padded layout (unweighted)
     row_k: jnp.ndarray,       # [E_k] absolute destination rows
@@ -284,6 +377,32 @@ def _blocked_gather_spmm(x, col_k, w_k, row_k, ct, n_pad,
         block_panel = jnp.zeros(n_blocks, jnp.int32)
 
     blk = (col_k, w_k, row_k, ct, block_panel)
+
+    if SPMM_BLOCK_ACCUM:
+        # in-place accumulation: the Pallas kernel read-modify-writes the
+        # global output at ABSOLUTE tile offsets (input_output_aliases), so
+        # the per-block local slab, visited-mask select and
+        # dynamic_update_slice disappear (~27% of the products GCN step in
+        # the r4 on-chip profile)
+        def body_accum(out, b):
+            col_b, w_b, row_b, ct_b, pid = b
+            if panel_rows > 0:
+                start = jnp.minimum(pid * panel_rows,
+                                    x.shape[0] - panel_rows)
+                src = jax.lax.dynamic_slice(x, (start, 0), (panel_rows, F))
+                col_b = col_b + (pid * panel_rows - start)
+            else:
+                src = x
+            msg = jnp.take(src, col_b, axis=0, mode="clip")
+            if msg.dtype != jnp.float32:
+                msg = msg.astype(jnp.float32)
+            out = sorted_segment_matmul_accum(out, msg, row_b, w_b, ct_b,
+                                              r_tile=r_tile)
+            return out, None
+
+        out = jnp.zeros((n_pad, F), jnp.float32)
+        out, _ = jax.lax.scan(body_accum, out, blk)
+        return out
 
     def body(out, b):
         col_b, w_b, row_b, ct_b, pid = b
