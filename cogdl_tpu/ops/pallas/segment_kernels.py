@@ -648,7 +648,8 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
                           packed: bool = False, stream_has_ss: bool = False,
                           exact_scores: bool = False,
                           node_is_h2: bool = False,
-                          split_t2: bool = False):
+                          split_t2: bool = False,
+                          accum: bool = False):
     """One fused GAT pass over a prepared edge layout.
 
     mode 'fwd' : stream=[h2|ss] by src, node=sd (dst key)
@@ -727,6 +728,7 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
             i += 2
             base_ref = refs[i] if with_drop else None
         out_ref = refs[-1]
+        acc_ref = refs[-2] if accum else None
 
         c = pl.program_id(0)
         tile = ct_ref[c]
@@ -735,7 +737,11 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
 
         @pl.when(is_first)
         def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
+            # accum mode: out is ALIASED to the running global accumulator —
+            # seed each tile from it instead of zero (prior mega-blocks'
+            # partial sums live there); the streamed driver then needs no
+            # local slab / visited mask / dynamic_update_slice
+            out_ref[:] = acc_ref[:] if accum else jnp.zeros_like(out_ref)
 
         base = tile * r_tile
         if packed:
@@ -933,6 +939,7 @@ def _gat_pass(mode, H, D, alpha, attn_drop, stream, row_k, w_k, node_tab,
               split_t2: bool = False,
               cp: Optional[jnp.ndarray] = None,
               seed_arr: Optional[jnp.ndarray] = None,
+              acc: Optional[jnp.ndarray] = None,
               interpret: Optional[bool] = None):
     """One fused pass over (a block of) the layout. ``ct`` holds ABSOLUTE
     tile ids — the node table is always indexed globally; with
@@ -990,6 +997,16 @@ def _gat_pass(mode, H, D, alpha, attn_drop, stream, row_k, w_k, node_tab,
     if attn_drop > 0.0 and not packed:
         in_specs.append(pl.BlockSpec((T_CHUNK,), lambda c, *pf: (c,)))
         args.append(base)
+    accum = acc is not None
+    aliases = {}
+    if accum:
+        # the running global accumulator rides as the LAST input, aliased to
+        # the output (operand indices include the scalar-prefetch args)
+        assert not local_out and acc.shape == (n_pad, Wout), (acc.shape,
+                                                              n_pad, Wout)
+        in_specs.append(pl.BlockSpec((r_tile, Wout),
+                                     lambda c, *pf: (pf[0][c], 0)))
+        args.append(acc)
     if local_out:
         out_spec = pl.BlockSpec((r_tile, Wout),
                                 lambda c, *pf: (pf[0][c] - pf[0][0], 0))
@@ -999,6 +1016,8 @@ def _gat_pass(mode, H, D, alpha, attn_drop, stream, row_k, w_k, node_tab,
         n_prefetch, pf_args = 3, (ct, cp, seed_arr)
     else:
         n_prefetch, pf_args = 1, (ct,)
+    if accum:
+        aliases = {n_prefetch + len(args) - 1: 0}
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_prefetch, grid=(n_chunks,), in_specs=in_specs,
         out_specs=out_spec)
@@ -1006,9 +1025,11 @@ def _gat_pass(mode, H, D, alpha, attn_drop, stream, row_k, w_k, node_tab,
         _make_gat_pass_kernel(mode, H, D, HDp, r_tile, alpha, attn_drop,
                               packed=packed, stream_has_ss=stream_has_ss,
                               exact_scores=exact_scores,
-                              node_is_h2=node_is_h2, split_t2=split_t2),
+                              node_is_h2=node_is_h2, split_t2=split_t2,
+                              accum=accum),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, Wout), jnp.float32),
+        input_output_aliases=aliases,
         cost_estimate=pl.CostEstimate(
             flops=2 * E_k * (r_tile * (Ws + Wn + Wout) + 3 * 128 * 128),
             bytes_accessed=E_k * (Ws + 8) * 4 + n_pad * (Wn + Wout) * 4,
@@ -1058,9 +1079,8 @@ def _gat_apply(mode, H, D, alpha, attn_drop, table, node_tab, smax_tab, ar,
         seed.astype(jnp.uint32), jnp.int32).reshape(1)
         if with_drop else None)
 
-    def body(out, b):
+    def gather_stream(b):
         pack_b, ct_b, pid = b
-        first = ct_b[0]
         col_b = pack_b & jnp.int32((1 << 18) - 1)
         if panel_rows > 0:
             # clamp the last panel's window instead of padding the table
@@ -1074,6 +1094,32 @@ def _gat_apply(mode, H, D, alpha, attn_drop, table, node_tab, smax_tab, ar,
             stream = stream.astype(jnp.float32)
         cp_b = (jnp.full((bc,), pid * panel_rows, jnp.int32)
                 if with_drop else None)
+        return stream, cp_b
+
+    xs = (col, ct, bp)
+    if SPMM_BLOCK_ACCUM:
+        # in-place accumulation at ABSOLUTE tile offsets (aliased output) —
+        # no local slab / visited mask / dynamic_update_slice (same r4
+        # optimisation as the plain-SpMM streamed driver)
+        def body_accum(out, b):
+            pack_b, ct_b, pid = b
+            stream, cp_b = gather_stream(b)
+            out = _gat_pass(mode, H, D, alpha, attn_drop, stream, None,
+                            None, node_tab, smax_tab, ar, None, ct_b, n_pad,
+                            r_tile=r_tile, pack=pack_b,
+                            exact_scores=exact_scores, al=al,
+                            node_is_h2=node_is_h2, cp=cp_b,
+                            seed_arr=seed_arr, acc=out)
+            return out, None
+
+        out = jnp.zeros((n_pad, Wout), jnp.float32)
+        out, _ = jax.lax.scan(body_accum, out, xs)
+        return out
+
+    def body(out, b):
+        pack_b, ct_b, pid = b
+        first = ct_b[0]
+        stream, cp_b = gather_stream(b)
         local = _gat_pass(mode, H, D, alpha, attn_drop, stream, None,
                           None, node_tab, smax_tab, ar, None, ct_b, n_local,
                           r_tile=r_tile, local_out=True, pack=pack_b,
@@ -1090,7 +1136,6 @@ def _gat_apply(mode, H, D, alpha, attn_drop, table, node_tab, smax_tab, ar,
         out = jax.lax.dynamic_update_slice(out, slab + local, (off, 0))
         return out, None
 
-    xs = (col, ct, bp)
     out = jnp.zeros((n_pad + n_local, Wout), jnp.float32)
     out, _ = jax.lax.scan(body, out, xs)
     return out[:n_pad]
