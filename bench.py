@@ -95,6 +95,10 @@ def main():
     ap.add_argument("--reorder2", default=None,
                     choices=["degree", "bfs", "rcm", "random"],
                     help="second reorder applied after --reorder")
+    ap.add_argument("--panel-rows", type=int, default=None,
+                    help="source-panel height for --products/--blocked "
+                    "layouts (default: auto from the ~96 MB VMEM staging "
+                    "budget; must be a multiple of r_tile)")
     ap.add_argument("--no-block-accum", action="store_true",
                     help="A/B: disable the in-kernel aliased accumulation "
                     "in the blocked streaming driver (r4)")
@@ -204,6 +208,7 @@ def main():
                                         with_orig=args.model == "gat",
                                         with_dropout=args.attn_drop > 0,
                                         gather_bf16=args.bf16_gather,
+                                        panel_rows=args.panel_rows,
                                         r_tile=args.r_tile)
             # the kernel path reads only the layout extras — free the raw
             # edge arrays (1.5 GB at products scale; HBM is the constraint)

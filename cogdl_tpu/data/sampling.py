@@ -312,18 +312,48 @@ def bfs_partition(graph: Graph, n_parts: int, seed: int = 0,
     return part
 
 
+def bfs_partition_cached(graph: Graph, n_parts: int, seed: int = 0,
+                         weights=None, cache_dir=None) -> np.ndarray:
+    """:func:`bfs_partition` with an on-disk cache — the analog of the
+    reference's ``ClusteredDataset.preprocess`` partition cache
+    (sampler.py:220-245), keyed by graph identity + partition parameters so
+    OGB-scale graphs pay the BFS once per configuration."""
+    if cache_dir is None:
+        return bfs_partition(graph, n_parts, seed, weights=weights)
+    import os
+
+    name = graph.meta_get("name", "graph")
+    wtag = weights if isinstance(weights, (str, type(None))) else "custom"
+    key = (f"{name}_N{graph.num_nodes}_E{graph.num_edges}"
+           f"_p{n_parts}_s{seed}_w{wtag}.npy")
+    path = os.path.join(cache_dir, key)
+    if os.path.exists(path):
+        part = np.load(path)
+        if part.shape[0] == graph.num_nodes:
+            return part
+    part = bfs_partition(graph, n_parts, seed, weights=weights)
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.save(f, part)
+    os.replace(tmp, path)
+    return part
+
+
 class ClusterLoader:
     """ClusterGCN-style loader: per-epoch random groups of partitions →
     induced-subgraph batches with one shared static shape
-    (reference ClusteredLoader, sampler.py:246)."""
+    (reference ClusteredLoader, sampler.py:246). ``cache_dir`` persists the
+    partition like the reference's preprocess cache."""
 
     def __init__(self, graph: Graph, n_clusters: int = 20,
-                 batch_size: int = 5, seed: int = 0):
+                 batch_size: int = 5, seed: int = 0, cache_dir=None):
         self.graph = graph
         self.n_clusters = n_clusters
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
-        self.part = bfs_partition(graph, n_clusters, seed)
+        self.part = bfs_partition_cached(graph, n_clusters, seed,
+                                         cache_dir=cache_dir)
         E = graph.num_edges
         self._row = np.asarray(graph.row)[:E]
         self._col = np.asarray(graph.col)[:E]

@@ -239,3 +239,18 @@ def test_comm_volume_artifact():
     # products-scale compute at planning-number ICI bandwidth
     eff = doc["efficiency_model"]["gcn-products"]["4"]["B=45GB/s"]
     assert eff >= 0.8, eff
+
+
+def test_bfs_partition_cache_roundtrip(tmp_path):
+    from cogdl_tpu.data.sampling import bfs_partition_cached
+    from cogdl_tpu.datasets.synthetic import sbm_graph
+
+    g = sbm_graph(num_nodes=300, seed=0)
+    p1 = bfs_partition_cached(g, 4, seed=1, cache_dir=str(tmp_path))
+    files = list(tmp_path.iterdir())
+    assert len(files) == 1 and files[0].suffix == ".npy"
+    p2 = bfs_partition_cached(g, 4, seed=1, cache_dir=str(tmp_path))
+    np.testing.assert_array_equal(p1, p2)
+    # different parameters -> different cache entry
+    bfs_partition_cached(g, 5, seed=1, cache_dir=str(tmp_path))
+    assert len(list(tmp_path.iterdir())) == 2
