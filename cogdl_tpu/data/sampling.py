@@ -121,8 +121,10 @@ class NeighborSampler:
         y_full = None if self.graph.y is None else np.asarray(self.graph.y)
         for start in range(0, len(idx), B):
             seeds = idx[start: start + B]
-            if seeds.shape[0] < B:  # static batch: wrap-pad with repeats
-                seeds = np.concatenate([seeds, idx[: B - seeds.shape[0]]])
+            if seeds.shape[0] < B:  # static batch: tile-pad with repeats
+                # (np.resize tiles cyclically — works when B > len(idx))
+                seeds = np.concatenate(
+                    [seeds, np.resize(idx, B - seeds.shape[0])])
             blocks = []
             cur = seeds  # global ids at current depth (dst side)
             all_nodes = seeds

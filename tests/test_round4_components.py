@@ -254,3 +254,24 @@ def test_bfs_partition_cache_roundtrip(tmp_path):
     # different parameters -> different cache entry
     bfs_partition_cached(g, 5, seed=1, cache_dir=str(tmp_path))
     assert len(list(tmp_path.iterdir())) == 2
+
+
+def test_samplers_handle_batch_larger_than_train_split():
+    """ADVICE r3: batch_size > train-split size must tile-pad, not crash
+    (Cora's standard split is 140 seeds; batch 512 is a normal config)."""
+    import jax
+
+    from cogdl_tpu.data.device_sampling import DeviceNeighborSampler
+    from cogdl_tpu.data.sampling import NeighborSampler
+    from cogdl_tpu.datasets.synthetic import sbm_graph
+
+    g = sbm_graph(num_nodes=200, seed=0, train_ratio=0.1)  # 20 seeds
+    ds = DeviceNeighborSampler(g, fanouts=(2,), batch_size=64)
+    seeds = ds.epoch_seeds()
+    assert seeds.shape == (1, 64)
+    train_ids = set(np.nonzero(np.asarray(g.train_mask))[0].tolist())
+    assert set(seeds.reshape(-1).tolist()) <= train_ids
+
+    hs = NeighborSampler(g, fanouts=[2], batch_size=64)
+    batches = list(hs.epoch())
+    assert len(batches) == 1
