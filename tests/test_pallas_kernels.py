@@ -659,3 +659,75 @@ def test_symmetric_transposed_layout_identical():
     rk = np.asarray(fw["row_k"]).ravel()[valid]
     np.testing.assert_array_equal(rowv[fo[valid]], rk)
     np.testing.assert_array_equal(colv[bo[valid]], rk)
+
+
+class TestAccumRouteAB:
+    """Both streamed-accumulation routes must agree: the default in-kernel
+    aliased accumulation (SPMM_BLOCK_ACCUM=True — output tiles read-modify-
+    written at absolute offsets) and the legacy local-slab route (per-block
+    slab + visited mask + dynamic_update_slice). The flag flips trace-time
+    Python branches, so each test runs the SAME inputs down both routes."""
+
+    def _spmm_blocked(self, g, x):
+        from cogdl_tpu.ops.pallas.segment_kernels import _blocked_gather_spmm
+
+        ex = g.extras
+        n_chunks = ex["spmm_fw_ct"].shape[0]
+        block = 2
+        padc = (-n_chunks) % block
+        pad_slots = padc * 1024
+        n_tiles = g.n_pad // 128
+        col_k = jnp.pad(ex["spmm_fw_col"], (0, pad_slots))
+        w_k = jnp.pad(ex["spmm_fw_w"], (0, pad_slots))
+        row_k = jnp.pad(ex["spmm_fw_row"], (0, pad_slots),
+                        constant_values=(n_tiles - 1) * 128)
+        ct = jnp.pad(ex["spmm_fw_ct"], (0, padc),
+                     constant_values=n_tiles - 1)
+        xp = jnp.pad(x, ((0, 0), (0, 96)))
+        return _blocked_gather_spmm(xp, col_k, w_k, row_k, ct, g.n_pad,
+                                    block_chunks=block)[:, :32]
+
+    def test_spmm_routes_agree(self, prepped, monkeypatch):
+        from cogdl_tpu.ops.pallas import segment_kernels as sk
+
+        g, x = prepped
+        monkeypatch.setattr(sk, "SPMM_BLOCK_ACCUM", True)
+        out_accum = np.asarray(self._spmm_blocked(g, x))
+        monkeypatch.setattr(sk, "SPMM_BLOCK_ACCUM", False)
+        out_slab = np.asarray(self._spmm_blocked(g, x))
+        ref = np.asarray(ops.spmm_coo(x, g.row, g.col, g.edge_weight,
+                                      g.n_pad))
+        np.testing.assert_allclose(out_accum, ref, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(out_slab, ref, rtol=1e-4, atol=1e-5)
+
+    def test_gat_blocked_routes_agree(self, monkeypatch):
+        from cogdl_tpu.data.graph import pad_to
+        from cogdl_tpu.ops.pallas import segment_kernels as sk
+        from cogdl_tpu.ops.pallas.device_layout import prepare_spmm_device
+
+        t = TestGatFusedBlocked()
+        g = add_self_loops(sbm_graph(num_nodes=250, seed=11))
+        g = pad_to(g, ((g.n_pad + 127) // 128) * 128, g.e_pad)
+        g = prepare_spmm_device(g, symmetric=True, with_orig=True,
+                                panel_rows=128, block_chunks=2)
+        rng = np.random.default_rng(13)
+        h = jnp.asarray(rng.normal(size=(g.n_pad, t.H, t.D)).astype(
+            np.float32))
+        a_src = jnp.asarray(rng.normal(size=(t.H, t.D)).astype(np.float32))
+        a_dst = jnp.asarray(rng.normal(size=(t.H, t.D)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(g.n_pad, t.H, t.D)).astype(
+            np.float32))
+
+        def loss(a_dst, a_src, h):
+            return jnp.sum(t._fused(g, a_dst, a_src, h) * w)
+
+        outs = {}
+        for flag in (True, False):
+            monkeypatch.setattr(sk, "SPMM_BLOCK_ACCUM", flag)
+            fwd = np.asarray(t._fused(g, a_dst, a_src, h))
+            grads = jax.grad(loss, argnums=(0, 1, 2))(a_dst, a_src, h)
+            outs[flag] = (fwd, *(np.asarray(a) for a in grads))
+        for a, b, name in zip(outs[True], outs[False],
+                              ("fwd", "da_dst", "da_src", "dh")):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5,
+                                       err_msg=name)
