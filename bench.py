@@ -150,7 +150,9 @@ def main():
     if args.products:
         args.nodes, args.avg_degree = 2_450_000, 50
         if args.r_tile is None:
-            args.r_tile = 256   # measured best at products (4.31 s vs 5.42)
+            # r4 sweep with aliased accumulation: 512 packs ~30% fewer slots
+            # and measured 1211 ms vs 1396 (GCN; r3 best at 256 was 1840)
+            args.r_tile = 512
     if args.sampled:
         return (bench_sampled(args) if args.host_sampler
                 else bench_sampled_device(args))

@@ -186,12 +186,12 @@ def build_spmm_layout_jax(
         # ogbn-products). The fw and bw streams of a symmetric edge set are
         # identical, so prepare_spmm_device stores ONE pack array.
         assert panel_rows <= (1 << 18), panel_rows
-        assert r_tile <= 256, r_tile
+        assert r_tile <= 512, r_tile   # 9-bit offset field
         # row_k lies in [ct·r_tile, ct·r_tile + r_tile) (pad slots exactly
         # ct·r_tile), so the offset is a plain modulo — no per-slot lookup
         off = row_k % r_tile
         pack = (col_k | (off << 18)
-                | slot_used.astype(jnp.int32) << 26)
+                | slot_used.astype(jnp.int32) << 27)
         out["pack_k"] = pack.reshape(out["col_k"].shape)
     return out
 

@@ -745,17 +745,17 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
 
         base = tile * r_tile
         if packed:
-            # one int32 per slot: (col | row_off << 18 | valid << 26) —
-            # rows and validity unpack in-register. Values are < 2^27 so
-            # u32 shifts are exact; Mosaic has no u32→i32/f32 casts, so the
-            # results come back via free bitcasts (and validity via i32→f32,
-            # which it does support).
+            # one int32 per slot: (col | row_off << 18 | valid << 27) —
+            # rows (9-bit offset: r_tile ≤ 512) and validity unpack
+            # in-register. Values are < 2^28 so u32 shifts are exact; Mosaic
+            # has no u32→i32/f32 casts, so the results come back via free
+            # bitcasts (and validity via i32→f32, which it does support).
             pk = jax.lax.bitcast_convert_type(pack_ref[:], jnp.uint32)
             off = jax.lax.bitcast_convert_type(
-                (pk >> jnp.uint32(18)) & jnp.uint32(0xFF), jnp.int32)
+                (pk >> jnp.uint32(18)) & jnp.uint32(0x1FF), jnp.int32)
             rows = (base + off)[None, :]
             w = jax.lax.bitcast_convert_type(
-                (pk >> jnp.uint32(26)) & jnp.uint32(1),
+                (pk >> jnp.uint32(27)) & jnp.uint32(1),
                 jnp.int32).astype(jnp.float32)
         else:
             rows = row_ref[:][None, :]                   # [1, T] abs key row
@@ -1059,7 +1059,7 @@ def _gat_apply(mode, H, D, alpha, attn_drop, table, node_tab, smax_tab, ar,
                          exact_scores=exact_scores)
 
     # blocked layouts are PACKED: ``col`` carries one int32 per slot
-    # (panel-local col | dst-tile row offset << 18 | validity << 26) — a
+    # (panel-local col | dst-tile row offset << 18 | validity << 27) — a
     # third of the col+row+ones footprint at products scale; ``row``/``ones``
     # are unused dummies. Attention dropout needs NO per-slot state: the
     # mask is hashed in-kernel from each slot's (dst, src) coordinates

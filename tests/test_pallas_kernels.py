@@ -731,3 +731,32 @@ class TestAccumRouteAB:
                               ("fwd", "da_dst", "da_src", "dh")):
             np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5,
                                        err_msg=name)
+
+
+def test_gat_blocked_r_tile_512():
+    """r_tile=512 packed layouts (9-bit in-tile row offset, validity at bit
+    27 — the widened slot format) run the fused GAT passes correctly."""
+    from cogdl_tpu.data.graph import pad_to
+    from cogdl_tpu.ops.pallas.device_layout import prepare_spmm_device
+
+    t = TestGatFusedBlocked()
+    g = add_self_loops(sbm_graph(num_nodes=600, seed=5))
+    g = pad_to(g, ((g.n_pad + 511) // 512) * 512, g.e_pad)
+    g = prepare_spmm_device(g, symmetric=True, with_orig=True,
+                            panel_rows=512, block_chunks=2, r_tile=512)
+    assert int(g.meta_get("spmm_r_tile")) == 512
+    rng = np.random.default_rng(7)
+    h = jnp.asarray(rng.normal(size=(g.n_pad, t.H, t.D)).astype(np.float32))
+    a_src = jnp.asarray(rng.normal(size=(t.H, t.D)).astype(np.float32))
+    a_dst = jnp.asarray(rng.normal(size=(t.H, t.D)).astype(np.float32))
+    ref = t._ref_av(g, a_dst, a_src, h)
+    out = t._fused(g, a_dst, a_src, h)
+    np.testing.assert_allclose(np.asarray(out)[: g.num_nodes],
+                               np.asarray(ref)[: g.num_nodes],
+                               rtol=1e-4, atol=1e-5)
+    # gradients flow through the widened format too
+    w = jnp.asarray(rng.normal(size=(g.n_pad, t.H, t.D)).astype(np.float32))
+    gf = jax.grad(lambda hh: jnp.sum(t._fused(g, a_dst, a_src, hh) * w))(h)
+    gr = jax.grad(lambda hh: jnp.sum(t._ref_av(g, a_dst, a_src, hh) * w))(h)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=2e-3, atol=2e-3)
