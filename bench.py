@@ -225,7 +225,7 @@ def main():
                                relabel=relabel)
         graph = sym_norm(add_self_loops(graph))
         if _is_tpu():
-            graph = prepare_spmm(graph)
+            graph = prepare_spmm(graph, r_tile=args.r_tile)
     prop_cached = False
     if args.model == "gcn" and not args.no_prop_cache:
         # exact first-layer folding (dropout=0 here): P = ÂX and s = Â1 are

@@ -760,3 +760,76 @@ def test_gat_blocked_r_tile_512():
     gr = jax.grad(lambda hh: jnp.sum(t._ref_av(g, a_dst, a_src, hh) * w))(h)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_prepare_spmm_r_tile_256_single_shot():
+    """Single-shot layouts at r_tile=256 (taller dst tiles, less 1024-slot
+    quantisation): plain SpMM and the fused GAT path both match the XLA
+    tier, mirroring the maybe_* dispatch (spmm_pallas_p / gat_fused_p with
+    panel_rows=0, r_tile from graph meta)."""
+    from cogdl_tpu.ops.pallas.segment_kernels import (
+        build_ar,
+        gat_fused_p,
+        spmm_pallas_p,
+    )
+
+    g = sym_norm(add_self_loops(sbm_graph(num_nodes=300, seed=3)))
+    g = prepare_spmm(g, r_tile=256)
+    assert int(g.meta_get("spmm_r_tile")) == 256
+    assert g.n_pad % 256 == 0
+    ex = g.extras
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(g.n_pad, 32)).astype(np.float32))
+    zb = jnp.zeros(0, jnp.int32)
+
+    def pallas(v):
+        return spmm_pallas_p(0, False, 256, v,
+                             ex["spmm_fw_col"], ex["spmm_fw_w"],
+                             ex["spmm_fw_row"], ex["spmm_fw_ct"], zb,
+                             ex["spmm_bw_col"], ex["spmm_bw_w"],
+                             ex["spmm_bw_row"], ex["spmm_bw_ct"], zb)
+
+    ref = ops.spmm_coo(x, g.row, g.col, g.edge_weight, g.n_pad)
+    np.testing.assert_allclose(np.asarray(pallas(x)), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    gp = jax.grad(lambda v: jnp.sum(pallas(v) ** 2))(x)
+    gr = jax.grad(lambda v: jnp.sum(
+        ops.spmm_coo(v, g.row, g.col, g.edge_weight, g.n_pad) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                               rtol=1e-4, atol=1e-4)
+
+    # fused GAT at r_tile=256 (single-shot, unpacked layout)
+    H, D = 4, 8
+    t = TestGatFused()
+    h = jnp.asarray(rng.normal(size=(g.n_pad, H, D)).astype(np.float32))
+    a_src = jnp.asarray(rng.normal(size=(H, D)).astype(np.float32))
+    sd = jnp.asarray(rng.normal(size=(g.n_pad, H)).astype(np.float32))
+    ss = jnp.einsum("nhd,hd->nh", h, a_src)
+    ar = build_ar(a_src, H, D)
+
+    def fused(sd, ss, h):
+        out = gat_fused_p(
+            H, D, 0.2, 0.0, 0, 256, False,
+            sd, ss, h.reshape(-1, H * D), ar, jnp.zeros_like(ar),
+            jnp.uint32(0),
+            ex["spmm_fw_col"], ex["spmm_fw_row"], ex["spmm_fw_ones"],
+            ex["spmm_fw_ct"], ex["spmm_fw_orig"], zb,
+            ex["spmm_bw_col"], ex["spmm_bw_row"], ex["spmm_bw_ones"],
+            ex["spmm_bw_ct"], ex["spmm_bw_orig"], zb)
+        return out.reshape(-1, H, D)
+
+    ref_gat = t._ref(g, sd, ss, h)
+    np.testing.assert_allclose(np.asarray(fused(sd, ss, h))[: g.num_nodes],
+                               np.asarray(ref_gat)[: g.num_nodes],
+                               rtol=1e-4, atol=1e-5)
+    w = jnp.asarray(rng.normal(size=(g.n_pad, H, D)).astype(np.float32))
+    mask = g.node_mask()[:, None, None]
+    gf = jax.grad(lambda hh: jnp.sum(jnp.where(
+        mask, fused(sd, jnp.einsum("nhd,hd->nh", hh, a_src), hh) * w,
+        0.0)))(h)
+    gr2 = jax.grad(lambda hh: jnp.sum(jnp.where(
+        mask, t._ref(g, sd, jnp.einsum("nhd,hd->nh", hh, a_src), hh) * w,
+        0.0)))(h)
+    np.testing.assert_allclose(np.asarray(gf)[: g.num_nodes],
+                               np.asarray(gr2)[: g.num_nodes],
+                               rtol=2e-3, atol=2e-3)
