@@ -157,7 +157,11 @@ def main():
         return (bench_sampled(args) if args.host_sampler
                 else bench_sampled_device(args))
     if args.r_tile is None:
-        args.r_tile = 128
+        # single-shot default: 256 measured ~2% faster for GCN in two
+        # back-to-back A/B pairs (23.94→23.44, 24.26→23.82 ms — less
+        # 1024-slot quantisation); GAT regressed at 256 (77.9→82.4: 3
+        # routing passes pay the taller-tile MXU cost), keep 128 there
+        args.r_tile = 256 if args.model == "gcn" else 128
 
     import optax
 
