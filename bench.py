@@ -222,8 +222,7 @@ def main():
             graph = graph.replace(row=z, col=z,
                                   edge_weight=jnp.zeros(1, jnp.float32))
     else:
-        relabel = ([args.reorder, args.reorder2] if args.reorder2
-                   else args.reorder)
+        relabel = [m for m in (args.reorder, args.reorder2) if m] or None
         graph = powerlaw_graph(args.nodes, avg_degree=args.avg_degree,
                                feat_dim=args.feat_dim, device_features=True,
                                relabel=relabel)

@@ -429,6 +429,43 @@ def reverse(g: Graph) -> Graph:
     return _rebuild_structure(g, col, row, w, ea, et)
 
 
+def reorder_permutation(row: np.ndarray, col: np.ndarray, num_nodes: int,
+                        method: str = "degree",
+                        seed: int = 0) -> np.ndarray:
+    """The node permutation behind :func:`reorder` (new id i ← old id
+    ``perm[i]``), shared with the synthetic generators' pre-device-transfer
+    relabeling (`datasets.synthetic._relabel_coo`). ``row``/``col`` are the
+    real (unpadded) COO edges."""
+    N = num_nodes
+    if method == "degree":
+        deg = np.bincount(row, minlength=N) + np.bincount(col, minlength=N)
+        perm = np.argsort(-deg, kind="stable").astype(np.int64)
+    elif method == "random":
+        perm = np.random.default_rng(seed).permutation(N).astype(np.int64)
+    elif method in ("bfs", "rcm"):
+        import scipy.sparse as sp
+        from scipy.sparse import csgraph
+
+        w = np.ones(row.shape[0], np.float32)
+        adj = sp.csr_matrix((w, (row, col)), shape=(N, N))
+        adj = adj + adj.T
+        if method == "rcm":
+            perm = np.asarray(csgraph.reverse_cuthill_mckee(adj), np.int64)
+        else:
+            deg = np.bincount(row, minlength=N) + np.bincount(col,
+                                                              minlength=N)
+            order = csgraph.breadth_first_order(
+                adj, int(np.argmax(deg)), directed=False,
+                return_predecessors=False)
+            seen = np.zeros(N, bool)
+            seen[order] = True
+            rest = np.nonzero(~seen)[0]  # disconnected components appended
+            perm = np.concatenate([order, rest]).astype(np.int64)
+    else:
+        raise ValueError(f"unknown reorder method {method!r}")
+    return perm
+
+
 def reorder(g: Graph, method: str = "degree", seed: int = 0) -> Graph:
     """Relabel nodes to improve gather locality / hot-table concentration
     (host-side). The TPU motivation: XLA stages gather tables ≤ ~100 MB in
@@ -454,33 +491,7 @@ def reorder(g: Graph, method: str = "degree", seed: int = 0) -> Graph:
     E = g.num_edges
     row = np.asarray(g.row)[:E].astype(np.int64)
     col = np.asarray(g.col)[:E].astype(np.int64)
-    if method == "degree":
-        deg = np.bincount(row, minlength=N) + np.bincount(col, minlength=N)
-        perm = np.argsort(-deg, kind="stable").astype(np.int64)
-    elif method == "random":
-        perm = np.random.default_rng(seed).permutation(N).astype(np.int64)
-    elif method in ("bfs", "rcm"):
-        import scipy.sparse as sp
-        from scipy.sparse import csgraph
-
-        w = np.ones(E, np.float32)
-        adj = sp.csr_matrix((w, (row, col)), shape=(N, N))
-        adj = adj + adj.T
-        if method == "rcm":
-            perm = np.asarray(csgraph.reverse_cuthill_mckee(adj),
-                              np.int64)
-        else:
-            deg = np.bincount(row, minlength=N) + np.bincount(col,
-                                                              minlength=N)
-            order = csgraph.breadth_first_order(
-                adj, int(np.argmax(deg)), directed=False,
-                return_predecessors=False)
-            seen = np.zeros(N, bool)
-            seen[order] = True
-            rest = np.nonzero(~seen)[0]  # disconnected components appended
-            perm = np.concatenate([order, rest]).astype(np.int64)
-    else:
-        raise ValueError(f"unknown reorder method {method!r}")
+    perm = reorder_permutation(row, col, N, method, seed)
 
     rank = np.empty(N, np.int64)
     rank[perm] = np.arange(N)
@@ -500,8 +511,12 @@ def reorder(g: Graph, method: str = "degree", seed: int = 0) -> Graph:
 
     extras = {k: v for k, v in (g.extras or {}).items()
               if not k.startswith("spmm_")}
+    # chained reorders compose: new id → THIS graph's id → original id
+    prev = extras.get("reorder_orig")
+    orig = (perm if prev is None
+            else np.asarray(prev)[:N].astype(np.int64)[perm])
     extras["reorder_orig"] = _repad_nodes(
-        jnp.asarray(perm.astype(np.int32)), ng.n_pad)
+        jnp.asarray(orig.astype(np.int32)), ng.n_pad)
     return ng.replace(
         x=take(g.x), y=take(g.y), train_mask=take(g.train_mask),
         val_mask=take(g.val_mask), test_mask=take(g.test_mask),

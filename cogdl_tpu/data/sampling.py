@@ -324,9 +324,23 @@ def bfs_partition_cached(graph: Graph, n_parts: int, seed: int = 0,
         return bfs_partition(graph, n_parts, seed, weights=weights)
     import os
 
+    import hashlib
+
     name = graph.meta_get("name", "graph")
-    wtag = weights if isinstance(weights, (str, type(None))) else "custom"
-    key = (f"{name}_N{graph.num_nodes}_E{graph.num_edges}"
+    # name/N/E alone don't identify a graph (a reorder() or a different
+    # generator seed preserves all three) — fingerprint the edge structure,
+    # and the weight VALUES when a custom array is passed
+    E = graph.num_edges
+    h = hashlib.blake2b(digest_size=8)
+    h.update(np.ascontiguousarray(np.asarray(graph.row)[:E]))
+    h.update(np.ascontiguousarray(np.asarray(graph.col)[:E]))
+    if isinstance(weights, (str, type(None))):
+        wtag = weights
+    else:
+        wh = hashlib.blake2b(
+            np.ascontiguousarray(np.asarray(weights)), digest_size=6)
+        wtag = f"custom{wh.hexdigest()}"
+    key = (f"{name}_N{graph.num_nodes}_E{E}_g{h.hexdigest()}"
            f"_p{n_parts}_s{seed}_w{wtag}.npy")
     path = os.path.join(cache_dir, key)
     if os.path.exists(path):

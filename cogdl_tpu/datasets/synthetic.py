@@ -91,34 +91,13 @@ def sbm_graph(
 def _relabel_coo(row, col, num_nodes: int, method: str, seed: int = 0):
     """Host-side node relabeling of a COO edge list (pre-device-transfer
     companion of data.graph.reorder — the tunneled device link makes
-    post-hoc permutation of resident arrays impractical)."""
-    rng = np.random.default_rng(seed)
-    if method == "degree":
-        deg = (np.bincount(row, minlength=num_nodes)
-               + np.bincount(col, minlength=num_nodes))
-        perm = np.argsort(-deg, kind="stable")
-    elif method == "random":
-        perm = rng.permutation(num_nodes)
-    elif method in ("bfs", "rcm"):
-        import scipy.sparse as sp
-        from scipy.sparse import csgraph
+    post-hoc permutation of resident arrays impractical). The permutation
+    itself is shared with ``data.graph.reorder``."""
+    from ..data.graph import reorder_permutation
 
-        adj = sp.csr_matrix((np.ones(row.shape[0], np.float32), (row, col)),
-                            shape=(num_nodes, num_nodes))
-        adj = adj + adj.T
-        if method == "rcm":
-            perm = np.asarray(csgraph.reverse_cuthill_mckee(adj), np.int64)
-        else:
-            deg = (np.bincount(row, minlength=num_nodes)
-                   + np.bincount(col, minlength=num_nodes))
-            order = csgraph.breadth_first_order(
-                adj, int(np.argmax(deg)), directed=False,
-                return_predecessors=False)
-            seen = np.zeros(num_nodes, bool)
-            seen[order] = True
-            perm = np.concatenate([order, np.nonzero(~seen)[0]])
-    else:
-        raise ValueError(method)
+    perm = reorder_permutation(np.asarray(row, np.int64),
+                               np.asarray(col, np.int64),
+                               num_nodes, method, seed)
     rank = np.empty(num_nodes, np.int64)
     rank[perm] = np.arange(num_nodes)
     return rank[row], rank[col]

@@ -97,6 +97,33 @@ def convert_torch_state_dict(state_dict: Dict, num_layers: int,
     return p
 
 
+def infer_config_from_state_dict(state_dict: Dict) -> Dict:
+    """Architecture hyper-parameters recoverable from tensor names/shapes —
+    used when a checkpoint directory carries ``pytorch_model.bin`` but no
+    ``bert_config.json`` (the model must be built at the CHECKPOINT's layer
+    count/width, or flax.apply silently drops the extra layers).
+    ``num_heads`` is not shape-recoverable; BERT's universal head size of 64
+    is assumed."""
+    sd = {k[5:] if k.startswith("bert.") else k: v
+          for k, v in state_dict.items()}
+    vocab, hidden = sd["embeddings.word_embeddings.weight"].shape
+    num_layers = 1 + max(
+        int(m.group(1)) for k in sd
+        if (m := re.search(r"encoder\.layer\.(\d+)\.", k)))
+    return {
+        "vocab_size": int(vocab),
+        "hidden_size": int(hidden),
+        "num_layers": int(num_layers),
+        "num_heads": max(1, int(hidden) // 64),
+        "intermediate_size": int(
+            sd["encoder.layer.0.intermediate.dense_act.weight"].shape[0]),
+        "max_position": int(
+            sd["embeddings.position_embeddings.weight"].shape[0]),
+        "type_vocab_size": int(
+            sd["embeddings.token_type_embeddings.weight"].shape[0]),
+    }
+
+
 def load_torch_checkpoint(path: str, num_layers: Optional[int] = None,
                           dual_position: bool = False) -> Dict:
     """Load ``pytorch_model.bin`` (torch.save format) and convert. When the

@@ -20,8 +20,8 @@ from .bert_model import BertModel
 
 ENTITY_TYPES = ["TEXT", "AUTHOR", "VENUE", "AFF", "FOS"]
 
-
-OAG_TOKEN_TYPE_NAMES = ["TEXT", "AUTHOR", "VENUE", "AFF", "FOS"]
+# reference-compat alias (oagbert_metainfo.py): same list, same index order
+OAG_TOKEN_TYPE_NAMES = ENTITY_TYPES
 
 
 class OAGBertInference:
@@ -227,6 +227,17 @@ def oagbert(name_or_path: Optional[str] = None, load_weights: bool = True,
             tokenizer = WordPieceTokenizer(vocab_path)
         if os.path.exists(os.path.join(name_or_path, "pytorch_model.bin")):
             torch_sd_dir = name_or_path
+            if "num_layers" not in cfg:
+                # no bert_config.json: size the model from the checkpoint's
+                # own tensor shapes, or flax.apply would silently run the
+                # default 12 layers against a deeper converted tree
+                import torch
+
+                from .convert import infer_config_from_state_dict
+
+                cfg = infer_config_from_state_dict(torch.load(
+                    os.path.join(name_or_path, "pytorch_model.bin"),
+                    map_location="cpu"))
     cfg.update(config_overrides)
     model = BertModel(dual_position=dual, **cfg)
     rng = jax.random.PRNGKey(0)

@@ -72,7 +72,8 @@ def gather_sharded_rows(table_local: jnp.ndarray, idx: jnp.ndarray,
     lo = me * Nl
     local = idx - lo
     owned = (local >= 0) & (local < Nl)
-    rows = jnp.take(table_local, jnp.clip(local, 0, Nl - 1), axis=0)
+    rows = jnp.take(table_local, jnp.clip(local, 0, Nl - 1), axis=0,
+                    mode="clip")
     rows = jnp.where(
         owned.reshape((-1,) + (1,) * (rows.ndim - 1)), rows, 0)
     return jax.lax.psum(rows, axis)
@@ -90,7 +91,7 @@ def gather_sharded_rows_dp(table_local: jnp.ndarray, idx: jnp.ndarray,
     local = idx_all - lo
     owned = (local >= 0) & (local < Nl)
     rows = jnp.take(table_local, jnp.clip(local, 0, Nl - 1).reshape(-1),
-                    axis=0)
+                    axis=0, mode="clip")
     rows = rows.reshape(idx_all.shape + rows.shape[1:])  # [P, M, F]
     rows = jnp.where(
         owned.reshape(owned.shape + (1,) * (rows.ndim - 2)), rows, 0)

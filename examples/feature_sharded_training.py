@@ -77,10 +77,21 @@ def local_loss(params, x_local, col_local, row_ptr, y, seeds, step):
         masked_cross_entropy(logits[:B], yb, jnp.ones(B, bool)), AXIS)
 
 
+def local_value_and_grad(params, x_local, col_local, row_ptr, y, seeds,
+                         step):
+    loss, grads = jax.value_and_grad(local_loss)(
+        params, x_local, col_local, row_ptr, y, seeds, step)
+    # grads of the pmean'd loss are each device's FULL local gradient
+    # (psum's transpose replays the replicated cotangent to every device
+    # un-scaled) — pmean them so every replica applies the same averaged
+    # gradient (without this the "replicated" params silently diverge)
+    return loss, jax.lax.pmean(grads, AXIS)
+
+
 @jax.jit
 def train_step(params, opt_state, xs, cols, row_ptr, y, seeds, step):
     loss, grads = jax.shard_map(
-        jax.value_and_grad(local_loss), mesh=mesh,
+        local_value_and_grad, mesh=mesh,
         in_specs=(P(), P(AXIS), P(AXIS), P(), P(), P(AXIS), P()),
         out_specs=(P(), P()), check_vma=False)(
         params, xs, cols, row_ptr, y, seeds, step)

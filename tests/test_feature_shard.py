@@ -157,3 +157,78 @@ def test_sharded_sampled_loss_matches_replicated(g):
                         seeds_all.reshape(-1)))
     assert abs(loss - ref_loss) < 1e-4, (loss, ref_loss)
     assert e_tab_pad >= e_tab
+
+
+def test_sharded_grads_match_replicated(g):
+    """Review r4: grads of the pmean'd loss inside shard_map are LOCAL —
+    the training pattern must psum them before applying (the averaged
+    gradient must equal the mean of the per-device replicated-path grads)."""
+    from cogdl_tpu.models import build_model
+    from cogdl_tpu.utils.evaluator import masked_cross_entropy
+
+    mesh = make_mesh(NDEV)
+    B, fanouts = 8, (3, 2)
+    model = build_model("sage", in_features=g.num_features,
+                        out_features=g.num_classes, hidden_size=16,
+                        dropout=0.0)
+    seeds_all = jnp.asarray(
+        np.random.default_rng(4).integers(0, g.num_nodes, (NDEV, B)),
+        jnp.int32)
+    key = jax.random.PRNGKey(21)
+
+    def device_loss(params, d, blocks, x):
+        logits = model.apply({"params": params}, list(blocks), x,
+                             training=False)
+        y = jnp.take(g.y, blocks[0].extras["frame"][:B], mode="clip")
+        return masked_cross_entropy(logits[:B], y, jnp.ones(B, bool))
+
+    variables = None
+    ref_grads = None
+    for d in range(NDEV):
+        kd = jax.random.fold_in(key, d)
+        blocks, _ = sample_blocks_device(g, seeds_all[d], kd, fanouts)
+        x = jnp.take(blocks[0].extras["x_table"],
+                     blocks[0].extras["frame"], axis=0, mode="clip")
+        if variables is None:
+            variables = model.init(jax.random.PRNGKey(0), list(blocks), x,
+                                   training=False)
+        gd = jax.grad(device_loss)(variables["params"], d, blocks, x)
+        ref_grads = (gd if ref_grads is None
+                     else jax.tree.map(jnp.add, ref_grads, gd))
+    ref_grads = jax.tree.map(lambda a: a / NDEV, ref_grads)
+
+    e_tab = int(g.col.shape[0])
+    xs = shard_rows(g.x, mesh)
+    cols = shard_rows(g.col, mesh)
+    meta = {"num_nodes": g.num_nodes, "n_pad": g.n_pad, "e_tab": e_tab,
+            "num_classes": g.num_classes}
+
+    def local_loss(params, x_local, col_local, row_ptr, y, seeds):
+        me = jax.lax.axis_index(AXIS)
+        kd = jax.random.fold_in(key, me)
+        blocks, frame = sample_blocks_device_sharded(
+            row_ptr, col_local, meta, seeds, kd, fanouts, axis=AXIS, dp=True)
+        x = sharded_frame_features(x_local, frame, axis=AXIS, dp=True)
+        logits = model.apply({"params": params}, list(blocks), x,
+                             training=False)
+        yb = jnp.take(y, frame[:B], mode="clip")
+        return jax.lax.pmean(
+            masked_cross_entropy(logits[:B], yb, jnp.ones(B, bool)), AXIS)
+
+    def local_vg(params, x_local, col_local, row_ptr, y, seeds):
+        loss, grads = jax.value_and_grad(local_loss)(
+            params, x_local, col_local, row_ptr, y, seeds)
+        return loss, jax.lax.pmean(grads, AXIS)
+
+    fn = jax.jit(jax.shard_map(
+        local_vg, mesh=mesh,
+        in_specs=(P(), P(AXIS), P(AXIS), P(), P(), P(AXIS)),
+        out_specs=(P(), P()), check_vma=False))
+    with mesh:
+        _, grads = fn(variables["params"], xs, cols, g.row_ptr, g.y,
+                      seeds_all.reshape(-1))
+    flat_r, _ = jax.tree.flatten(ref_grads)
+    flat_s, _ = jax.tree.flatten(grads)
+    for a, b in zip(flat_r, flat_s):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)

@@ -189,3 +189,30 @@ def test_oagbert_loads_torch_checkpoint_dir(tmp_path):
     assert mpos == [len(input_ids) - 2, len(input_ids) - 1]
     # per-span positions: first ids constant per span, second ids restart
     assert pos1[0] == 0 and pos1[-1] == n_spans - 1 and pos2[-2:] == [0, 1]
+
+
+def test_oagbert_infers_config_without_json(tmp_path):
+    """A checkpoint dir with pytorch_model.bin but NO bert_config.json must
+    build the model at the CHECKPOINT's architecture (review r4 — the
+    default 12-layer build silently dropped the converted extra layers)."""
+    import torch
+
+    ref_mod, _ = _load_reference_bert()
+    from cogdl_tpu.oag.oagbert import oagbert
+
+    cfg = ref_mod.BertConfig.from_dict(dict(
+        vocab_size=30, hidden_size=16,
+        num_hidden_layers=3, num_attention_heads=2, intermediate_size=32,
+        hidden_act="gelu", hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, max_position_embeddings=20,
+        type_vocab_size=2, initializer_range=0.02))
+    torch.manual_seed(2)
+    ref = ref_mod.BertForPreTrainingPreLN(cfg).eval()
+    torch.save(ref.state_dict(), tmp_path / "pytorch_model.bin")
+
+    model, variables = oagbert(str(tmp_path))
+    assert model.num_layers == 3
+    assert model.hidden_size == 16
+    assert f"layer2" in variables["params"]
+    seq = model.apply(variables, np.arange(6)[None].astype(np.int32))[0]
+    assert seq.shape == (1, 6, 16) and np.isfinite(np.asarray(seq)).all()

@@ -275,3 +275,50 @@ def test_samplers_handle_batch_larger_than_train_split():
     hs = NeighborSampler(g, fanouts=[2], batch_size=64)
     batches = list(hs.epoch())
     assert len(batches) == 1
+
+
+def test_reorder_chain_composes_orig():
+    """Chained reorders must keep extras['reorder_orig'] mapping to the
+    ORIGINAL graph's ids (review r4): un-permuting node data through it
+    recovers the pre-reorder arrays."""
+    from cogdl_tpu.data.graph import reorder
+    from cogdl_tpu.datasets.synthetic import sbm_graph
+
+    g = sbm_graph(num_nodes=120, seed=3)
+    g2 = reorder(reorder(g, "random", seed=1), "degree")
+    N = g.num_nodes
+    orig = np.asarray(g2.extras["reorder_orig"])[:N]
+    assert sorted(orig.tolist()) == list(range(N))
+    np.testing.assert_array_equal(np.asarray(g2.x)[:N],
+                                  np.asarray(g.x)[orig])
+    np.testing.assert_array_equal(np.asarray(g2.y)[:N],
+                                  np.asarray(g.y)[orig])
+
+
+def test_partition_cache_distinguishes_graphs(tmp_path):
+    """The partition disk cache must key on edge STRUCTURE, not just
+    name/N/E (review r4): a relabeled graph shares all three but needs its
+    own partition."""
+    import os
+
+    from cogdl_tpu.data.graph import reorder
+    from cogdl_tpu.data.sampling import bfs_partition_cached
+    from cogdl_tpu.datasets.synthetic import sbm_graph
+
+    g = sbm_graph(num_nodes=150, seed=0)
+    g2 = reorder(g, "random", seed=5)
+    assert (g.meta_get("name") == g2.meta_get("name")
+            and g.num_edges == g2.num_edges)
+    p1 = bfs_partition_cached(g, 4, cache_dir=str(tmp_path))
+    p2 = bfs_partition_cached(g2, 4, cache_dir=str(tmp_path))
+    assert len(os.listdir(tmp_path)) == 2          # two distinct cache files
+    assert not np.array_equal(p1, p2)
+    # same graph again → cache hit, identical result
+    np.testing.assert_array_equal(
+        p1, bfs_partition_cached(g, 4, cache_dir=str(tmp_path)))
+    # custom weight arrays key on their values
+    w1 = np.ones(g.num_nodes, np.float32)
+    w2 = np.arange(g.num_nodes, dtype=np.float32) + 1
+    bfs_partition_cached(g, 4, weights=w1, cache_dir=str(tmp_path))
+    bfs_partition_cached(g, 4, weights=w2, cache_dir=str(tmp_path))
+    assert len(os.listdir(tmp_path)) == 4
