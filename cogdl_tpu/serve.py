@@ -1,0 +1,116 @@
+"""Production inference: AOT-export a trained model's forward to a
+self-contained StableHLO artifact and serve it without Python model code.
+
+The reference has no deployment story (training scripts only); on TPU the
+natural one is ``jax.export``: the jitted forward is lowered ONCE to
+StableHLO bytes that reload in a clean process — no flax module, no model
+registry, no re-trace — and execute on whatever devices the serving
+process sees.
+
+    from cogdl_tpu.serve import export_model, Predictor
+
+    export_model(model, variables, graph, "gcn.stablehlo")   # at train time
+    pred = Predictor("gcn.stablehlo", graph)                 # at serve time
+    logits = pred()                                          # full-graph
+    probs  = pred.predict_proba(nodes=[0, 5, 9])
+
+Artifacts are shape-specialised (XLA semantics: static shapes); export one
+artifact per padded graph shape — the padding contract means ONE artifact
+serves every graph padded to that frame.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+_MAGIC = b"CGTPU1\n"
+
+
+def _forward_fn(model, treedef):
+    # the Graph pytree's treedef (static meta incl.) is baked into the
+    # lowered program as a closure — the artifact's call signature carries
+    # only plain array pytrees, which jax.export can serialize
+    def forward(variables, leaves, x):
+        graph = jax.tree.unflatten(treedef, leaves)
+        return model.apply(variables, graph, x, training=False)
+
+    return forward
+
+
+def export_model(model, variables, graph, path: str,
+                 platforms: Optional[Sequence[str]] = None) -> None:
+    """Lower ``model.apply(variables, graph, graph.x)`` (inference mode) to
+    serialized StableHLO at ``path``. ``platforms`` defaults to the current
+    backend; pass e.g. ``("tpu", "cpu")`` to build one artifact servable on
+    both."""
+    from jax import export as jexport
+
+    leaves, treedef = jax.tree.flatten(graph)
+    fn = jax.jit(_forward_fn(model, treedef))
+    kw = {"platforms": tuple(platforms)} if platforms else {}
+    exp = jexport.export(fn, **kw)(variables, leaves, graph.x)
+    data = exp.serialize()
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(_MAGIC)
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def load_exported(path: str):
+    """The deserialized exported object; ``.call(variables, graph, x)``
+    runs it."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        blob = f.read()
+    if not blob.startswith(_MAGIC):
+        raise ValueError(f"{path} is not a cogdl_tpu exported model")
+    return jexport.deserialize(blob[len(_MAGIC):])
+
+
+class Predictor:
+    """Serve an exported artifact against a resident graph.
+
+    Parameters are baked at construction (``variables``) or supplied per
+    call; the graph rides as the static serving frame. ``jax.jit`` wraps
+    the exported call so repeated predictions reuse one executable.
+    """
+
+    def __init__(self, path: str, graph, variables=None):
+        self._exp = load_exported(path)
+        self.graph = graph
+        self._leaves = jax.tree.flatten(graph)[0]
+        self.variables = variables
+        self._call = jax.jit(self._exp.call)
+
+    def __call__(self, x: Optional[jnp.ndarray] = None, variables=None):
+        """Full-frame logits ``[n_pad, C]``."""
+        v = variables if variables is not None else self.variables
+        if v is None:
+            raise ValueError("no variables: pass them here or at init")
+        return self._call(v, self._leaves,
+                          self.graph.x if x is None else x)
+
+    def predict(self, nodes=None, x=None, variables=None):
+        """Predicted class ids for ``nodes`` (default: all real nodes)."""
+        logits = self(x, variables)
+        if nodes is not None:
+            logits = jnp.take(logits, jnp.asarray(nodes), axis=0,
+                              mode="clip")
+        else:
+            logits = logits[: self.graph.num_nodes]
+        return jnp.argmax(logits, axis=-1)
+
+    def predict_proba(self, nodes=None, x=None, variables=None):
+        logits = self(x, variables)
+        if nodes is not None:
+            logits = jnp.take(logits, jnp.asarray(nodes), axis=0,
+                              mode="clip")
+        else:
+            logits = logits[: self.graph.num_nodes]
+        return jax.nn.softmax(logits, axis=-1)

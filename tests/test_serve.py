@@ -1,0 +1,66 @@
+"""AOT export/serve: the trained forward reloads from StableHLO bytes and
+reproduces the live model's logits exactly — no flax module needed at
+serving time."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cogdl_tpu.data.graph import add_self_loops, sym_norm
+from cogdl_tpu.datasets.synthetic import sbm_graph
+from cogdl_tpu.models import build_model
+from cogdl_tpu.serve import Predictor, export_model, load_exported
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    g = sym_norm(add_self_loops(sbm_graph(num_nodes=200, seed=0)))
+    model = build_model("gcn", in_features=g.num_features,
+                        out_features=g.num_classes, hidden_size=32,
+                        dropout=0.0)
+    variables = model.init(jax.random.PRNGKey(0), g, g.x, training=False)
+    path = str(tmp_path_factory.mktemp("serve") / "gcn.stablehlo")
+    export_model(model, variables, g, path)
+    return model, variables, g, path
+
+
+def test_export_roundtrip_exact(trained):
+    model, variables, g, path = trained
+    live = model.apply(variables, g, g.x, training=False)
+    exp = load_exported(path)
+    served = exp.call(variables, jax.tree.flatten(g)[0], g.x)
+    np.testing.assert_array_equal(np.asarray(served), np.asarray(live))
+
+
+def test_predictor_api(trained):
+    model, variables, g, path = trained
+    pred = Predictor(path, g, variables)
+    logits = pred()
+    assert logits.shape[0] == g.n_pad
+    cls = pred.predict()
+    assert cls.shape == (g.num_nodes,)
+    live = jnp.argmax(model.apply(variables, g, g.x,
+                                  training=False)[: g.num_nodes], -1)
+    np.testing.assert_array_equal(np.asarray(cls), np.asarray(live))
+    probs = pred.predict_proba(nodes=[0, 3, 7])
+    assert probs.shape == (3, g.num_classes)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, rtol=1e-5)
+
+
+def test_predictor_fresh_features(trained):
+    """The artifact is shape-specialised, not data-specialised: new feature
+    matrices of the serving frame's shape flow through."""
+    _, variables, g, path = trained
+    pred = Predictor(path, g, variables)
+    x2 = jnp.asarray(np.random.default_rng(1).normal(
+        size=g.x.shape).astype(np.float32))
+    out = pred(x2)
+    assert not np.allclose(np.asarray(out), np.asarray(pred()))
+
+
+def test_magic_guard(tmp_path):
+    p = tmp_path / "bad.bin"
+    p.write_bytes(b"not an artifact")
+    with pytest.raises(ValueError):
+        load_exported(str(p))
