@@ -287,10 +287,14 @@ def prepare_spmm_device(graph, symmetric: bool = False,
     E = graph.num_edges
     row, col, w = graph.row[:E], graph.col[:E], graph.edge_weight[:E]
     if panel_rows is None:
-        # the fused-GAT path (with_orig) gathers COMPACT node tables of up
-        # to HD+2H lanes — size panels for 576 B/row (144 f32 lanes) so the
-        # widest table's panel still VMEM-stages
-        feat_bytes = (576 if with_orig
+        # size panels by PHYSICAL bytes/row: lanes pad to whole 128-lane
+        # tiles, so the fused-GAT path's 144-lane node tables occupy 256
+        # lanes = 1024 B/row. Sizing by the 576 logical bytes made 168 MB
+        # slices that fell off the VMEM staging path — the dominant gather
+        # ran at ~14 ns/row vs ~2 staged (r4 on-chip profile; panel sweep
+        # measured 163840 rows → 7549 ms, 92160 → 7199, and mid-sized
+        # 116736 → 9436: off-staging AND more groups is worst of both)
+        feat_bytes = (1024 if with_orig
                       else (256 if gather_bf16 else 512))
         panel_rows = default_panel_rows(n_pad, feat_bytes=feat_bytes,
                                         r_tile=r_tile)
