@@ -55,9 +55,15 @@ def train(
     seed: int = 0,
     wrapper: Optional[str] = None,
     use_best_config: bool = False,
+    export_path: Optional[str] = None,
     **kwargs,
 ) -> Dict[str, float]:
-    """Train one variant end-to-end (reference experiments.py:92 ``train``)."""
+    """Train one variant end-to-end (reference experiments.py:92 ``train``).
+
+    ``export_path``: after training, AOT-export the trained forward to a
+    StableHLO serving artifact (:mod:`cogdl_tpu.serve`); full-batch
+    ``(graph, x)``-signature models only. With a seed grid, the last
+    variant's weights win."""
     ds = build_dataset(dataset) if isinstance(dataset, str) else dataset
     ds_name = ds.name if isinstance(ds, Dataset) else str(dataset)
     if use_best_config:
@@ -99,7 +105,13 @@ def train(
     w = wrapper_cls(mdl, dataset=ds, **wrapper_kwargs)
     trainer = Trainer(TrainerConfig(**trainer_kwargs))
     result = trainer.run(w, graph)
-    result.pop("_variables", None)
+    variables = result.pop("_variables", None)
+    if export_path:
+        from .serve import export_model
+
+        g_served = (w.prepare_graph(graph)
+                    if hasattr(w, "prepare_graph") else graph)
+        export_model(mdl, variables, g_served, export_path)
     return result
 
 

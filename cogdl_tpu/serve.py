@@ -42,11 +42,14 @@ def _forward_fn(model, treedef):
 
 
 def export_model(model, variables, graph, path: str,
-                 platforms: Optional[Sequence[str]] = None) -> None:
+                 platforms: Optional[Sequence[str]] = None,
+                 save_params: bool = True) -> None:
     """Lower ``model.apply(variables, graph, graph.x)`` (inference mode) to
     serialized StableHLO at ``path``. ``platforms`` defaults to the current
     backend; pass e.g. ``("tpu", "cpu")`` to build one artifact servable on
-    both."""
+    both. ``save_params`` (default) also writes the trained variables to
+    ``path + ".params"`` so the artifact serves stand-alone —
+    :class:`Predictor` auto-loads the sidecar."""
     from jax import export as jexport
 
     leaves, treedef = jax.tree.flatten(graph)
@@ -59,6 +62,10 @@ def export_model(model, variables, graph, path: str,
         f.write(_MAGIC)
         f.write(data)
     os.replace(tmp, path)
+    if save_params:
+        from .trainer.checkpoint import save_checkpoint
+
+        save_checkpoint(path + ".params", variables)
 
 
 def load_exported(path: str):
@@ -85,6 +92,11 @@ class Predictor:
         self._exp = load_exported(path)
         self.graph = graph
         self._leaves = jax.tree.flatten(graph)[0]
+        if variables is None and os.path.exists(path + ".params"):
+            from .trainer.checkpoint import load_checkpoint
+
+            variables = jax.tree.map(jnp.asarray,
+                                     load_checkpoint(path + ".params")["params"])
         self.variables = variables
         self._call = jax.jit(self._exp.call)
 

@@ -64,3 +64,24 @@ def test_magic_guard(tmp_path):
     p.write_bytes(b"not an artifact")
     with pytest.raises(ValueError):
         load_exported(str(p))
+
+
+def test_experiment_export_path(tmp_path):
+    """experiment(..., export_path=...) trains then drops a serving
+    artifact that reproduces the trained model's predictions."""
+    from cogdl_tpu import experiment
+    from cogdl_tpu.data.graph import add_self_loops, sym_norm
+    from cogdl_tpu.datasets import build_dataset
+
+    path = str(tmp_path / "m.stablehlo")
+    experiment(dataset="sbm", model="gcn", epochs=30, seed=[0],
+               export_path=path)
+    import os
+
+    assert os.path.exists(path + ".params")   # trained weights sidecar
+    ds = build_dataset("sbm")
+    g = sym_norm(add_self_loops(ds.graph))
+    pred = Predictor(path, g)                 # auto-loads the sidecar
+    cls = pred.predict()
+    acc = float((np.asarray(cls) == np.asarray(g.y)[: g.num_nodes]).mean())
+    assert acc > 0.5                          # it serves the TRAINED model
