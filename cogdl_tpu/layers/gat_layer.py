@@ -61,15 +61,20 @@ class GATLayer(nn.Module):
             # fast path). Dead slots (weight 0) are masked to -inf.
             n = graph.meta_get("frontier")
             cols = graph.col[: n * f]
-            e = (jnp.repeat(score_dst[:n], f, axis=0)
-                 + jnp.take(score_src, cols, axis=0, mode="clip"))
-            e = jax.nn.leaky_relu(e, self.alpha).reshape(n, f, H)
+            # gather the FLAT [N, H·D] rows (128-lane aligned; a 3-D
+            # [N, H, D] gather tiles as D-lane rows — 8× lane waste for
+            # D=16, measured 12 ms vs <1 at B=1024) and recompute the src
+            # score half from rows already in flight instead of a second
+            # narrow [N, H] gather (CLAUDE.md gather economics)
+            msg = jnp.take(h.reshape(-1, H * D), cols, axis=0,
+                           mode="clip").reshape(n, f, H, D)
+            e = score_dst[:n, None, :] + jnp.sum(msg * a_src, axis=-1)
+            e = jax.nn.leaky_relu(e, self.alpha)
             w = graph.edge_weight[: n * f].reshape(n, f, 1)
             att = jax.nn.softmax(jnp.where(w > 0, e, -1e30), axis=1)
             if self.attn_drop > 0 and training:
                 att = nn.Dropout(rate=self.attn_drop,
                                  deterministic=False)(att)
-            msg = jnp.take(h, cols, axis=0, mode="clip").reshape(n, f, H, D)
             red = jnp.sum(att[..., None] * msg, axis=1)        # [n, H, D]
             out = jax.lax.dynamic_update_slice(
                 jnp.zeros((graph.n_pad, H, D), red.dtype), red, (0, 0, 0))
