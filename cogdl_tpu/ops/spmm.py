@@ -172,14 +172,21 @@ def mh_spmm(graph: Graph, attention: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray
     out = _pl.maybe_pallas_mh_spmm(graph, attention, h)
     if out is not None:
         return out
-    msg = gather_src(graph, h) * attention[:, :, None]
+    # gather the FLAT [N, H·D] rows: a 3-D [N, H, D] gather tiles as
+    # D-lane rows on TPU (8x lane waste at D=16 — CLAUDE.md)
+    H, D = h.shape[1], h.shape[2]
+    msg = gather_src(graph, h.reshape(-1, H * D)).reshape(-1, H, D)
+    msg = msg * attention[:, :, None]
     return seg.segment_sum(msg, graph.row, graph.n_pad)
 
 
 def mh_sddmm(graph: Graph, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Per-edge per-head dots for ``[N, H, D]`` inputs → ``[E, H]``.
-    Reference: multiheadSddmm.cu."""
-    return jnp.sum(seg.gather(a, graph.row) * gather_src(graph, b), axis=-1)
+    Reference: multiheadSddmm.cu. Gathers ride in flat 128-lane form."""
+    H, D = a.shape[1], a.shape[2]
+    ae = seg.gather(a.reshape(-1, H * D), graph.row).reshape(-1, H, D)
+    be = gather_src(graph, b.reshape(-1, H * D)).reshape(-1, H, D)
+    return jnp.sum(ae * be, axis=-1)
 
 
 # ---------------------------------------------------------------------------
