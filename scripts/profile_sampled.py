@@ -20,6 +20,7 @@ from profile_step import parse_xplane  # noqa: E402
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="sage")
     ap.add_argument("--nodes", type=int, default=100_000)
     ap.add_argument("--avg-degree", type=int, default=30)
     ap.add_argument("--feat-dim", type=int, default=100)
@@ -49,9 +50,11 @@ def main():
         device_features=True))
     fanouts = tuple(int(f) for f in args.fanouts.split(","))
     B = args.batch_size
-    model = build_model("sage", in_features=args.feat_dim,
-                        out_features=graph.num_classes,
-                        hidden_size=args.hidden, dropout=0.0)
+    kw = dict(in_features=args.feat_dim, out_features=graph.num_classes,
+              hidden_size=args.hidden, dropout=0.0)
+    if args.model == "gat":
+        kw.update(nhead=8, hidden_size=args.hidden // 8)
+    model = build_model(args.model, **kw)
     sampler = DeviceNeighborSampler(graph, fanouts, batch_size=B)
     seeds = jnp.asarray(sampler.epoch_seeds()[0])
 
