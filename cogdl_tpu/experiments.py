@@ -106,11 +106,14 @@ def train(
     trainer = Trainer(TrainerConfig(**trainer_kwargs))
     result = trainer.run(w, graph)
     variables = result.pop("_variables", None)
+    g_served = result.pop("_graph", graph)
     if export_path:
         from .serve import export_model
 
-        g_served = (w.prepare_graph(graph)
-                    if hasattr(w, "prepare_graph") else graph)
+        # export against the EXACT frame the trainer trained on (the
+        # wrapper-prepared graph, incl. TPU kernel layouts) — re-preparing
+        # here would repeat minutes of host layout work at OGB scale and
+        # could diverge from the trained frame
         export_model(mdl, variables, g_served, export_path)
     return result
 
@@ -133,7 +136,16 @@ def raw_experiment(datasets, models, seeds=(1,), **kwargs) -> Dict[str, List[Dic
 
     variants = gen_variants(datasets, models, seeds)
     results = defaultdict(list)
+    base_export = kwargs.get("export_path")
+    multi = len({(d, m) for d, m, _ in variants}) > 1
     for ds, mdl, seed in variants:
+        if base_export and multi:
+            # a model/dataset grid would silently overwrite one artifact —
+            # derive a per-variant filename instead
+            root, dot, ext = base_export.rpartition(".")
+            tag = f"{ds if isinstance(ds, str) else 'dataset'}-{mdl}"
+            kwargs["export_path"] = (f"{root}-{tag}.{ext}" if dot
+                                     else f"{base_export}-{tag}")
         res = train(resolve(ds), mdl, seed=seed, **kwargs)
         key = (ds if isinstance(ds, str) else getattr(ds, "name", "dataset"), mdl)
         results[key].append(res)

@@ -78,8 +78,8 @@ class SimpleHGNConv(nn.Module):
             att = att * (1.0 - self.alpha) + res_attn * self.alpha
 
         # flat [N, H*D] gather (3-D gathers tile as D-lane rows on TPU)
-        msg = jnp.take(h.reshape(-1, H * D), col,
-                       axis=0).reshape(-1, H, D) * att[:, :, None]
+        msg = jnp.take(h.reshape(-1, H * D), col, axis=0,
+                       mode="clip").reshape(-1, H, D) * att[:, :, None]
         out = seg.segment_sum(msg, row, graph.n_pad, sorted=False)
         out = out.reshape(-1, H * D)
         if self.residual:

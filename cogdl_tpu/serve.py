@@ -30,12 +30,19 @@ import jax.numpy as jnp
 _MAGIC = b"CGTPU1\n"
 
 
+def _x_placeholder(graph):
+    """The graph's x leaf replaced by a 0-row stub: features travel ONCE as
+    the explicit ``x`` argument, not a second time inside the leaves."""
+    return graph.replace(x=jnp.zeros((0,) + graph.x.shape[1:],
+                                     graph.x.dtype))
+
+
 def _forward_fn(model, treedef):
     # the Graph pytree's treedef (static meta incl.) is baked into the
     # lowered program as a closure — the artifact's call signature carries
     # only plain array pytrees, which jax.export can serialize
     def forward(variables, leaves, x):
-        graph = jax.tree.unflatten(treedef, leaves)
+        graph = jax.tree.unflatten(treedef, leaves).replace(x=x)
         return model.apply(variables, graph, x, training=False)
 
     return forward
@@ -52,7 +59,7 @@ def export_model(model, variables, graph, path: str,
     :class:`Predictor` auto-loads the sidecar."""
     from jax import export as jexport
 
-    leaves, treedef = jax.tree.flatten(graph)
+    leaves, treedef = jax.tree.flatten(_x_placeholder(graph))
     fn = jax.jit(_forward_fn(model, treedef))
     kw = {"platforms": tuple(platforms)} if platforms else {}
     exp = jexport.export(fn, **kw)(variables, leaves, graph.x)
@@ -91,7 +98,7 @@ class Predictor:
     def __init__(self, path: str, graph, variables=None):
         self._exp = load_exported(path)
         self.graph = graph
-        self._leaves = jax.tree.flatten(graph)[0]
+        self._leaves = jax.tree.flatten(_x_placeholder(graph))[0]
         if variables is None and os.path.exists(path + ".params"):
             from .trainer.checkpoint import load_checkpoint
 
@@ -105,8 +112,17 @@ class Predictor:
         v = variables if variables is not None else self.variables
         if v is None:
             raise ValueError("no variables: pass them here or at init")
-        return self._call(v, self._leaves,
-                          self.graph.x if x is None else x)
+        try:
+            return self._call(v, self._leaves,
+                              self.graph.x if x is None else x)
+        except (ValueError, TypeError) as e:
+            raise ValueError(
+                "serving graph does not match the exported frame (artifacts "
+                "are shape-specialised): prepare the graph EXACTLY as at "
+                "export time — same normalisation/self-loops, and on TPU "
+                "the same prepare_spmm kernel layouts (experiment("
+                "export_path=...) exports the wrapper-prepared frame). "
+                f"Original error: {e}") from e
 
     def predict(self, nodes=None, x=None, variables=None):
         """Predicted class ids for ``nodes`` (default: all real nodes)."""

@@ -417,4 +417,5 @@ class Trainer:
         result["best_epoch"] = best_epoch
         result["train_time"] = time.time() - t0
         result["_variables"] = {"params": best_params, **best_model_state}
+        result["_graph"] = graph   # the PREPARED frame (export needs it)
         return result

@@ -25,7 +25,13 @@ with tempfile.TemporaryDirectory() as d:
                export_path=path)
 
     # --- a "serving process": artifact + graph frame, no flax model ---
+    # prepare the frame EXACTLY as training did (wrapper prepare_graph:
+    # self-loops + the model's adjacency norm, + kernel layouts on TPU)
+    from cogdl_tpu.ops.pallas import _is_tpu, prepare_spmm
+
     g = sym_norm(add_self_loops(build_dataset("sbm").graph))
+    if _is_tpu():
+        g = prepare_spmm(g)
     pred = Predictor(path, g)          # auto-loads the .params sidecar
     cls = pred.predict(nodes=[0, 5, 9])
     probs = pred.predict_proba(nodes=[0, 5, 9])

@@ -53,7 +53,8 @@ def main():
     kw = dict(in_features=args.feat_dim, out_features=graph.num_classes,
               hidden_size=args.hidden, dropout=0.0)
     if args.model == "gat":
-        kw.update(nhead=8, hidden_size=args.hidden // 8)
+        # attn_drop=0 matches bench_sampled_device's benched program
+        kw.update(nhead=8, hidden_size=args.hidden // 8, attn_drop=0.0)
     model = build_model(args.model, **kw)
     sampler = DeviceNeighborSampler(graph, fanouts, batch_size=B)
     seeds = jnp.asarray(sampler.epoch_seeds()[0])

@@ -29,7 +29,9 @@ def test_export_roundtrip_exact(trained):
     model, variables, g, path = trained
     live = model.apply(variables, g, g.x, training=False)
     exp = load_exported(path)
-    served = exp.call(variables, jax.tree.flatten(g)[0], g.x)
+    from cogdl_tpu.serve import _x_placeholder
+
+    served = exp.call(variables, jax.tree.flatten(_x_placeholder(g))[0], g.x)
     np.testing.assert_array_equal(np.asarray(served), np.asarray(live))
 
 
