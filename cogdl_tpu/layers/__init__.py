@@ -11,9 +11,10 @@ from .appnp_layer import APPNPProp
 from .rgcn_layer import RGCNLayer
 from .han_layer import HANLayer
 from .deepergcn_layer import GENConv, ResGNNLayer
+from .set2set import Set2Set
 
 __all__ = [
     "GCNLayer", "GATLayer", "SAGELayer", "GINLayer", "GCNIILayer",
     "SGCLayer", "MixHopLayer", "SELayer", "MLP", "APPNPProp",
-    "RGCNLayer", "HANLayer", "GENConv", "ResGNNLayer",
+    "RGCNLayer", "HANLayer", "GENConv", "ResGNNLayer", "Set2Set",
 ]

@@ -577,3 +577,61 @@ def test_rgcn_layer_analytic_parity():
     }
     out = np.asarray(layer.apply({"params": params}, g, xp))[:n]
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_set2set_parity():
+    """Set2Set readout vs the reference implementation's torch LSTM
+    (reference cogdl/layers/set2set.py:5-63) — torch LSTM weights are
+    injected 1:1 into the packed flax params ((i,f,g,o) gate order,
+    b = b_ih + b_hh).
+
+    The reference's own forward cannot be invoked directly: set2set.py:59
+    calls ``edge_softmax(e, batch)`` but the signature is
+    ``edge_softmax(graph, edge_val)`` (spmm_utils.py:172) — swapped args
+    crash with IndexError on CPU (batch is 1-D). The loop below replays
+    set2set.py:55-62's intended math in torch around the reference layer's
+    OWN LSTM, which is the paper's (and PyG's) definition."""
+    from cogdl.layers import Set2Set as RefSet2Set
+
+    from cogdl_tpu.layers import Set2Set
+
+    rng = np.random.default_rng(21)
+    n, f, steps, layers, b = 37, 6, 4, 2, 3
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    batch = np.sort(rng.integers(0, b, n)).astype(np.int64)
+    batch[:1] = 0
+    batch[-1:] = b - 1
+
+    ref_layer = RefSet2Set(f, steps, layers)
+    ref_layer.eval()
+    with torch.no_grad():
+        tb = torch.tensor(batch)
+        tx = torch.tensor(x)
+        h = (torch.zeros(layers, b, f), torch.zeros(layers, b, f))
+        q_star = torch.zeros(b, 2 * f)
+        for _ in range(steps):
+            q, h = ref_layer.lstm(q_star.unsqueeze(0), h)
+            q = q.view(b, f)
+            e = (tx * q[tb]).sum(dim=-1)                      # [n]
+            # per-graph softmax (set2set.py:59's intent)
+            a = torch.zeros(n)
+            for gid in range(b):
+                m = tb == gid
+                a[m] = torch.softmax(e[m], dim=0)
+            r = torch.zeros(b, f).index_add_(0, tb, a.unsqueeze(1) * tx)
+            q_star = torch.cat([q, r], dim=-1)
+        ref = q_star.numpy()
+
+    params = {}
+    for k in range(layers):
+        params[f"w_ih_l{k}"] = jnp.asarray(
+            getattr(ref_layer.lstm, f"weight_ih_l{k}").detach().numpy().T)
+        params[f"w_hh_l{k}"] = jnp.asarray(
+            getattr(ref_layer.lstm, f"weight_hh_l{k}").detach().numpy().T)
+        params[f"b_l{k}"] = jnp.asarray(
+            (getattr(ref_layer.lstm, f"bias_ih_l{k}")
+             + getattr(ref_layer.lstm, f"bias_hh_l{k}")).detach().numpy())
+    layer = Set2Set(f, steps, layers)
+    out = np.asarray(layer.apply({"params": params}, jnp.asarray(x),
+                                 jnp.asarray(batch.astype(np.int32)), b))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
