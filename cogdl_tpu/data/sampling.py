@@ -314,6 +314,36 @@ def bfs_partition(graph: Graph, n_parts: int, seed: int = 0,
     return part
 
 
+_DIGEST_CACHE: dict = {}
+
+
+def _structure_digest(row, col, E: int) -> str:
+    """Edge-structure fingerprint, memoized per (row, col) ARRAY IDENTITY —
+    for device-resident graphs the hash pulls both edge arrays over the TPU
+    tunnel, so repeated partition lookups on the same Graph must not re-pay
+    it. Weakrefs guard id() reuse after GC; same arrays → same digest."""
+    import hashlib
+    import weakref
+
+    key = (id(row), id(col), E)
+    hit = _DIGEST_CACHE.get(key)
+    if hit is not None:
+        ref_r, ref_c, digest = hit
+        if ref_r() is row and ref_c() is col:
+            return digest
+    h = hashlib.blake2b(digest_size=8)
+    h.update(np.ascontiguousarray(np.asarray(row)[:E]))
+    h.update(np.ascontiguousarray(np.asarray(col)[:E]))
+    digest = h.hexdigest()
+    try:
+        _DIGEST_CACHE[key] = (weakref.ref(row), weakref.ref(col), digest)
+        if len(_DIGEST_CACHE) > 64:
+            _DIGEST_CACHE.pop(next(iter(_DIGEST_CACHE)))
+    except TypeError:  # non-weakref-able array type: skip memoization
+        pass
+    return digest
+
+
 def bfs_partition_cached(graph: Graph, n_parts: int, seed: int = 0,
                          weights=None, cache_dir=None) -> np.ndarray:
     """:func:`bfs_partition` with an on-disk cache — the analog of the
@@ -331,16 +361,14 @@ def bfs_partition_cached(graph: Graph, n_parts: int, seed: int = 0,
     # generator seed preserves all three) — fingerprint the edge structure,
     # and the weight VALUES when a custom array is passed
     E = graph.num_edges
-    h = hashlib.blake2b(digest_size=8)
-    h.update(np.ascontiguousarray(np.asarray(graph.row)[:E]))
-    h.update(np.ascontiguousarray(np.asarray(graph.col)[:E]))
+    gdigest = _structure_digest(graph.row, graph.col, E)
     if isinstance(weights, (str, type(None))):
         wtag = weights
     else:
         wh = hashlib.blake2b(
             np.ascontiguousarray(np.asarray(weights)), digest_size=6)
         wtag = f"custom{wh.hexdigest()}"
-    key = (f"{name}_N{graph.num_nodes}_E{E}_g{h.hexdigest()}"
+    key = (f"{name}_N{graph.num_nodes}_E{E}_g{gdigest}"
            f"_p{n_parts}_s{seed}_w{wtag}.npy")
     path = os.path.join(cache_dir, key)
     if os.path.exists(path):

@@ -11,6 +11,7 @@ cogdl_tpu.configs.
 from __future__ import annotations
 
 import itertools
+import os
 from collections import defaultdict
 from dataclasses import fields as dc_fields
 from typing import Any, Dict, List, Optional, Sequence, Union
@@ -141,11 +142,15 @@ def raw_experiment(datasets, models, seeds=(1,), **kwargs) -> Dict[str, List[Dic
     for ds, mdl, seed in variants:
         if base_export and multi:
             # a model/dataset grid would silently overwrite one artifact —
-            # derive a per-variant filename instead
-            root, dot, ext = base_export.rpartition(".")
-            tag = f"{ds if isinstance(ds, str) else 'dataset'}-{mdl}"
-            kwargs["export_path"] = (f"{root}-{tag}.{ext}" if dot
-                                     else f"{base_export}-{tag}")
+            # derive a per-variant filename instead (split the extension on
+            # the BASENAME only: a dot in a directory component must not
+            # become the split point)
+            head, base = os.path.split(base_export)
+            stem, ext = os.path.splitext(base)
+            mname = mdl if isinstance(mdl, str) else getattr(
+                mdl, "name", type(mdl).__name__)
+            tag = f"{ds if isinstance(ds, str) else 'dataset'}-{mname}"
+            kwargs["export_path"] = os.path.join(head, f"{stem}-{tag}{ext}")
         res = train(resolve(ds), mdl, seed=seed, **kwargs)
         key = (ds if isinstance(ds, str) else getattr(ds, "name", "dataset"), mdl)
         results[key].append(res)

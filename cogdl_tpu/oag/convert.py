@@ -104,9 +104,18 @@ def infer_config_from_state_dict(state_dict: Dict) -> Dict:
     count/width, or flax.apply silently drops the extra layers).
     ``num_heads`` is not shape-recoverable; BERT's universal head size of 64
     is assumed."""
+    import warnings
+
     sd = {k[5:] if k.startswith("bert.") else k: v
           for k, v in state_dict.items()}
     vocab, hidden = sd["embeddings.word_embeddings.weight"].shape
+    warnings.warn(
+        "inferring OAGBert config from tensor shapes: num_heads is NOT "
+        "recoverable from shapes and is assumed from BERT's universal head "
+        "size of 64 (num_heads = hidden//64). A checkpoint trained with a "
+        "different head count loads without error but computes different "
+        "attention — supply bert_config.json to reproduce it exactly.",
+        stacklevel=2)
     num_layers = 1 + max(
         int(m.group(1)) for k in sd
         if (m := re.search(r"encoder\.layer\.(\d+)\.", k)))

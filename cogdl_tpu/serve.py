@@ -64,6 +64,9 @@ def export_model(model, variables, graph, path: str,
     kw = {"platforms": tuple(platforms)} if platforms else {}
     exp = jexport.export(fn, **kw)(variables, leaves, graph.x)
     data = exp.serialize()
+    head = os.path.dirname(path)
+    if head:
+        os.makedirs(head, exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(_MAGIC)
@@ -116,13 +119,17 @@ class Predictor:
             return self._call(v, self._leaves,
                               self.graph.x if x is None else x)
         except (ValueError, TypeError) as e:
-            raise ValueError(
+            # keep the original exception TYPE (a TypeError from a malformed
+            # variables pytree must not masquerade as a frame mismatch) and
+            # append the likely-cause hint
+            raise type(e)(
+                f"{e}\nHint: if this is a shape/structure mismatch, the "
                 "serving graph does not match the exported frame (artifacts "
-                "are shape-specialised): prepare the graph EXACTLY as at "
-                "export time — same normalisation/self-loops, and on TPU "
+                "are shape-specialised) — prepare the graph EXACTLY as at "
+                "export time: same normalisation/self-loops, and on TPU "
                 "the same prepare_spmm kernel layouts (experiment("
-                "export_path=...) exports the wrapper-prepared frame). "
-                f"Original error: {e}") from e
+                "export_path=...) exports the wrapper-prepared frame)."
+            ) from e
 
     def predict(self, nodes=None, x=None, variables=None):
         """Predicted class ids for ``nodes`` (default: all real nodes)."""
