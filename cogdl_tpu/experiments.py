@@ -50,6 +50,46 @@ def set_best_config(model: str, dataset: str, kwargs: Dict) -> Dict:
     return merged
 
 
+def _setup_variant(ds, model, seed, wrapper, kwargs):
+    """Shared variant setup for the sequential and vmapped-seed paths:
+    split kwargs by consumer and build the (wrapper, trainer_kwargs) pair —
+    or an embedding-style wrapper that owns its own loop."""
+    wrapper_name = wrapper or default_wrapper_for(model)
+    wrapper_cls = fetch_wrapper(wrapper_name)
+
+    import inspect
+
+    wrapper_keys = set(inspect.signature(wrapper_cls.__init__).parameters) - {
+        "self", "model", "dataset", "kwargs"}
+    trainer_kwargs = {k: v for k, v in kwargs.items() if k in TRAINER_KEYS}
+    wrapper_kwargs = {k: v for k, v in kwargs.items()
+                      if k in wrapper_keys and k not in TRAINER_KEYS}
+    model_kwargs = {k: v for k, v in kwargs.items()
+                    if k not in TRAINER_KEYS and k not in wrapper_keys}
+    trainer_kwargs["seed"] = seed
+    wrapper_kwargs.setdefault("seed", seed) if "seed" in wrapper_keys else None
+
+    if hasattr(wrapper_cls, "run_embedding"):
+        # embedding-style wrappers own their whole train/eval loop
+        w = wrapper_cls(model_name=model, dataset=ds, **wrapper_kwargs,
+                        **model_kwargs)
+        return w, None, trainer_kwargs
+
+    out_features = ds.num_classes
+    if out_features is None:
+        # unlabeled datasets (e.g. ogbl link graphs): the model head is an
+        # embedding, not a classifier — size it like the hidden layers
+        out_features = model_kwargs.get("hidden_size", 64)
+    mdl = build_model(
+        model,
+        in_features=ds.num_features,
+        out_features=out_features,
+        **model_kwargs,
+    )
+    w = wrapper_cls(mdl, dataset=ds, **wrapper_kwargs)
+    return w, mdl, trainer_kwargs
+
+
 def train(
     dataset: Union[str, Dataset],
     model: str,
@@ -70,40 +110,10 @@ def train(
     if use_best_config:
         kwargs = set_best_config(model, ds_name, kwargs)
 
-    wrapper_name = wrapper or default_wrapper_for(model)
-    wrapper_cls = fetch_wrapper(wrapper_name)
-
-    import inspect
-
-    wrapper_keys = set(inspect.signature(wrapper_cls.__init__).parameters) - {
-        "self", "model", "dataset", "kwargs"}
-    trainer_kwargs = {k: v for k, v in kwargs.items() if k in TRAINER_KEYS}
-    wrapper_kwargs = {k: v for k, v in kwargs.items()
-                      if k in wrapper_keys and k not in TRAINER_KEYS}
-    model_kwargs = {k: v for k, v in kwargs.items()
-                    if k not in TRAINER_KEYS and k not in wrapper_keys}
-    trainer_kwargs["seed"] = seed
-    wrapper_kwargs.setdefault("seed", seed) if "seed" in wrapper_keys else None
-
-    if hasattr(wrapper_cls, "run_embedding"):
-        # embedding-style wrappers own their whole train/eval loop
-        w = wrapper_cls(model_name=model, dataset=ds, **wrapper_kwargs,
-                        **model_kwargs)
+    w, mdl, trainer_kwargs = _setup_variant(ds, model, seed, wrapper, kwargs)
+    if mdl is None:
         return w.run_embedding()
-
     graph = ds.graph
-    out_features = ds.num_classes
-    if out_features is None:
-        # unlabeled datasets (e.g. ogbl link graphs): the model head is an
-        # embedding, not a classifier — size it like the hidden layers
-        out_features = model_kwargs.get("hidden_size", 64)
-    mdl = build_model(
-        model,
-        in_features=ds.num_features,
-        out_features=out_features,
-        **model_kwargs,
-    )
-    w = wrapper_cls(mdl, dataset=ds, **wrapper_kwargs)
     trainer = Trainer(TrainerConfig(**trainer_kwargs))
     result = trainer.run(w, graph)
     variables = result.pop("_variables", None)
@@ -119,11 +129,55 @@ def train(
     return result
 
 
-def raw_experiment(datasets, models, seeds=(1,), **kwargs) -> Dict[str, List[Dict]]:
+def train_seeds_vmapped(
+    dataset: Union[str, Dataset],
+    model: str,
+    seeds: Sequence[int],
+    wrapper: Optional[str] = None,
+    use_best_config: bool = False,
+    export_path: Optional[str] = None,
+    **kwargs,
+) -> List[Dict[str, float]]:
+    """All seeds of one (dataset, model) variant trained in ONE vmapped jit
+    (the TPU answer to the reference's mp.Pool variant farm,
+    experiments.py:277-294 — SURVEY §7's "vmap-over-configs"). Per-seed
+    results match :func:`train` run sequentially; see
+    :mod:`cogdl_tpu.trainer.vmap_seeds`."""
+    from .trainer.vmap_seeds import VmapSeedTrainer
+
+    ds = build_dataset(dataset) if isinstance(dataset, str) else dataset
+    ds_name = ds.name if isinstance(ds, Dataset) else str(dataset)
+    if use_best_config:
+        kwargs = set_best_config(model, ds_name, kwargs)
+    w, mdl, trainer_kwargs = _setup_variant(ds, model, int(seeds[0]), wrapper,
+                                            kwargs)
+    if mdl is None:
+        raise ValueError("vmap_seeds does not support embedding-loop "
+                         "wrappers; use sequential seeds")
+    trainer = VmapSeedTrainer(TrainerConfig(**trainer_kwargs))
+    results = trainer.run_seeds(w, ds.graph, [int(s) for s in seeds])
+    for res in results:
+        variables = res.pop("_variables", None)
+        g_served = res.pop("_graph", ds.graph)
+    if export_path:
+        from .serve import export_model
+
+        # with a seed grid the LAST variant's weights win (same contract as
+        # the sequential path)
+        export_model(mdl, variables, g_served, export_path)
+    return results
+
+
+def raw_experiment(datasets, models, seeds=(1,), vmap_seeds: bool = False,
+                   **kwargs) -> Dict[str, List[Dict]]:
     """Run the full variant grid; returns variant → list of per-seed results
     (reference experiments.py:269). Each named dataset is built ONCE and
     shared across its model × seed variants — re-parsing per seed wastes
-    minutes at OGB scale."""
+    minutes at OGB scale.
+
+    ``vmap_seeds=True`` trains each (dataset, model)'s whole seed list in
+    one vmapped jit (:func:`train_seeds_vmapped`), falling back per variant
+    to the sequential path when the wrapper needs host work per epoch."""
     # sharing contract: one built Dataset is reused across every model × seed
     # variant, so training must never mutate the dataset/graph in place —
     # wrappers return transformed COPIES (prepare_graph) and never write back
@@ -139,7 +193,8 @@ def raw_experiment(datasets, models, seeds=(1,), **kwargs) -> Dict[str, List[Dic
     results = defaultdict(list)
     base_export = kwargs.get("export_path")
     multi = len({(d, m) for d, m, _ in variants}) > 1
-    for ds, mdl, seed in variants:
+
+    def _variant_export(ds, mdl):
         if base_export and multi:
             # a model/dataset grid would silently overwrite one artifact —
             # derive a per-variant filename instead (split the extension on
@@ -151,6 +206,26 @@ def raw_experiment(datasets, models, seeds=(1,), **kwargs) -> Dict[str, List[Dic
                 mdl, "name", type(mdl).__name__)
             tag = f"{ds if isinstance(ds, str) else 'dataset'}-{mname}"
             kwargs["export_path"] = os.path.join(head, f"{stem}-{tag}{ext}")
+
+    seed_list = _as_list(seeds)
+    if vmap_seeds and len(seed_list) > 1:
+        for ds, mdl in dict.fromkeys((d, m) for d, m, _ in variants):
+            _variant_export(ds, mdl)
+            key = (ds if isinstance(ds, str) else getattr(ds, "name",
+                                                          "dataset"), mdl)
+            try:
+                results[key] = train_seeds_vmapped(
+                    resolve(ds), mdl, seed_list, **kwargs)
+            except ValueError as e:
+                if "vmap_seeds" not in str(e):
+                    raise
+                for seed in seed_list:
+                    results[key].append(train(resolve(ds), mdl, seed=seed,
+                                              **kwargs))
+        return dict(results)
+
+    for ds, mdl, seed in variants:
+        _variant_export(ds, mdl)
         res = train(resolve(ds), mdl, seed=seed, **kwargs)
         key = (ds if isinstance(ds, str) else getattr(ds, "name", "dataset"), mdl)
         results[key].append(res)

@@ -1,0 +1,78 @@
+"""Round-5 components: vmapped seed-parallel training (the TPU-native
+replacement for the reference's mp.Pool variant farm,
+reference cogdl/experiments.py:277-294)."""
+
+import numpy as np
+import pytest
+
+from cogdl_tpu.experiments import experiment, train, train_seeds_vmapped
+
+
+SEEDS = [0, 1, 2]
+
+
+def test_vmap_seeds_matches_sequential():
+    """Per-seed results from the single vmapped program equal sequential
+    train() runs — identical PRNG chains, best-snapshot and patience
+    semantics (trainer/vmap_seeds.py)."""
+    res_v = train_seeds_vmapped("sbm", "gcn", SEEDS, epochs=25, patience=10)
+    res_s = [train("sbm", "gcn", seed=s, epochs=25, patience=10)
+             for s in SEEDS]
+    assert len(res_v) == len(SEEDS)
+    for rv, rs in zip(res_v, res_s):
+        assert rv["best_epoch"] == rs["best_epoch"]
+        for k in ("test_acc", "val_acc"):
+            assert abs(rv[k] - rs[k]) < 1e-6, (k, rv[k], rs[k])
+
+
+def test_vmap_seeds_early_stop_and_learning():
+    """Patience engages per seed (loop exits before epochs) and every seed
+    learns sbm well above chance."""
+    res = train_seeds_vmapped("sbm", "gcn", [3, 4], epochs=300, patience=10,
+                              eval_step=1)
+    for r in res:
+        assert r["test_acc"] > 0.9
+        assert r["best_epoch"] < 299
+
+
+def test_vmap_seeds_experiment_api(capsys):
+    """experiment(..., vmap_seeds=True) returns the same shape of results
+    table as the sequential grid."""
+    results = experiment(dataset="sbm", model="gcn", seed=SEEDS,
+                         vmap_seeds=True, epochs=20)
+    runs = results[("sbm", "gcn")]
+    assert len(runs) == len(SEEDS)
+    assert all(r["test_acc"] > 0.9 for r in runs)
+    assert "test_acc" in capsys.readouterr().out
+
+
+def test_vmap_seeds_unsupported_wrapper_falls_back():
+    """A wrapper needing per-epoch host work (sampled training) raises in
+    train_seeds_vmapped and raw_experiment falls back to sequential."""
+    with pytest.raises(ValueError, match="vmap_seeds"):
+        train_seeds_vmapped("sbm", "graphsage", SEEDS, epochs=2,
+                            wrapper="neighbor_sampling",
+                            batch_size=32, fanouts=[3, 2])
+    results = experiment(dataset="sbm", model="graphsage", seed=[0, 1],
+                         vmap_seeds=True, epochs=2,
+                         wrapper="neighbor_sampling",
+                         batch_size=32, fanouts=[3, 2])
+    assert len(results[("sbm", "graphsage")]) == 2
+
+
+def test_vmap_seeds_export(tmp_path):
+    """export_path under vmap_seeds exports the last seed's weights as a
+    servable artifact."""
+    path = str(tmp_path / "m.stablehlo")
+    train_seeds_vmapped("sbm", "gcn", [0, 1], epochs=10, export_path=path)
+    from cogdl_tpu.datasets import build_dataset
+    from cogdl_tpu.serve import Predictor
+
+    ds = build_dataset("sbm")
+    from cogdl_tpu.data.graph import add_self_loops, sym_norm
+
+    g = sym_norm(add_self_loops(ds.graph))
+    pred = Predictor(path, g)
+    labels = np.asarray(pred.predict())
+    y = np.asarray(ds.graph.y)[: ds.graph.num_nodes]
+    assert (labels == y).mean() > 0.9
