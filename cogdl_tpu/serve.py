@@ -26,6 +26,7 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _MAGIC = b"CGTPU1\n"
 
@@ -149,3 +150,129 @@ class Predictor:
         else:
             logits = logits[: self.graph.num_nodes]
         return jax.nn.softmax(logits, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Sampled (blocks-consuming) models
+# ---------------------------------------------------------------------------
+
+def _blocks_forward_fn(model, treedefs):
+    # one treedef per hop block, baked as closure like _forward_fn's
+    def forward(variables, block_leaves, x):
+        blocks = [jax.tree.unflatten(td, lv)
+                  for td, lv in zip(treedefs, block_leaves)]
+        return model.apply(variables, blocks, x, training=False)
+
+    return forward
+
+
+def export_sampled_model(model, variables, blocks, x, path: str,
+                         platforms: Optional[Sequence[str]] = None,
+                         save_params: bool = True,
+                         meta: Optional[dict] = None) -> None:
+    """Export a blocks-consuming (sampled mini-batch) model.
+
+    ``blocks`` is one shape-defining sampled batch (e.g. from
+    ``NeighborSampler.epoch()``) and ``x`` the matching input-feature rows —
+    every hop's block Graph is flattened and its treedef baked into the
+    artifact, so the exported call signature is plain array pytrees:
+    ``call(variables, block_leaves, x)``. Serving batches must have the
+    sampler's static shapes (all batches of a NeighborSampler share them).
+    ``meta`` (e.g. fanouts/batch_size) is written to ``path + ".meta.json"``
+    so :class:`SampledPredictor` can rebuild a matching sampler."""
+    from jax import export as jexport
+
+    blocks = list(blocks)
+    if blocks and getattr(blocks[0], "x", None) is not None:
+        # features travel once, as the explicit x argument
+        blocks[0] = _x_placeholder(blocks[0])
+    flat = [jax.tree.flatten(b) for b in blocks]
+    leaves = tuple(lv for lv, _ in flat)
+    treedefs = tuple(td for _, td in flat)
+    fn = jax.jit(_blocks_forward_fn(model, treedefs))
+    kw = {"platforms": tuple(platforms)} if platforms else {}
+    exp = jexport.export(fn, **kw)(variables, leaves, x)
+    data = exp.serialize()
+    head = os.path.dirname(path)
+    if head:
+        os.makedirs(head, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(_MAGIC)
+        f.write(data)
+    os.replace(tmp, path)
+    if meta is not None:
+        import json
+
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
+    if save_params:
+        from .trainer.checkpoint import save_checkpoint
+
+        save_checkpoint(path + ".params", variables)
+
+
+class SampledPredictor:
+    """Serve a sampled (blocks-consuming) artifact: sample the requested
+    nodes' neighborhoods on the serving graph with the EXPORT-time sampler
+    configuration and run the exported forward per batch.
+
+    The sampler config (fanouts, batch_size, device_features) comes from
+    ``path + ".meta.json"`` (written by :func:`export_sampled_model`) unless
+    overridden. All sampled batches share static shapes, so one artifact
+    serves any node set."""
+
+    def __init__(self, path: str, graph, variables=None, fanouts=None,
+                 batch_size=None, seed: int = 0):
+        import json
+
+        self._exp = load_exported(path)
+        self.graph = graph
+        cfg = {}
+        if os.path.exists(path + ".meta.json"):
+            with open(path + ".meta.json") as f:
+                cfg = json.load(f)
+        self.fanouts = list(fanouts if fanouts is not None
+                            else cfg.get("fanouts", (10, 10)))
+        self.batch_size = int(batch_size if batch_size is not None
+                              else cfg.get("batch_size", 256))
+        self.device_features = bool(cfg.get("device_features", False))
+        self.seed = seed
+        if variables is None and os.path.exists(path + ".params"):
+            from .trainer.checkpoint import load_checkpoint
+
+            variables = jax.tree.map(
+                jnp.asarray, load_checkpoint(path + ".params")["params"])
+        self.variables = variables
+        self._call = jax.jit(self._exp.call)
+
+    def predict_logits(self, nodes=None, variables=None):
+        """Seed-node logits ``[len(nodes), C]`` (default: all real nodes)."""
+        from .data.sampling import NeighborSampler
+
+        v = variables if variables is not None else self.variables
+        if v is None:
+            raise ValueError("no variables: pass them here or at init")
+        if nodes is None:
+            nodes = np.arange(self.graph.num_nodes)
+        nodes = np.asarray(nodes)
+        sampler = NeighborSampler(
+            self.graph, self.fanouts, batch_size=self.batch_size,
+            seed=self.seed, node_idx=nodes,
+            device_features=self.device_features)
+        outs = []
+        for blocks, _, _ in sampler.epoch(shuffle=False):
+            blocks = list(blocks)
+            if blocks[0].x is not None:
+                x = blocks[0].x
+                blocks[0] = _x_placeholder(blocks[0])
+            else:
+                x = jnp.take(blocks[0].extras["x_table"],
+                             blocks[0].extras["frame"], axis=0, mode="clip")
+            leaves = tuple(jax.tree.flatten(b)[0] for b in blocks)
+            logits = self._call(v, leaves, x)
+            outs.append(np.asarray(logits[: self.batch_size]))
+        return np.concatenate(outs, 0)[: len(nodes)]  # drop tile padding
+
+    def predict(self, nodes=None, variables=None):
+        return np.argmax(self.predict_logits(nodes, variables), -1)
