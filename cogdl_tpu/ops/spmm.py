@@ -71,20 +71,39 @@ def source_table(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
     fallbacks, and the thing that makes partitioning a parallelism
     strategy (comm volume O(boundary), not O(N))."""
     extras = graph.extras
-    if not extras or "halo_send" not in extras:
+    if not extras or "halo_send_ring" not in extras:
         return x
     axis = graph.meta_get("halo_axis")
-    send_idx = extras["halo_send"]              # [P, Hp] local row ids
-    send = jnp.take(x, send_idx, axis=0, mode="clip")      # [P, Hp, ...]
-    try:
-        recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=True)
-    except NameError:
-        # traced OUTSIDE the mesh axis (flax init / shape probing): halo
-        # rows are zeros — shapes and params are identical, values are only
-        # meaningful inside shard_map
-        recv = jnp.zeros_like(send)
-    return jnp.concatenate(
-        [x, recv.reshape((-1,) + x.shape[1:])], axis=0)
+    Hk = graph.meta_get("halo_hk")              # static per-offset widths
+    send_idx = extras["halo_send_ring"]         # packed [sum(Hk)] local rows
+    P_ = len(Hk)
+    # P-1 ppermute steps: at step k this shard's segment k goes to peer
+    # (me + k) mod P, so the k-th received block comes from owner
+    # (me - k) mod P — exactly the layout the host-side col remap assumed.
+    # Each step is padded only to ITS OWN worst shard pair (width Hk[k]),
+    # unlike a single all_to_all, which pads every pair to the global max.
+    blocks = []
+    off = 0
+    for k in range(1, P_):
+        wk = int(Hk[k])
+        if wk == 0:
+            continue
+        idx = jax.lax.slice_in_dim(send_idx, off, off + wk)
+        buf = jnp.take(x, idx, axis=0, mode="clip")
+        try:
+            buf = jax.lax.ppermute(
+                buf, axis, [(i, (i + k) % P_) for i in range(P_)])
+        except (NameError, NotImplementedError):
+            # traced OUTSIDE the mesh axis (flax init / shape probing —
+            # NameError under jit, NotImplementedError in eager eval):
+            # halo rows are zeros — shapes and params are identical, values
+            # are only meaningful inside shard_map
+            buf = jnp.zeros_like(buf)
+        blocks.append(buf)
+        off += wk
+    if not blocks:
+        return x
+    return jnp.concatenate([x] + blocks, axis=0)
 
 
 def gather_src(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:

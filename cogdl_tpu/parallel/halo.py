@@ -338,12 +338,14 @@ def partition_graph_halo(graph: Graph, n_shards: int,
     ``in_specs=P(axis)`` and strip the leading unit dim inside
     (``jax.tree.map(lambda a: a[0], g)``). The per-shard local graph has
       * ``n_pad = Nl + 8`` rows (8 sink rows absorb pad edges),
-      * ``col`` in EXTENDED local indexing: ``< n_pad`` → shard-local row;
-        ``n_pad + q·Hp + j`` → the j-th halo row received from shard q
-        (``ops.spmm.source_table`` materialises that table with ONE
-        ``all_to_all`` of the halo sets),
-      * ``extras["halo_send"][q, :]`` = local rows THIS shard must send to
-        shard q,
+      * ``col`` in EXTENDED local indexing: ``< n_local`` → shard-local
+        row; ``n_local + Hoff[k] + j`` → the j-th halo row received at ring
+        offset ``k`` (from owner ``(me - k) mod P``).
+        ``ops.spmm.source_table`` materialises the table with ``P-1``
+        ``ppermute`` steps, each padded only to its own worst shard pair,
+      * ``extras["halo_send_ring"]`` = packed per-ring-offset local rows
+        THIS shard sends (segment k, width ``meta halo_hk[k]``, goes to
+        peer ``(me + k) mod P``),
       * ``extras["halo_count"]`` = true (unpadded) halo sizes, for comm
         accounting.
     """
@@ -362,7 +364,7 @@ def partition_graph_halo(graph: Graph, n_shards: int,
 
     # halo sets: for each (p consumer, q owner) the unique sources p needs
     halo = [[np.zeros(0, np.int64)] * n_shards for _ in range(n_shards)]
-    hmax = 1
+    hcount = np.zeros((n_shards, n_shards), np.int64)
     for p in range(n_shards):
         sel = shard_of_dst == p
         for q in range(n_shards):
@@ -370,17 +372,32 @@ def partition_graph_halo(graph: Graph, n_shards: int,
                 continue
             s = np.unique(col[sel & (shard_of_src == q)])
             halo[p][q] = s
-            hmax = max(hmax, len(s))
-    Hp = _round_up(hmax, 8)
-
-    # send table on owner q: halo_send[q][p] = local rows q sends to p
-    send = np.zeros((n_shards, n_shards, Hp), np.int32)
-    hcount = np.zeros((n_shards, n_shards), np.int64)
-    for p in range(n_shards):
-        for q in range(n_shards):
-            s = halo[p][q]
-            send[q, p, : len(s)] = local_id[s]
             hcount[p, q] = len(s)
+
+    # Ring-exchange widths: the exchange runs P-1 ppermute steps; at step k
+    # shard q sends to peer (q+k)%P, so each step pads only to ITS OWN
+    # worst pair — not the global max over all pairs (the r4 all_to_all
+    # design padded P*P*Hp rows incl. the self diagonal, which made halo
+    # exchange move MORE bytes than all-gather at P=2/4,
+    # COMM_VOLUME_r04.json halo_vs_allgather 1.95/1.20).
+    Hk = [0] * n_shards
+    for k in range(1, n_shards):
+        m = max(int(hcount[(q + k) % n_shards, q]) for q in range(n_shards))
+        Hk[k] = _round_up(m, 8) if m else 0
+    H_total = sum(Hk)
+    # block offset of owner q's halo rows in consumer p's extended table:
+    # ring offset k = (p - q) mod P, base = n_local + sum_{j<k} Hk[j]
+    Hoff = np.zeros(n_shards, np.int64)
+    np.cumsum(Hk[:-1], out=Hoff[1:]) if n_shards > 1 else None
+
+    # packed send table on owner q: segment k holds the rows q sends to
+    # (q+k)%P, padded to Hk[k]
+    send = np.zeros((n_shards, max(H_total, 1)), np.int32)
+    for q in range(n_shards):
+        for k in range(1, n_shards):
+            p = (q + k) % n_shards
+            s = halo[p][q]
+            send[q, Hoff[k]: Hoff[k] + len(s)] = local_id[s]
 
     # extended-local column remap + per-shard CSR
     row_l = np.full((n_shards, El), n_local - 1, np.int32)
@@ -400,7 +417,8 @@ def partition_graph_halo(graph: Graph, n_shards: int,
             if not m.any():
                 continue
             pos = np.searchsorted(halo[p][q], cg[m])
-            cl[m] = n_local + q * Hp + pos
+            rk = (p - q) % n_shards
+            cl[m] = n_local + Hoff[rk] + pos
         order = np.argsort(rl, kind="stable")
         row_l[p, :k] = rl[order]
         col_x[p, :k] = cl[order]
@@ -419,7 +437,7 @@ def partition_graph_halo(graph: Graph, n_shards: int,
         return jnp.asarray(out)
 
     meta = dict(graph.meta)
-    meta.update(halo_axis=axis, halo_hp=Hp, halo_nl=Nl,
+    meta.update(halo_axis=axis, halo_hk=tuple(Hk), halo_nl=Nl,
                 halo_partition=method)
     nmask_np = np.zeros(graph.n_pad, bool)
     nmask_np[:N] = True
@@ -436,7 +454,7 @@ def partition_graph_halo(graph: Graph, n_shards: int,
                   else shard_nodes(graph.val_mask, False) & nm),
         test_mask=(None if graph.test_mask is None
                    else shard_nodes(graph.test_mask, False) & nm),
-        extras={"halo_send": jnp.asarray(send),
+        extras={"halo_send_ring": jnp.asarray(send),
                 "halo_count": jnp.asarray(hcount),
                 "halo_nodes": jnp.asarray(node_list.astype(np.int32)),
                 "real_node": nm},
@@ -448,9 +466,9 @@ def halo_comm_volume(stacked: "Graph") -> dict:
     """Rows exchanged per step: boundary-only vs full all-gather."""
     hc = np.asarray(stacked.extras["halo_count"])
     P_, Nl = hc.shape[0], stacked.meta_get("halo_nl")
-    Hp = stacked.meta_get("halo_hp")
+    Hk = stacked.meta_get("halo_hk")
     return {
         "halo_rows_exact": int(hc.sum()),
-        "halo_rows_padded": int(P_ * P_ * Hp),
+        "halo_rows_padded": int(P_ * sum(Hk)),
         "allgather_rows": int(P_ * (P_ - 1) * Nl),
     }

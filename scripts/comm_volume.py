@@ -22,7 +22,7 @@ ICI bandwidth B, step(P) ~ max(t_c/P, overlap) + bytes(P)/(P*B) when halo
 exchange is not overlapped; efficiency(P) = t(1)/(P*t(P)). The script prints
 the bytes and the break-even step time k*halo_MB/B for a range of B.
 
-Emits one JSON document (COMM_VOLUME_r04.json).
+Emits one JSON document (COMM_VOLUME_r05.json).
 """
 
 from __future__ import annotations
@@ -80,12 +80,12 @@ def main():
         assert vals == sorted(vals), (key, vals)
 
     # scaling model against the measured single-chip step times
-    # (BENCH_r03: GCN 100k = 24.4 ms; BENCH_GCN_PRODUCTS_r03: 1840 ms).
+    # (BENCH_r04: GCN 100k = 23.44 ms; BENCH_GCN_PRODUCTS_r04: 1211 ms).
     # per-chip halo bytes scale ~1/P of the total; efficiency(P) =
     # t_c/P / (t_c/P + halo_bytes_per_chip/B)
     models = {}
-    for label, t_c_ms, scale in (("gcn-100k", 24.4, 100_000 / N),
-                                 ("gcn-products", 1840.0, 2_450_000 / N)):
+    for label, t_c_ms, scale in (("gcn-100k", 23.44, 100_000 / N),
+                                 ("gcn-products", 1211.0, 2_450_000 / N)):
         per = {}
         for P in (2, 4, 8):
             # halo rows grow ~linearly with graph size at fixed P
@@ -109,7 +109,7 @@ def main():
         "measurement from this environment (no multi-chip hardware).")
 
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "COMM_VOLUME_r04.json")
+        os.path.abspath(__file__))), "COMM_VOLUME_r05.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
