@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from ..data.graph import Graph
 from ..ops import spmm
-from .utils import get_activation
+from .utils import CDense, get_activation
 
 
 class GCNLayer(nn.Module):
@@ -28,7 +28,7 @@ class GCNLayer(nn.Module):
     @nn.compact
     def __call__(self, graph: Graph, x: jnp.ndarray, training: bool = False,
                  prop=None):
-        dense = nn.Dense(self.out_features, use_bias=self.bias, name="linear")
+        dense = CDense(self.out_features, use_bias=self.bias, name="linear")
         if prop is not None:
             # cached-propagation path (ops.spmm.cache_propagation): the layer
             # input is the static graph.x, so Â(XW + 1bᵀ) = (ÂX)W + (Â1)bᵀ.

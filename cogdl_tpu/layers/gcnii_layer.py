@@ -11,6 +11,7 @@ import jax.numpy as jnp
 
 from ..data.graph import Graph
 from ..ops import spmm
+from .utils import CDense
 
 
 class GCNIILayer(nn.Module):
@@ -24,7 +25,7 @@ class GCNIILayer(nn.Module):
                  training: bool = False):
         agg = spmm(graph, x)
         support = (1 - self.alpha) * agg + self.alpha * h0
-        out = (1 - self.beta) * support + self.beta * nn.Dense(
+        out = (1 - self.beta) * support + self.beta * CDense(
             self.features, use_bias=False, name="W")(support)
         if self.residual:
             out = out + x

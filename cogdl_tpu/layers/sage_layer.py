@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from ..data.graph import Graph
 from ..ops import aggregate
-from .utils import get_activation
+from .utils import CDense, get_activation
 
 
 class SAGELayer(nn.Module):
@@ -26,10 +26,10 @@ class SAGELayer(nn.Module):
     @nn.compact
     def __call__(self, graph: Graph, x: jnp.ndarray, training: bool = False):
         if self.aggr == "gcn":
-            out = nn.Dense(self.out_features, name="W")(aggregate(graph, x, "sum") + x)
+            out = CDense(self.out_features, name="W")(aggregate(graph, x, "sum") + x)
         else:
             nbr = aggregate(graph, x, self.aggr)
-            out = nn.Dense(self.out_features, name="W_self")(x) + nn.Dense(
+            out = CDense(self.out_features, name="W_self")(x) + CDense(
                 self.out_features, name="W_nbr")(nbr)
         if self.normalize:
             out = out * jax.lax.rsqrt(jnp.sum(out ** 2, -1, keepdims=True) + 1e-12)

@@ -22,7 +22,14 @@ _ACTIVATIONS = {
 
 def get_activation(name):
     """Activation lookup (reference: cogdl/utils/utils.py get_activation —
-    including its ``None`` → identity behaviour)."""
+    including its ``None`` → identity behaviour). When the trainer-level
+    activation-compression switch is on, ``relu`` resolves to the
+    bool-mask-residual variant (ops.actnn.compressed_relu)."""
+    if name == "relu":
+        from ..ops import actnn
+
+        if actnn.compression_enabled():
+            return actnn.compressed_relu
     if name is None:
         return _ACTIVATIONS["identity"]
     try:
@@ -32,6 +39,31 @@ def get_activation(name):
 
 
 import flax.linen as nn
+
+
+class CDense(nn.Module):
+    """Param-compatible twin of ``nn.Dense`` (same "kernel"/"bias" params,
+    same default inits) that routes through :func:`ops.actnn.compressed_dense`
+    — under ``Trainer(activation_compression=True)`` the backward keeps an
+    int8 per-row-scaled copy of the input instead of the f32 activation
+    (the ActNN residual, reference operators/linear.py:15-71)."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        import jax.numpy as jnp
+
+        from ..ops import actnn
+
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        return actnn.compressed_dense(
+            x, kernel.astype(x.dtype),
+            None if bias is None else bias.astype(x.dtype))
 
 
 class MaskedBatchNorm(nn.Module):

@@ -73,3 +73,40 @@ def _act_relu_bwd(mask, g):
 
 
 act_relu.defvjp(_act_relu_fwd, _act_relu_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Trainer-level switch (round 5): Trainer(activation_compression=True) turns
+# the standard GCN-family layer stack's dense/relu into the compressed ops
+# without touching model params (layers route through compressed_* helpers).
+# The switch is read at TRACE time — the Trainer sets it around its jit
+# tracing; it is process-global (document: not thread-safe across trainers).
+# ---------------------------------------------------------------------------
+
+_COMPRESS = False
+
+
+def set_compression(on: bool) -> bool:
+    """Set the global activation-compression switch; returns prior value."""
+    global _COMPRESS
+    prev = _COMPRESS
+    _COMPRESS = bool(on)
+    return prev
+
+
+def compression_enabled() -> bool:
+    return _COMPRESS
+
+
+def compressed_dense(x, kernel, bias=None):
+    """x @ kernel (+ bias), storing an int8 residual when the switch is on."""
+    if _COMPRESS:
+        b = jnp.zeros((kernel.shape[-1],), x.dtype) if bias is None else bias
+        return act_dense(x, kernel, b)
+    y = x @ kernel
+    return y if bias is None else y + bias
+
+
+def compressed_relu(x):
+    """relu whose backward residual is a bool mask when the switch is on."""
+    return act_relu(x) if _COMPRESS else jnp.maximum(x, 0)

@@ -103,6 +103,14 @@ GAT_H2_BARRIER = True
 # pass's ~8 ms of MXU could instead hide under the t2 gather DMA) —
 # bench.py --gat-nophase A/Bs it.
 GAT_PHASE_BARRIER = True
+# Perf-attribution ablations for scripts/microbench_gat_pass.py ONLY — each
+# string removes one piece of the fused passes' work to expose its cost on
+# the real chip (results are WRONG with any ablation active):
+#   "noexp"   — replace the softmax exp with a multiply
+#   "noscore" — skip the score chain entirely (ex := validity)
+#   "nosd"    — skip the per-slot dst-score broadcast matmul (sd_e := 0)
+#   "noar"    — skip the in-register src-score matmul (ss_e := 0)
+GAT_ABLATE: frozenset = frozenset()
 
 
 def build_spmm_layout(
@@ -628,14 +636,20 @@ def _seg_pass(vals: jnp.ndarray, row_k, ones, ct, n_pad: int,
                                  n_pad)[:, :width]
 
 
-def _edge_scores(sd_e, ss_e, ssmax, ones, alpha):
+def _edge_scores(sd_e, ss_e, ssmax, ones, alpha, abl: frozenset = frozenset()):
     """Per-edge pre-activation, leaky-relu slope, and bounded exp score."""
+    if "noscore" in abl:
+        one = jnp.ones_like(sd_e)
+        return one, one * ones[:, None]
     pre = sd_e + ss_e
     slope = jnp.where(pre > 0, 1.0, alpha)
     s = pre * slope
     m = sd_e + ssmax[None, :]
     m = jnp.where(m > 0, m, alpha * m)          # lrelu(sd + max ss) ≥ s
-    ex = jnp.exp(s - m) * ones[:, None]
+    if "noexp" in abl:
+        ex = (s - m) * 0.125 * ones[:, None]    # same shape, no transcendental
+    else:
+        ex = jnp.exp(s - m) * ones[:, None]
     return slope, ex
 
 
@@ -674,6 +688,7 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
     # keep iff hash(edge, head, seed) < keep_prob · 2³²
     thresh = int((1.0 - attn_drop) * float(2 ** 32 - 1))
     HD = H * D
+    abl = GAT_ABLATE
 
     def mm(a, b, ca, cb, exact=exact_scores):
         # TPU f32 dots multiply in bf16 passes by default (f32 accumulate) —
@@ -847,6 +862,8 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
         ar = None if ar_ref is None else ar_ref[:]
 
         def src_score(src_tab, msg):
+            if "noar" in abl:
+                return jnp.zeros((T_CHUNK, 128), jnp.float32)
             if stream_has_ss:
                 return ext_h(src_tab, HD)
             return mm(msg, ar, 1, 0)
@@ -864,7 +881,9 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
                 jnp.logical_and(lj3 == hi2 + HD, hi2 < H), 1.0, 0.0), 1, 0)
 
         if mode == "fwd":
-            if node_is_h2:
+            if "nosd" in abl:
+                sd_e = jnp.zeros((T_CHUNK, 128), jnp.float32)
+            elif node_is_h2:
                 # dst score half from the h2 node block itself: one tiny
                 # [r, HDp]·[HDp, 128] matmul per tile, then the routing
                 # matmul broadcasts it per slot — no sd array in HBM
@@ -874,7 +893,7 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
                 sd_e = nd                                # [T, 128]
             msg = ext_wide(stream)
             ss_e = src_score(stream, msg)
-            _, ex = _edge_scores(sd_e, ss_e, smax, w, alpha)
+            _, ex = _edge_scores(sd_e, ss_e, smax, w, alpha, abl)
             exn = ex * keepn if with_drop else ex
             exw = mm(exn, bmat, 1, 0)                    # [T, HDp]
             if folded:
@@ -900,7 +919,9 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
             else:
                 dst, dpair = stream, None
         dagg_e = ext_wide(dst)
-        if split_t2:
+        if "nosd" in abl:
+            dden_e = sd_e = jnp.zeros((T_CHUNK, 128), jnp.float32)
+        elif split_t2:
             dden_e = ext_h(dpair, 0)
             sd_e = ext_h(dpair, H)
         else:
@@ -908,7 +929,7 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
             sd_e = ext_h(dst, HD + H)
         msg = ext_wide(src)
         ss_e = src_score(src, msg)
-        slope, ex = _edge_scores(sd_e, ss_e, smax, w, alpha)
+        slope, ex = _edge_scores(sd_e, ss_e, smax, w, alpha, abl)
         dex = mm(dagg_e * msg, bmat, 1, 1)               # [T, 128] per-head Σ
         if with_drop:
             dex = dex * keepn

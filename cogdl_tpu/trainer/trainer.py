@@ -60,6 +60,14 @@ class TrainerConfig:
     # loudly after nan_guard_retries rollbacks.
     nan_guard: bool = True
     nan_guard_retries: int = 3
+    # ActNN-analog (reference third_party/actnn via operators/linear.py):
+    # GCN-family dense layers keep an int8 per-row-scaled copy of their
+    # input for the backward instead of the f32 activation, and relu keeps
+    # a bool mask (ops/actnn.py) — ~4x smaller activation residuals where
+    # HBM binds (products scale). Quantisation noise enters only dw.
+    # Process-global switch read at trace time; not thread-safe across
+    # concurrently-tracing trainers.
+    activation_compression: bool = False
 
 
 def build_optimizer(cfg: TrainerConfig) -> optax.GradientTransformation:
@@ -159,6 +167,18 @@ class Trainer:
             "| tdgia | speit | dice | flip | rand_flip | fga | prbcd")
 
     def run(self, wrapper, graph) -> Dict[str, float]:
+        cfg = self.cfg
+        if cfg.activation_compression:
+            from ..ops import actnn
+
+            prev = actnn.set_compression(True)
+            try:
+                return self._run(wrapper, graph)
+            finally:
+                actnn.set_compression(prev)
+        return self._run(wrapper, graph)
+
+    def _run(self, wrapper, graph) -> Dict[str, float]:
         cfg = self.cfg
         if cfg.bf16 and jax.devices()[0].platform not in ("cpu",):
             import warnings

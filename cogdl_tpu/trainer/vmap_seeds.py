@@ -62,6 +62,17 @@ class VmapSeedTrainer(Trainer):
     """Trainer whose :meth:`run_seeds` trains all seeds at once."""
 
     def run_seeds(self, wrapper, graph, seeds: Sequence[int]) -> List[Dict]:
+        if self.cfg.activation_compression:
+            from ..ops import actnn
+
+            prev = actnn.set_compression(True)
+            try:
+                return self._run_seeds(wrapper, graph, seeds)
+            finally:
+                actnn.set_compression(prev)
+        return self._run_seeds(wrapper, graph, seeds)
+
+    def _run_seeds(self, wrapper, graph, seeds: Sequence[int]) -> List[Dict]:
         cfg = self.cfg
         if not vmap_supported(wrapper, cfg):
             raise ValueError(

@@ -76,3 +76,51 @@ def test_vmap_seeds_export(tmp_path):
     labels = np.asarray(pred.predict())
     y = np.asarray(ds.graph.y)[: ds.graph.num_nodes]
     assert (labels == y).mean() > 0.9
+
+
+# ---------------------------------------------------------------------------
+# Trainer(activation_compression=True): the ActNN-analog as a usable flag
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("model", ["gcn", "gcnii", "graphsage"])
+def test_activation_compression_trains_to_parity(model):
+    """The compressed path (int8 dense residuals + bool relu masks) trains
+    each GCN-family model to the same accuracy class as the exact path —
+    quantisation noise enters only dw (ops/actnn.py)."""
+    base = train("sbm", model, seed=0, epochs=40)
+    comp = train("sbm", model, seed=0, epochs=40, activation_compression=True)
+    assert comp["test_acc"] > 0.9
+    assert abs(comp["test_acc"] - base["test_acc"]) < 0.05
+
+
+def test_activation_compression_residual_is_int8():
+    """Under the flag the backward residual of the layer dense really is the
+    int8 tensor (checked in the jaxpr of the value_and_grad computation)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cogdl_tpu.datasets import build_dataset
+    from cogdl_tpu.models import build_model
+    from cogdl_tpu.ops import actnn
+    from cogdl_tpu.wrappers import fetch_wrapper
+
+    ds = build_dataset("sbm")
+    mdl = build_model("gcn", in_features=ds.num_features,
+                      out_features=ds.num_classes, hidden_size=32)
+    w = fetch_wrapper("node_classification")(mdl, ds)
+    g = w.prepare_graph(ds.graph)
+    variables = w.init(jax.random.PRNGKey(0), g)
+
+    def loss(params):
+        return w.loss({"params": params}, g, jax.random.PRNGKey(1),
+                      training=True)[0]
+
+    prev = actnn.set_compression(True)
+    try:
+        jaxpr = jax.make_jaxpr(jax.grad(loss))(variables["params"])
+    finally:
+        actnn.set_compression(prev)
+    assert "convert_element_type[new_dtype=int8" in str(jaxpr)
+    # and without the flag there is no int8 anywhere
+    jaxpr0 = jax.make_jaxpr(jax.grad(loss))(variables["params"])
+    assert "int8" not in str(jaxpr0)
