@@ -99,6 +99,18 @@ def main():
                     help="source-panel height for --products/--blocked "
                     "layouts (default: auto from the ~96 MB VMEM staging "
                     "budget; must be a multiple of r_tile)")
+    ap.add_argument("--panel-rows-bw", type=int, default=None,
+                    help="SEPARATE panel height for the src-grouped (GAT "
+                    "dsrc) layout — its gather table is one 128-lane tile "
+                    "wider than h2 (r5 per-direction sizing; default: auto "
+                    "1024 B/row for GAT, same as --panel-rows otherwise)")
+    ap.add_argument("--block-chunks", type=int, default=None,
+                    help="mega-block size in chunks for blocked layouts "
+                    "(default 2048; 512 cuts per-panel block-alignment "
+                    "padding ~3x at products for ~4x more scan steps)")
+    ap.add_argument("--uniform-panels", action="store_true",
+                    help="A/B: legacy single panel size for both GAT "
+                    "directions (the r4 layout)")
     ap.add_argument("--no-block-accum", action="store_true",
                     help="A/B: disable the in-kernel aliased accumulation "
                     "in the blocked streaming driver (r4)")
@@ -210,11 +222,30 @@ def main():
                                       feat_dim=args.feat_dim,
                                       pad_multiple=args.r_tile)
         if _is_tpu():
+            from cogdl_tpu.ops.pallas.device_layout import (
+                BLOCK_CHUNKS, default_panel_rows)
+
+            pr, pr_bw = args.panel_rows, args.panel_rows_bw
+            if (args.model == "gat" and pr is None and pr_bw is None
+                    and not args.uniform_panels):
+                # per-direction sizing (r5): the four h2-gathering sweeps
+                # read 128-lane rows (512 B) — 2x bigger panels than the
+                # dsrc pass's 256-physical-lane [dagg|dden|sd] rows
+                # (1024 B). Fewer (panel, tile) groups on the fw layout =
+                # ~25% less slot padding at products scale.
+                rt = args.r_tile or 512
+                n_pad_l = ((args.nodes + rt - 1) // rt) * rt
+                pr = default_panel_rows(n_pad_l, feat_bytes=512, r_tile=rt)
+                pr_bw = default_panel_rows(n_pad_l, feat_bytes=1024,
+                                           r_tile=rt)
             graph = prepare_spmm_device(graph, symmetric=True,
                                         with_orig=args.model == "gat",
                                         with_dropout=args.attn_drop > 0,
                                         gather_bf16=args.bf16_gather,
-                                        panel_rows=args.panel_rows,
+                                        panel_rows=pr,
+                                        panel_rows_bw=pr_bw,
+                                        block_chunks=(args.block_chunks
+                                                      or BLOCK_CHUNKS),
                                         r_tile=args.r_tile)
             # the kernel path reads only the layout extras — free the raw
             # edge arrays (1.5 GB at products scale; HBM is the constraint)

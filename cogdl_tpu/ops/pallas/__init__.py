@@ -102,6 +102,10 @@ def maybe_pallas_spmm(graph, x) -> Optional[jnp.ndarray]:
     panel_rows = graph.meta_get("spmm_panel_rows", 0)
     gather_bf16 = bool(graph.meta_get("spmm_gather_bf16", False))
     r_tile = int(graph.meta_get("spmm_r_tile", R_TILE))
+    if graph.meta_get("spmm_panel_rows_bw", panel_rows) != panel_rows:
+        # per-direction panel sizes are a fused-GAT feature; the plain
+        # spmm custom VJP runs both directions at one size — fall back
+        return None
     if panel_rows:
         from .segment_kernels import spmm_pallas_p
 
@@ -166,6 +170,7 @@ def maybe_gat_fused(graph, score_dst, score_src, h, a_src, a_dst=None,
         attn_drop = 0.0
         seed = jnp.uint32(0)
     panel_rows = int(graph.meta_get("spmm_panel_rows", 0))
+    panel_rows_bw = int(graph.meta_get("spmm_panel_rows_bw", panel_rows))
     r_tile = int(graph.meta_get("spmm_r_tile", R_TILE))
     zb = jnp.zeros(0, jnp.int32)
     zf = jnp.zeros(0, jnp.float32)
@@ -176,7 +181,7 @@ def maybe_gat_fused(graph, score_dst, score_src, h, a_src, a_dst=None,
             "blocked fused GAT recomputes the dst score half in-kernel — "
             "pass a_dst to maybe_gat_fused")
     out = gat_fused_p(
-        H, D, alpha, float(attn_drop), panel_rows, r_tile,
+        H, D, alpha, float(attn_drop), panel_rows, panel_rows_bw, r_tile,
         bool(exact_scores),
         score_dst, score_src, h.reshape(-1, H * D), ar, al, seed,
         fw_col, extras.get("spmm_fw_row", zb),

@@ -43,6 +43,7 @@ def build_spmm_layout_jax(
     exact_chunks: int = 0,
     block_chunks: int = BLOCK_CHUNKS,
     r_tile: int = R_TILE,
+    drop_empty_groups: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Jittable equivalent of ``build_spmm_layout``: group edges by
     destination-row tile, sort within tile by source column (gather
@@ -84,12 +85,16 @@ def build_spmm_layout_jax(
         n_panels = -(-n_pad // panel_rows)
         n_groups = n_panels * n_tiles
         gid = (col // panel_rows) * n_tiles + tile
-        # every (panel, tile) group gets ≥ 1 chunk even when empty: the
-        # blocked driver rebases tiles per mega-block and its local output
-        # buffer covers block_chunks CONSECUTIVE tiles — skipped tiles would
-        # let a block's tile span exceed the buffer (out-of-range writes +
-        # silently zeroed rows). Cost: one pad chunk per empty group.
-        min_chunks = 1
+        # legacy-slab constraint: every (panel, tile) group gets ≥ 1 chunk
+        # even when empty — the slab driver's local output buffer covers
+        # block_chunks CONSECUTIVE tiles, so skipped tiles would let a
+        # block's tile span exceed it. The ALIASED-ACCUMULATION drivers
+        # (SPMM_BLOCK_ACCUM, r4 default) write at ABSOLUTE tile offsets and
+        # have no such constraint: ``drop_empty_groups`` removes the pad
+        # chunk per empty group (r5 — at products-GAT panel counts the
+        # empties alone were ~10% of all slots). Layouts built with it are
+        # VALID ONLY for the accum drivers.
+        min_chunks = 0 if drop_empty_groups else 1
         # worst case: per-group quantisation + per-panel block alignment
         E_k = _round_up(E + n_groups * T_CHUNK + n_panels * block_slots,
                         block_slots)
@@ -186,19 +191,20 @@ def build_spmm_layout_jax(
         # ogbn-products). The fw and bw streams of a symmetric edge set are
         # identical, so prepare_spmm_device stores ONE pack array.
         assert panel_rows <= (1 << 18), panel_rows
-        assert r_tile <= 512, r_tile   # 9-bit offset field
+        assert r_tile <= 1024, r_tile   # 10-bit offset field
         # row_k lies in [ct·r_tile, ct·r_tile + r_tile) (pad slots exactly
         # ct·r_tile), so the offset is a plain modulo — no per-slot lookup
         off = row_k % r_tile
         pack = (col_k | (off << 18)
-                | slot_used.astype(jnp.int32) << 27)
+                | slot_used.astype(jnp.int32) << 28)
         out["pack_k"] = pack.reshape(out["col_k"].shape)
     return out
 
 
 def count_layout_chunks(row, col, n_pad: int, panel_rows: int,
                         block_chunks: int = BLOCK_CHUNKS,
-                        r_tile: int = R_TILE) -> int:
+                        r_tile: int = R_TILE,
+                        drop_empty_groups: bool = False) -> int:
     """Measure the exact chunk total the panel layout will need (one scalar
     readback) so the builder can allocate exactly instead of worst-case."""
     n_tiles = n_pad // r_tile
@@ -210,7 +216,7 @@ def count_layout_chunks(row, col, n_pad: int, panel_rows: int,
             n_panels = -(-n_pad // panel_rows)
             gid = (col.astype(jnp.int32) // panel_rows) * n_tiles + tile
             n_groups = n_panels * n_tiles
-            minc = 1   # keep per-panel tile coverage contiguous (see builder)
+            minc = 0 if drop_empty_groups else 1   # see builder
         else:
             gid, n_groups, minc, n_panels = tile, n_tiles, 1, 1
         counts = jax.ops.segment_sum(jnp.ones_like(gid), gid,
@@ -249,7 +255,9 @@ def prepare_spmm_device(graph, symmetric: bool = False,
                         r_tile: int = R_TILE,
                         store_w: Optional[bool] = None,
                         with_dropout: bool = False,
-                        block_chunks: int = BLOCK_CHUNKS):
+                        block_chunks: int = BLOCK_CHUNKS,
+                        drop_empty_groups: Optional[bool] = None,
+                        panel_rows_bw: Optional[int] = None):
     """Device-side ``prepare_spmm``: attach kernel layouts built on the
     accelerator. ``symmetric=True`` (undirected graph with symmetric
     normalisation, i.e. Aᵀ = A) shares the forward layout with the backward
@@ -301,20 +309,37 @@ def prepare_spmm_device(graph, symmetric: bool = False,
 
     if store_w is None:
         store_w = not with_orig
+    if drop_empty_groups is None:
+        # empty (panel, tile) groups need a pad chunk ONLY for the legacy
+        # local-slab drivers; the aliased-accumulation default writes at
+        # absolute tile offsets, so the empties' chunks are pure waste
+        # (~10% of all slots at products-GAT panel counts)
+        from .segment_kernels import SPMM_BLOCK_ACCUM
+
+        drop_empty_groups = SPMM_BLOCK_ACCUM
+
+    # per-direction panel sizing (r5): the GAT backward's src-grouped pass
+    # gathers the [dagg|dden|sd] table, one 128-lane tile WIDER than h2 —
+    # sizing its panels separately lets the four h2-gathering sweeps use
+    # ~2x bigger panels (fewer (panel, tile) groups → less slot padding)
+    if panel_rows_bw is None:
+        panel_rows_bw = panel_rows
 
     build = jax.jit(build_spmm_layout_jax,
                     static_argnames=("n_pad", "with_orig", "panel_rows",
                                      "exact_chunks", "block_chunks",
-                                     "r_tile"))
+                                     "r_tile", "drop_empty_groups"))
 
-    def build_dir(r, c):
-        nc = count_layout_chunks(r, c, n_pad, panel_rows, r_tile=r_tile,
-                                 block_chunks=block_chunks)
+    def build_dir(r, c, pr):
+        nc = count_layout_chunks(r, c, n_pad, pr, r_tile=r_tile,
+                                 block_chunks=block_chunks,
+                                 drop_empty_groups=drop_empty_groups)
         return build(r, c, w, n_pad=n_pad, with_orig=with_orig,
-                     panel_rows=panel_rows, exact_chunks=nc, r_tile=r_tile,
-                     block_chunks=block_chunks)
+                     panel_rows=pr, exact_chunks=nc, r_tile=r_tile,
+                     block_chunks=block_chunks,
+                     drop_empty_groups=drop_empty_groups)
 
-    fwd = build_dir(row, col)
+    fwd = build_dir(row, col, panel_rows)
     # symmetric layout sharing is valid for plain SpMM, but the fused-GAT
     # path (with_orig) keys dropout masks on original edge ids, and slot s
     # read transposed is a *different* original edge — for a symmetric edge
@@ -322,17 +347,22 @@ def prepare_spmm_device(graph, symmetric: bool = False,
     # sorted (group, col) stream), so only its orig map is kept (the rest of
     # the second build is transient and freed)
     if symmetric and with_orig:
-        if panel_rows > 0:
+        if panel_rows > 0 and panel_rows_bw == panel_rows:
             # packed layouts never store orig (dropout masks are hashed
             # from slot coordinates in-kernel) — skip the entire
             # transposed build (a second full-edge device sort)
             bwd = fwd
+        elif panel_rows > 0:
+            # per-direction panel sizes: the transposed layout must be
+            # built at ITS panel size (no aliasing — costs one pack array)
+            bwd = build_dir(col, row, panel_rows_bw)
         else:
-            bwd = {**fwd, "orig_k": build_dir(col, row)["orig_k"]}
+            bwd = {**fwd, "orig_k": build_dir(col, row,
+                                              panel_rows)["orig_k"]}
     elif symmetric:
         bwd = fwd
     else:
-        bwd = build_dir(col, row)
+        bwd = build_dir(col, row, panel_rows_bw)
 
     # re-preparing a graph must not leave stale layout pieces behind: a
     # leftover w/ones/bp stream from an earlier build would be paired with
@@ -358,6 +388,7 @@ def prepare_spmm_device(graph, symmetric: bool = False,
     # record dispatch parameters even for single-panel layouts: the kernel
     # must run with the SAME tile height the layout was built with
     graph = graph.with_meta(spmm_panel_rows=panel_rows,
+                            spmm_panel_rows_bw=panel_rows_bw,
                             spmm_gather_bf16=bool(gather_bf16),
                             spmm_r_tile=r_tile)
     if packed:

@@ -760,17 +760,17 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
 
         base = tile * r_tile
         if packed:
-            # one int32 per slot: (col | row_off << 18 | valid << 27) —
-            # rows (9-bit offset: r_tile ≤ 512) and validity unpack
-            # in-register. Values are < 2^28 so u32 shifts are exact; Mosaic
+            # one int32 per slot: (col | row_off << 18 | valid << 28) —
+            # rows (10-bit offset: r_tile ≤ 1024) and validity unpack
+            # in-register. Values are < 2^29 so u32 shifts are exact; Mosaic
             # has no u32→i32/f32 casts, so the results come back via free
             # bitcasts (and validity via i32→f32, which it does support).
             pk = jax.lax.bitcast_convert_type(pack_ref[:], jnp.uint32)
             off = jax.lax.bitcast_convert_type(
-                (pk >> jnp.uint32(18)) & jnp.uint32(0x1FF), jnp.int32)
+                (pk >> jnp.uint32(18)) & jnp.uint32(0x3FF), jnp.int32)
             rows = (base + off)[None, :]
             w = jax.lax.bitcast_convert_type(
-                (pk >> jnp.uint32(27)) & jnp.uint32(1),
+                (pk >> jnp.uint32(28)) & jnp.uint32(1),
                 jnp.int32).astype(jnp.float32)
         else:
             rows = row_ref[:][None, :]                   # [1, T] abs key row
@@ -894,6 +894,25 @@ def _make_gat_pass_kernel(mode: str, H: int, D: int, HDp: int, r_tile: int,
             msg = ext_wide(stream)
             ss_e = src_score(stream, msg)
             _, ex = _edge_scores(sd_e, ss_e, smax, w, alpha, abl)
+            if folded and not with_drop:
+                # merged epilogue (r5): one matmul against the combined
+                # broadcast+fold matrix B2 (disjoint lane ranges), then a
+                # single elementwise select — saves one [T,128]x[128,HDp]
+                # matmul per chunk vs exw + fold_h. msg lanes >= HD are
+                # zero (ext_wide), so adding 1 on the fold lanes routes the
+                # raw ex there while the broadcast lanes pick up msg*exw.
+                hi2 = jax.lax.broadcasted_iota(jnp.int32, (128, HDp), 0)
+                lj3 = jax.lax.broadcasted_iota(jnp.int32, (128, HDp), 1)
+                b2 = jnp.where(
+                    jnp.logical_and(lj3 // D == hi2,
+                                    jnp.logical_and(hi2 < H, lj3 < HD)),
+                    1.0, 0.0) + jnp.where(
+                    jnp.logical_and(lj3 == hi2 + HD, hi2 < H), 1.0, 0.0)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, HDp), 1)
+                ones_f = jnp.where(
+                    jnp.logical_and(lane >= HD, lane < HD + H), 1.0, 0.0)
+                out_ref[:] += mm(pv, mm(ex, b2, 1, 0) * (msg + ones_f), 1, 0)
+                return
             exn = ex * keepn if with_drop else ex
             exw = mm(exn, bmat, 1, 0)                    # [T, HDp]
             if folded:
@@ -1175,9 +1194,10 @@ def build_ar(a_src: jnp.ndarray, H: int, D: int) -> jnp.ndarray:
         a_src.reshape(HD).astype(jnp.float32))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 def gat_fused_p(H: int, D: int, alpha: float, attn_drop: float,
-                panel_rows: int, r_tile: int, exact_scores: bool,
+                panel_rows: int, panel_rows_bw: int, r_tile: int,
+                exact_scores: bool,
                 sd, ss, h2, ar, al, seed,
                 fw_col, fw_row, fw_ones, fw_ct, fw_orig, fw_bp,
                 bw_col, bw_row, bw_ones, bw_ct, bw_orig, bw_bp):
@@ -1195,9 +1215,15 @@ def gat_fused_p(H: int, D: int, alpha: float, attn_drop: float,
     OGB scale. seed: uint32 scalar for dropout. Layout arrays from the
     prepared extras (fw = dst-grouped, bw = src-grouped); blocked layouts
     stream in mega-blocks, optionally with ``panel_rows`` source panels
-    (``*_bp`` maps blocks to panels). Returns [n_pad, H·D]."""
-    out, _ = _gat_fwd(H, D, alpha, attn_drop, panel_rows, r_tile,
-                      exact_scores, sd, ss, h2, ar, al, seed,
+    (``*_bp`` maps blocks to panels). ``panel_rows_bw`` sizes the
+    src-grouped (dsrc backward) layout's panels SEPARATELY: that pass
+    gathers the [dagg|dden|sd] table, whose rows are one 128-lane tile
+    WIDER than h2's — per-direction sizing keeps every pass's panel slice
+    inside the VMEM staging budget while the four h2-gathering sweeps use
+    ~2x bigger panels (fewer (panel, tile) groups → ~25% less slot
+    padding at products scale, r5). Returns [n_pad, H·D]."""
+    out, _ = _gat_fwd(H, D, alpha, attn_drop, panel_rows, panel_rows_bw,
+                      r_tile, exact_scores, sd, ss, h2, ar, al, seed,
                       fw_col, fw_row, fw_ones, fw_ct, fw_orig, fw_bp,
                       bw_col, bw_row, bw_ones, bw_ct, bw_orig, bw_bp)
     return out
@@ -1210,7 +1236,7 @@ def gat_fused(H: int, D: int, alpha: float, attn_drop: float,
     """Single-panel convenience wrapper around :func:`gat_fused_p` (the
     single-shot path never reads ``al`` — a zero placeholder rides along)."""
     zb = jnp.zeros(0, jnp.int32)
-    return gat_fused_p(H, D, alpha, attn_drop, 0, R_TILE, False,
+    return gat_fused_p(H, D, alpha, attn_drop, 0, 0, R_TILE, False,
                        sd, ss, h2, ar, jnp.zeros_like(ar), seed,
                        fw_col, fw_row, fw_ones, fw_ct, fw_orig, zb,
                        bw_col, bw_row, bw_ones, bw_ct, bw_orig, zb)
@@ -1244,7 +1270,8 @@ def _drop_base(orig, seed, attn_drop):
         ^ seed.astype(jnp.uint32), jnp.int32)
 
 
-def _gat_fwd(H, D, alpha, attn_drop, panel_rows, r_tile, exact_scores,
+def _gat_fwd(H, D, alpha, attn_drop, panel_rows, panel_rows_bw, r_tile,
+             exact_scores,
              sd, ss, h2, ar, al, seed,
              fw_col, fw_row, fw_ones, fw_ct, fw_orig, fw_bp,
              bw_col, bw_row, bw_ones, bw_ct, bw_orig, bw_bp):
@@ -1318,8 +1345,8 @@ def _gat_fwd(H, D, alpha, attn_drop, panel_rows, r_tile, exact_scores,
     return out, res
 
 
-def _gat_bwd(H, D, alpha, attn_drop, panel_rows, r_tile, exact_scores,
-             res, g):
+def _gat_bwd(H, D, alpha, attn_drop, panel_rows, panel_rows_bw, r_tile,
+             exact_scores, res, g):
     (sd, ss, h2, ar, al, seed, den, out, smax, cache,
      fw_col, fw_row, fw_ones, fw_ct, fw_orig, fw_bp,
      bw_col, bw_row, bw_ones, bw_ct, bw_orig, bw_bp) = res
@@ -1413,10 +1440,13 @@ def _gat_bwd(H, D, alpha, attn_drop, panel_rows, r_tile, exact_scores,
             t2, dsd, src_tab = jax.lax.optimization_barrier(
                 (t2, dsd, src_tab))
 
-        # bw-layout pass (grouping key = src): gather T2 → dh2+dss
+        # bw-layout pass (grouping key = src): gather T2 → dh2+dss. The bw
+        # layout may carry its OWN panel size (T2 rows are a tile wider
+        # than h2's — see gat_fused_p docstring).
         outc = _gat_apply("dsrc", H, D, alpha, attn_drop, t2, src_tab, smax,
                           arf, bw_col, bw_row, bw_ones, bw_ct, bw_orig,
-                          bw_bp, seed, n_pad, panel_rows, r_tile,
+                          bw_bp, seed, n_pad,
+                          (panel_rows_bw or panel_rows), r_tile,
                           src_has_ss=has_ss, exact_scores=exact_scores)
     den_off = HD if HD + H <= HDp else HDp
     dh2 = outc[:, :HD]
@@ -1431,10 +1461,10 @@ def _gat_bwd(H, D, alpha, attn_drop, panel_rows, r_tile, exact_scores,
             z(bw_col), z(bw_row), z(bw_ones), z(bw_ct), z(bw_orig), z(bw_bp))
 
 
-def _gat_fwd_vjp(H, D, alpha, attn_drop, panel_rows, r_tile, exact_scores,
-                 *args):
-    return _gat_fwd(H, D, alpha, attn_drop, panel_rows, r_tile, exact_scores,
-                    *args)
+def _gat_fwd_vjp(H, D, alpha, attn_drop, panel_rows, panel_rows_bw, r_tile,
+                 exact_scores, *args):
+    return _gat_fwd(H, D, alpha, attn_drop, panel_rows, panel_rows_bw,
+                    r_tile, exact_scores, *args)
 
 
 gat_fused_p.defvjp(_gat_fwd_vjp, _gat_bwd)

@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--r-tile", type=int, default=512)
     ap.add_argument("--panel-rows", type=int, default=-1)
     ap.add_argument("--block-chunks", type=int, default=0)
+    ap.add_argument("--drop-empty", action="store_true")
+    ap.add_argument("--powerlaw", action="store_true",
+                    help="Zipf dst popularity (products-like group sizes)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--modes", default="fwd,dsd,dsrc,spmm")
     ap.add_argument("--ablate", default="",
@@ -67,12 +70,24 @@ def main():
     n_pad = ((N + r_tile - 1) // r_tile) * r_tile
     E = N * deg
 
-    # random edge list on device (uniform src — locality does not matter for
-    # row-count-bound gathers; dst sorted by the layout build anyway)
     kr, kc, kh = jax.random.split(jax.random.PRNGKey(0), 3)
-    row = jax.random.randint(kr, (E,), 0, N, jnp.int32)
-    col = jax.random.randint(kc, (E,), 0, N, jnp.int32)
-    w = jnp.ones((E,), jnp.float32)
+    if args.powerlaw:
+        # products-like: Zipf(0.8) dst popularity, mirrored (the group-size
+        # DISTRIBUTION drives slot quantisation — uniform degrees quantise
+        # degenerately and hide layout effects)
+        from cogdl_tpu.datasets.synthetic import powerlaw_graph_device
+
+        gsrc = powerlaw_graph_device(N, avg_degree=deg, feat_dim=8,
+                                     pad_multiple=r_tile)
+        E = gsrc.num_edges
+        row, col = gsrc.row[:E], gsrc.col[:E]
+        w = jnp.ones((E,), jnp.float32)
+        del gsrc
+    else:
+        # uniform random src/dst
+        row = jax.random.randint(kr, (E,), 0, N, jnp.int32)
+        col = jax.random.randint(kc, (E,), 0, N, jnp.int32)
+        w = jnp.ones((E,), jnp.float32)
 
     panel_rows = (args.panel_rows if args.panel_rows >= 0 else
                   default_panel_rows(n_pad, feat_bytes=HDp * 4,
@@ -81,14 +96,15 @@ def main():
         panel_rows = n_pad      # single panel, but packed blocked layout
     bc = args.block_chunks or sk.BLOCK_CHUNKS
     nc = count_layout_chunks(row, col, n_pad, panel_rows, r_tile=r_tile,
-                             block_chunks=bc)
+                             block_chunks=bc,
+                             drop_empty_groups=args.drop_empty)
     build = jax.jit(build_spmm_layout_jax,
                     static_argnames=("n_pad", "with_orig", "panel_rows",
                                      "exact_chunks", "r_tile",
-                                     "block_chunks"))
+                                     "block_chunks", "drop_empty_groups"))
     lay = build(row, col, w, n_pad=n_pad, with_orig=True,
                 panel_rows=panel_rows, exact_chunks=nc, r_tile=r_tile,
-                block_chunks=bc)
+                block_chunks=bc, drop_empty_groups=args.drop_empty)
     lay = jax.tree.map(lambda a: a.block_until_ready(), lay)
     n_slots = int(np.prod(lay["pack_k"].shape))
     print(f"layout: N={N} E={E} panel_rows={panel_rows} "

@@ -74,7 +74,8 @@ def main():
     def fused(sd, ss, h2, gg, arr, all_, exact=False):
         e = gg.extras
         out = gat_fused_p(
-            H, D, 0.2, 0.0, pr, r_tile, exact,
+            H, D, 0.2, 0.0, pr,
+            int(g.meta_get('spmm_panel_rows_bw', pr)), r_tile, exact,
             sd, ss, h2, arr, all_, jnp.uint32(0),
             e["spmm_fw_pack"], zb, zf, e["spmm_fw_ct"], zb,
             e.get("spmm_fw_bp", zb),

@@ -538,6 +538,8 @@ class TestGatFusedBlocked:
         out = gat_fused_p(
             self.H, self.D, 0.2, attn_drop,
             int(g.meta_get("spmm_panel_rows")),
+            int(g.meta_get("spmm_panel_rows_bw",
+                           g.meta_get("spmm_panel_rows"))),
             int(g.meta_get("spmm_r_tile")), False,
             sd, ss, h.reshape(-1, self.H * self.D), ar, al, jnp.uint32(seed),
             ex["spmm_fw_pack"], zb, zf,
@@ -809,7 +811,7 @@ def test_prepare_spmm_r_tile_256_single_shot():
 
     def fused(sd, ss, h):
         out = gat_fused_p(
-            H, D, 0.2, 0.0, 0, 256, False,
+            H, D, 0.2, 0.0, 0, 0, 256, False,
             sd, ss, h.reshape(-1, H * D), ar, jnp.zeros_like(ar),
             jnp.uint32(0),
             ex["spmm_fw_col"], ex["spmm_fw_row"], ex["spmm_fw_ones"],
@@ -833,3 +835,119 @@ def test_prepare_spmm_r_tile_256_single_shot():
     np.testing.assert_allclose(np.asarray(gf)[: g.num_nodes],
                                np.asarray(gr2)[: g.num_nodes],
                                rtol=2e-3, atol=2e-3)
+
+
+def test_gat_blocked_r_tile_1024_and_empty_groups():
+    """r5 layout changes: 10-bit in-tile row offset (r_tile ≤ 1024, validity
+    at bit 28) and drop_empty_groups (no pad chunk per empty (panel, tile)
+    group — valid on the aliased-accumulation drivers). The graph
+    concentrates edges in the low tiles so high (panel, tile) groups are
+    GUARANTEED empty."""
+    from cogdl_tpu.data.graph import from_coo, pad_to
+    from cogdl_tpu.ops.pallas.device_layout import (
+        count_layout_chunks, prepare_spmm_device)
+
+    t = TestGatFusedBlocked()
+    rng = np.random.default_rng(11)
+    n = 700
+    r0 = rng.integers(0, n, 2500)
+    c0 = rng.integers(0, n, 2500)
+    # SYMMETRIZE (symmetric=True shares the fw layout with the backward —
+    # a directed edge set would silently run the backward on the wrong
+    # layout) + self loops + dedupe
+    row = np.concatenate([r0, c0, np.arange(n)])
+    col = np.concatenate([c0, r0, np.arange(n)])
+    _, idx = np.unique(row * n + col, return_index=True)
+    g = from_coo(np.stack([row[idx], col[idx]]), num_nodes=n)
+    g = pad_to(g, ((g.n_pad + 1023) // 1024) * 1024 * 2, g.e_pad)  # 2 tiles
+    E = g.num_edges
+    nc_drop = count_layout_chunks(g.row[:E], g.col[:E], g.n_pad,
+                                  panel_rows=1024, block_chunks=2,
+                                  r_tile=1024, drop_empty_groups=True)
+    nc_keep = count_layout_chunks(g.row[:E], g.col[:E], g.n_pad,
+                                  panel_rows=1024, block_chunks=2,
+                                  r_tile=1024, drop_empty_groups=False)
+    assert nc_drop < nc_keep   # the empties' pad chunks are gone
+    g = prepare_spmm_device(g, symmetric=True, with_orig=True,
+                            panel_rows=1024, block_chunks=2, r_tile=1024,
+                            drop_empty_groups=True)
+    rng = np.random.default_rng(7)
+    h = jnp.asarray(rng.normal(size=(g.n_pad, t.H, t.D)).astype(np.float32))
+    a_src = jnp.asarray(rng.normal(size=(t.H, t.D)).astype(np.float32))
+    a_dst = jnp.asarray(rng.normal(size=(t.H, t.D)).astype(np.float32))
+    ref = t._ref_av(g, a_dst, a_src, h)
+    out = t._fused(g, a_dst, a_src, h)
+    np.testing.assert_allclose(np.asarray(out)[: g.num_nodes],
+                               np.asarray(ref)[: g.num_nodes],
+                               rtol=1e-4, atol=1e-5)
+    w = jnp.asarray(rng.normal(size=(g.n_pad, t.H, t.D)).astype(np.float32))
+    gf = jax.grad(lambda hh: jnp.sum(t._fused(g, a_dst, a_src, hh) * w))(h)
+    gr = jax.grad(lambda hh: jnp.sum(t._ref_av(g, a_dst, a_src, hh) * w))(h)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_spmm_blocked_empty_groups_accum():
+    """Plain blocked SpMM on a drop_empty_groups layout matches XLA — rows
+    whose (panel, tile) group is empty stay exactly zero (the accum driver
+    zero-inits the global buffer and never visits them)."""
+    from cogdl_tpu.data.graph import from_coo, pad_to, sym_norm
+    import importlib
+
+    spmm_mod = importlib.import_module('cogdl_tpu.ops.spmm')
+    from cogdl_tpu.ops.pallas.device_layout import prepare_spmm_device
+
+    rng = np.random.default_rng(13)
+    n = 500
+    r0 = rng.integers(0, n, 1500)
+    c0 = rng.integers(0, n, 1500)
+    row = np.concatenate([r0, c0, np.arange(n)])
+    col = np.concatenate([c0, r0, np.arange(n)])
+    _, idx = np.unique(row * n + col, return_index=True)
+    g0 = from_coo(np.stack([row[idx], col[idx]]), num_nodes=n)
+    g0 = sym_norm(g0)
+    g0 = pad_to(g0, ((g0.n_pad + 511) // 512) * 512 * 2, g0.e_pad)
+    g = prepare_spmm_device(g0, symmetric=True, panel_rows=512,
+                            block_chunks=2, r_tile=512,
+                            drop_empty_groups=True)
+    x = jnp.asarray(rng.normal(size=(g.n_pad, 128)).astype(np.float32))
+    ref = spmm_mod.spmm_coo(x, g0.row, g0.col, g0.edge_weight, g.n_pad)
+    out = spmm_mod.spmm(g, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_gat_blocked_per_direction_panels():
+    """Per-direction panel sizing (r5): the fw (dst-grouped) layout at 2x
+    the bw layout's panel height — fwd/dsd sweep the wide-panel layout,
+    dsrc the narrow one — matches the XLA reference in forward AND
+    gradients."""
+    from cogdl_tpu.data.graph import pad_to
+    from cogdl_tpu.ops.pallas.device_layout import prepare_spmm_device
+
+    t = TestGatFusedBlocked()
+    g = add_self_loops(sbm_graph(num_nodes=600, seed=5))
+    g = pad_to(g, ((g.n_pad + 511) // 512) * 512, g.e_pad)
+    g = prepare_spmm_device(g, symmetric=True, with_orig=True,
+                            panel_rows=1024, panel_rows_bw=512,
+                            block_chunks=2, r_tile=512)
+    assert int(g.meta_get("spmm_panel_rows")) == 1024
+    assert int(g.meta_get("spmm_panel_rows_bw")) == 512
+    rng = np.random.default_rng(7)
+    h = jnp.asarray(rng.normal(size=(g.n_pad, t.H, t.D)).astype(np.float32))
+    a_src = jnp.asarray(rng.normal(size=(t.H, t.D)).astype(np.float32))
+    a_dst = jnp.asarray(rng.normal(size=(t.H, t.D)).astype(np.float32))
+    ref = t._ref_av(g, a_dst, a_src, h)
+    out = t._fused(g, a_dst, a_src, h)
+    np.testing.assert_allclose(np.asarray(out)[: g.num_nodes],
+                               np.asarray(ref)[: g.num_nodes],
+                               rtol=1e-4, atol=1e-5)
+    w = jnp.asarray(rng.normal(size=(g.n_pad, t.H, t.D)).astype(np.float32))
+    gf = jax.grad(lambda hh: jnp.sum(t._fused(g, a_dst, a_src, hh) * w))(h)
+    gr = jax.grad(lambda hh: jnp.sum(t._ref_av(g, a_dst, a_src, hh) * w))(h)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=2e-3, atol=2e-3)
+    # with attention dropout: fwd/bwd consistency (coordinate-hashed masks
+    # are panel-base-aware, so per-direction panels must still agree)
+    out_d = t._fused(g, a_dst, a_src, h, attn_drop=0.35, seed=7)
+    assert out_d.shape == out.shape
