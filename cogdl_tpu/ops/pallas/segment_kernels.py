@@ -101,8 +101,11 @@ GAT_H2_BARRIER = True
 # Serialize the two backward passes with a phase barrier (round-1 measured
 # a win when every pass gathered a wide table; with the h2 layout the dsd
 # pass's ~8 ms of MXU could instead hide under the t2 gather DMA) —
-# bench.py --gat-nophase A/Bs it.
-GAT_PHASE_BARRIER = True
+# bench.py --gat-nophase A/Bs it. "single" (default) applies it on the
+# single-shot path only: at products the barrier measured a ~1% LOSS on
+# the blocked per-direction-panel layout (r5: 6023 ms with vs 5959
+# without, same session).
+GAT_PHASE_BARRIER = "single"
 # Perf-attribution ablations for scripts/microbench_gat_pass.py ONLY — each
 # string removes one piece of the fused passes' work to expose its cost on
 # the real chip (results are WRONG with any ablation active):
@@ -1435,8 +1438,11 @@ def _gat_bwd(H, D, alpha, attn_drop, panel_rows, panel_rows_bw, r_tile,
                              src_has_ss=has_ss,
                              exact_scores=exact_scores)[:, :H]
 
-        # phase barrier: serialize the two passes' gathers
-        if GAT_PHASE_BARRIER:
+        # phase barrier: serialize the two passes' gathers ("single" =
+        # single-shot layouts only; the blocked path measured faster
+        # unserialized on the r5 per-direction-panel layout)
+        if GAT_PHASE_BARRIER is True or (GAT_PHASE_BARRIER == "single"
+                                         and single):
             t2, dsd, src_tab = jax.lax.optimization_barrier(
                 (t2, dsd, src_tab))
 
