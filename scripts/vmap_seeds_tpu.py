@@ -33,8 +33,9 @@ def main():
 
     from cogdl_tpu.experiments import train, train_seeds_vmapped
 
-    seeds = [0, 1, 2, 3, 4]
-    kw = dict(epochs=150, patience=10_000, eval_step=5)
+    seeds = list(range(int(os.environ.get("VS_SEEDS", 16))))
+    kw = dict(epochs=int(os.environ.get("VS_EPOCHS", 400)), patience=10_000,
+              eval_step=10)
     ds, mdl = "sbm", "gcn"
 
     t0 = time.time()
