@@ -28,7 +28,19 @@ import jax.numpy as jnp
 BASELINE_EDGES_PER_SEC = 1.0e9
 
 
+def _mem_stats():
+    """Peak device memory if the backend exposes it (bytes), else None."""
+    try:
+        st = jax.local_devices()[0].memory_stats() or {}
+        return st.get("peak_bytes_in_use")
+    except Exception:
+        return None
+
+
 def _emit(payload, out=None):
+    mem = _mem_stats()
+    if mem:
+        payload = {**payload, "peak_hbm_bytes": int(mem)}
     line = json.dumps(payload)
     print(line)
     if out:
@@ -111,6 +123,11 @@ def main():
     ap.add_argument("--uniform-panels", action="store_true",
                     help="A/B: legacy single panel size for both GAT "
                     "directions (the r4 layout)")
+    ap.add_argument("--act-compress", action="store_true",
+                    help="activation compression (ActNN analog): int8 "
+                    "per-row-scale dense residuals + bool relu masks in "
+                    "the backward (ops/actnn.py) - reports the peak-HBM "
+                    "delta story at products scale")
     ap.add_argument("--no-block-accum", action="store_true",
                     help="A/B: disable the in-kernel aliased accumulation "
                     "in the blocked streaming driver (r4)")
@@ -184,6 +201,10 @@ def main():
     from cogdl_tpu.data.graph import add_self_loops, sym_norm
     from cogdl_tpu.ops.pallas import _is_tpu, prepare_spmm
 
+    if args.act_compress:
+        from cogdl_tpu.ops import actnn
+
+        actnn.set_compression(True)
     if args.no_block_accum:
         from cogdl_tpu.ops.pallas import segment_kernels
 

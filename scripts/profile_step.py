@@ -100,9 +100,23 @@ def main():
                                       feat_dim=args.feat_dim,
                                       pad_multiple=args.r_tile)
         if _is_tpu():
+            kwp = {}
+            if args.model == "gat":
+                # r5 defaults: per-direction panels + 512-chunk blocks
+                from cogdl_tpu.ops.pallas.device_layout import (
+                    default_panel_rows)
+                n_pad_l = ((args.nodes + args.r_tile - 1)
+                           // args.r_tile) * args.r_tile
+                kwp = dict(
+                    panel_rows=default_panel_rows(n_pad_l, feat_bytes=512,
+                                                  r_tile=args.r_tile),
+                    panel_rows_bw=default_panel_rows(n_pad_l,
+                                                     feat_bytes=1024,
+                                                     r_tile=args.r_tile),
+                    block_chunks=512)
             graph = prepare_spmm_device(graph, symmetric=True,
                                         with_orig=args.model == "gat",
-                                        r_tile=args.r_tile)
+                                        r_tile=args.r_tile, **kwp)
             import jax.numpy as _jnp
             z = _jnp.zeros(1, _jnp.int32)
             graph = graph.replace(row=z, col=z,
