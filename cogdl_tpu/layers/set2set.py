@@ -69,7 +69,11 @@ class Set2Set(nn.Module):
                 h[layer] = nn.sigmoid(go) * jnp.tanh(c[layer])
                 inp = h[layer]
             q = h[-1]                                           # [B, F]
-            e = jnp.sum(x * jnp.take(q, graph_id, axis=0), -1)  # [N]
+            # mode="clip": graph_id is in-bounds by construction (repo
+            # gather convention — the default mode="fill" emits a validity
+            # select over the whole stream on TPU)
+            e = jnp.sum(x * jnp.take(q, graph_id, axis=0,
+                                     mode="clip"), -1)          # [N]
             a = seg.segment_softmax(e, graph_id, b)             # [N]
             r = seg.segment_sum(a[:, None] * x, graph_id, b)    # [B, F]
             q_star = jnp.concatenate([q, r], axis=-1)

@@ -87,6 +87,25 @@ def _is_tpu() -> bool:
         return False
 
 
+def _check_layout_driver_compat(graph):
+    """A drop_empty_groups layout is VALID ONLY for the aliased-accumulation
+    drivers: the legacy slab route assumes every (panel, tile) group has a
+    chunk (its local buffer spans block_chunks CONSECUTIVE tiles). Catch the
+    mismatch loudly instead of silently zeroing rows — bench's
+    --no-block-accum A/B flips the flag BEFORE prepare, which is the
+    supported order."""
+    from .segment_kernels import SPMM_BLOCK_ACCUM
+
+    if graph.meta_get("spmm_drop_empty", False) and not SPMM_BLOCK_ACCUM:
+        raise ValueError(
+            "this graph's blocked layout was built with drop_empty_groups "
+            "(no pad chunk per empty (panel, tile) group) but "
+            "SPMM_BLOCK_ACCUM is now False — the legacy slab drivers "
+            "require full group coverage. Re-prepare the graph after "
+            "setting the flag (prepare_spmm_device(..., "
+            "drop_empty_groups=False)).")
+
+
 def maybe_pallas_spmm(graph, x) -> Optional[jnp.ndarray]:
     """Route through the Pallas kernel when the graph carries prepared
     layouts and we're on TPU; None → caller falls back to XLA segment ops."""
@@ -102,6 +121,7 @@ def maybe_pallas_spmm(graph, x) -> Optional[jnp.ndarray]:
     panel_rows = graph.meta_get("spmm_panel_rows", 0)
     gather_bf16 = bool(graph.meta_get("spmm_gather_bf16", False))
     r_tile = int(graph.meta_get("spmm_r_tile", R_TILE))
+    _check_layout_driver_compat(graph)
     if graph.meta_get("spmm_panel_rows_bw", panel_rows) != panel_rows:
         # per-direction panel sizes are a fused-GAT feature; the plain
         # spmm custom VJP runs both directions at one size — fall back
@@ -172,6 +192,7 @@ def maybe_gat_fused(graph, score_dst, score_src, h, a_src, a_dst=None,
     panel_rows = int(graph.meta_get("spmm_panel_rows", 0))
     panel_rows_bw = int(graph.meta_get("spmm_panel_rows_bw", panel_rows))
     r_tile = int(graph.meta_get("spmm_r_tile", R_TILE))
+    _check_layout_driver_compat(graph)
     zb = jnp.zeros(0, jnp.int32)
     zf = jnp.zeros(0, jnp.float32)
     fw_col = extras["spmm_fw_pack"] if packed else extras["spmm_fw_col"]

@@ -390,7 +390,9 @@ def prepare_spmm_device(graph, symmetric: bool = False,
     graph = graph.with_meta(spmm_panel_rows=panel_rows,
                             spmm_panel_rows_bw=panel_rows_bw,
                             spmm_gather_bf16=bool(gather_bf16),
-                            spmm_r_tile=r_tile)
+                            spmm_r_tile=r_tile,
+                            spmm_drop_empty=bool(drop_empty_groups
+                                                 and panel_rows > 0))
     if packed:
         extras["spmm_fw_pack"] = fwd["pack_k"]
         extras["spmm_bw_pack"] = bwd["pack_k"]   # aliased when symmetric

@@ -1102,7 +1102,7 @@ def _gat_apply(mode, H, D, alpha, attn_drop, table, node_tab, smax_tab, ar,
                          exact_scores=exact_scores)
 
     # blocked layouts are PACKED: ``col`` carries one int32 per slot
-    # (panel-local col | dst-tile row offset << 18 | validity << 27) — a
+    # (panel-local col | dst-tile row offset << 18 | validity << 28) — a
     # third of the col+row+ones footprint at products scale; ``row``/``ones``
     # are unused dummies. Attention dropout needs NO per-slot state: the
     # mask is hashed in-kernel from each slot's (dst, src) coordinates

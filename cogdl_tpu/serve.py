@@ -49,6 +49,29 @@ def _forward_fn(model, treedef):
     return forward
 
 
+def _write_artifact(path: str, data: bytes, variables, save_params: bool,
+                    meta: Optional[dict] = None) -> None:
+    """Shared atomic artifact write (MAGIC header, tmp+rename, optional
+    params sidecar and .meta.json) — one place for the format."""
+    head = os.path.dirname(path)
+    if head:
+        os.makedirs(head, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(_MAGIC)
+        f.write(data)
+    os.replace(tmp, path)
+    if meta is not None:
+        import json
+
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
+    if save_params:
+        from .trainer.checkpoint import save_checkpoint
+
+        save_checkpoint(path + ".params", variables)
+
+
 def export_model(model, variables, graph, path: str,
                  platforms: Optional[Sequence[str]] = None,
                  save_params: bool = True) -> None:
@@ -64,19 +87,7 @@ def export_model(model, variables, graph, path: str,
     fn = jax.jit(_forward_fn(model, treedef))
     kw = {"platforms": tuple(platforms)} if platforms else {}
     exp = jexport.export(fn, **kw)(variables, leaves, graph.x)
-    data = exp.serialize()
-    head = os.path.dirname(path)
-    if head:
-        os.makedirs(head, exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(_MAGIC)
-        f.write(data)
-    os.replace(tmp, path)
-    if save_params:
-        from .trainer.checkpoint import save_checkpoint
-
-        save_checkpoint(path + ".params", variables)
+    _write_artifact(path, exp.serialize(), variables, save_params)
 
 
 def load_exported(path: str):
@@ -192,24 +203,7 @@ def export_sampled_model(model, variables, blocks, x, path: str,
     fn = jax.jit(_blocks_forward_fn(model, treedefs))
     kw = {"platforms": tuple(platforms)} if platforms else {}
     exp = jexport.export(fn, **kw)(variables, leaves, x)
-    data = exp.serialize()
-    head = os.path.dirname(path)
-    if head:
-        os.makedirs(head, exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(_MAGIC)
-        f.write(data)
-    os.replace(tmp, path)
-    if meta is not None:
-        import json
-
-        with open(path + ".meta.json", "w") as f:
-            json.dump(meta, f)
-    if save_params:
-        from .trainer.checkpoint import save_checkpoint
-
-        save_checkpoint(path + ".params", variables)
+    _write_artifact(path, exp.serialize(), variables, save_params, meta)
 
 
 class SampledPredictor:
@@ -246,20 +240,28 @@ class SampledPredictor:
         self.variables = variables
         self._call = jax.jit(self._exp.call)
 
+    def _sampler_for(self, nodes):
+        # the sampler's CSR build is O(E) host work, invariant per graph —
+        # construct once and retarget node_idx per request
+        if getattr(self, "_sampler", None) is None:
+            from .data.sampling import NeighborSampler
+
+            self._sampler = NeighborSampler(
+                self.graph, self.fanouts, batch_size=self.batch_size,
+                seed=self.seed, node_idx=nodes,
+                device_features=self.device_features)
+        self._sampler.node_idx = nodes
+        return self._sampler
+
     def predict_logits(self, nodes=None, variables=None):
         """Seed-node logits ``[len(nodes), C]`` (default: all real nodes)."""
-        from .data.sampling import NeighborSampler
-
         v = variables if variables is not None else self.variables
         if v is None:
             raise ValueError("no variables: pass them here or at init")
         if nodes is None:
             nodes = np.arange(self.graph.num_nodes)
         nodes = np.asarray(nodes)
-        sampler = NeighborSampler(
-            self.graph, self.fanouts, batch_size=self.batch_size,
-            seed=self.seed, node_idx=nodes,
-            device_features=self.device_features)
+        sampler = self._sampler_for(nodes)
         outs = []
         for blocks, _, _ in sampler.epoch(shuffle=False):
             blocks = list(blocks)

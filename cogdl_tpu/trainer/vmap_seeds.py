@@ -55,6 +55,13 @@ def vmap_supported(wrapper, cfg: TrainerConfig) -> bool:
         or hasattr(wrapper, "run_embedding")
         or getattr(wrapper, "refresh_per_epoch", False)
         or not getattr(wrapper, "jit_eval", True)
+        # config features the vmapped loop does not implement — reject
+        # loudly so raw_experiment falls back to the sequential path
+        # instead of silently dropping a checkpoint/log contract
+        or cfg.checkpoint_path
+        or cfg.resume_training
+        or cfg.logger
+        or cfg.profile_dir
     )
 
 
@@ -101,7 +108,9 @@ class VmapSeedTrainer(Trainer):
         pair = split_v(rngs)
         rngs, init_rngs = pair[:, 0], pair[:, 1]
 
-        variables = jax.vmap(lambda r: wrapper.init(r, graph))(init_rngs)
+        variables = jax.jit(jax.vmap(
+            lambda r, g: wrapper.init(r, g), in_axes=(0, None)))(
+                init_rngs, graph)
         params = variables.get("params", {})
         model_state = {k: v for k, v in variables.items() if k != "params"}
         tx = build_optimizer(cfg)
@@ -113,12 +122,24 @@ class VmapSeedTrainer(Trainer):
                 if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
                 tree)
 
-        def one_step(p, ms, os_, sr):
+        # the batch/graph ride as jit ARGUMENTS (broadcast over the seed
+        # axis), never as closures — a closed-over device array embeds as
+        # an XLA constant and the TPU remote-compile relay rejects
+        # non-toy-sized programs (CLAUDE.md; Trainer._run passes b/g the
+        # same way)
+        def one_step(p, ms, os_, b, sr):
             def loss_fn(pp):
                 if cfg.bf16:
+                    # match Trainer._run: bf16 compute incl. the features,
+                    # f32 master weights
                     pp = _cast_bf16(pp)
+                    b_ = (b.replace(x=b.x.astype(jnp.bfloat16))
+                          if hasattr(b, "replace") and getattr(b, "x", None)
+                          is not None else b)
+                else:
+                    b_ = b
                 loss, updates = wrapper.loss(
-                    {"params": pp, **ms}, batch, sr, training=True)
+                    {"params": pp, **ms}, b_, sr, training=True)
                 return loss.astype(jnp.float32), updates
 
             (loss, updates), grads = jax.value_and_grad(
@@ -127,9 +148,11 @@ class VmapSeedTrainer(Trainer):
             upd, os2 = tx.update(grads, os_, p)
             return optax.apply_updates(p, upd), {**ms, **updates}, os2, loss
 
-        train_step_v = jax.jit(jax.vmap(one_step))
+        train_step_v = jax.jit(jax.vmap(
+            one_step, in_axes=(0, 0, 0, None, 0)))
         eval_v = jax.jit(jax.vmap(
-            lambda p, ms: wrapper.evaluate({"params": p, **ms}, graph)))
+            lambda p, ms, g: wrapper.evaluate({"params": p, **ms}, g),
+            in_axes=(0, 0, None)))
 
         monitor = getattr(wrapper, "eval_metric", cfg.monitor)
         mode = getattr(wrapper, "eval_mode", cfg.monitor_mode)
@@ -146,7 +169,7 @@ class VmapSeedTrainer(Trainer):
             pair = split_v(rngs)
             rngs, step_rngs = pair[:, 0], pair[:, 1]
             params, model_state, opt_state, losses = train_step_v(
-                params, model_state, opt_state, step_rngs)
+                params, model_state, opt_state, batch, step_rngs)
             if (epoch + 1) % cfg.eval_step != 0:
                 continue
             train_loss = np.asarray(losses, np.float64)
@@ -169,7 +192,7 @@ class VmapSeedTrainer(Trainer):
                 opt_state = _seed_select(keep, opt_state, best_opt)
             elif cfg.nan_guard:
                 nan_rollbacks[:] = 0
-            metrics = eval_v(params, model_state)
+            metrics = eval_v(params, model_state, graph)
             if monitor not in metrics:
                 raise KeyError(
                     f"early-stop monitor {monitor!r} not in eval metrics "
@@ -190,7 +213,7 @@ class VmapSeedTrainer(Trainer):
             if stopped.all():
                 break
 
-        final = eval_v(best_params, best_ms)
+        final = eval_v(best_params, best_ms, graph)
         wall = time.time() - t0
         results = []
         fin = {k: np.asarray(v) for k, v in final.items()}

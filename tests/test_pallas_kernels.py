@@ -710,8 +710,11 @@ class TestAccumRouteAB:
         t = TestGatFusedBlocked()
         g = add_self_loops(sbm_graph(num_nodes=250, seed=11))
         g = pad_to(g, ((g.n_pad + 127) // 128) * 128, g.e_pad)
+        # a route A/B on ONE layout needs a layout valid for BOTH routes —
+        # drop_empty_groups layouts are accum-only
         g = prepare_spmm_device(g, symmetric=True, with_orig=True,
-                                panel_rows=128, block_chunks=2)
+                                panel_rows=128, block_chunks=2,
+                                drop_empty_groups=False)
         rng = np.random.default_rng(13)
         h = jnp.asarray(rng.normal(size=(g.n_pad, t.H, t.D)).astype(
             np.float32))
@@ -736,8 +739,9 @@ class TestAccumRouteAB:
 
 
 def test_gat_blocked_r_tile_512():
-    """r_tile=512 packed layouts (9-bit in-tile row offset, validity at bit
-    27 — the widened slot format) run the fused GAT passes correctly."""
+    """r_tile=512 packed layouts (10-bit in-tile row offset, validity at
+    bit 28 — the widened r5 slot format) run the fused GAT passes
+    correctly."""
     from cogdl_tpu.data.graph import pad_to
     from cogdl_tpu.ops.pallas.device_layout import prepare_spmm_device
 
