@@ -168,6 +168,40 @@ def train_seeds_vmapped(
     return results
 
 
+def train_grid_vmapped(
+    dataset: Union[str, Dataset],
+    model: str,
+    configs: Sequence[Dict[str, Any]],
+    wrapper: Optional[str] = None,
+    use_best_config: bool = False,
+    **kwargs,
+) -> List[Dict[str, float]]:
+    """Train a whole hyperparameter grid — one config dict per lane, keys
+    ⊆ {seed, lr, weight_decay} — in ONE vmapped program (the rest of
+    SURVEY §7's "vmap-over-configs": beyond seeds, the optimizer's
+    learning_rate/weight_decay ride as per-lane state leaves via
+    optax.inject_hyperparams). Model-shape hypers (hidden_size, ...) change
+    the compiled program and must stay sequential."""
+    from .trainer.vmap_seeds import VmapSeedTrainer
+
+    ds = build_dataset(dataset) if isinstance(dataset, str) else dataset
+    ds_name = ds.name if isinstance(ds, Dataset) else str(dataset)
+    if use_best_config:
+        kwargs = set_best_config(model, ds_name, kwargs)
+    seed0 = int(configs[0].get("seed", kwargs.get("seed", 0)))
+    w, mdl, trainer_kwargs = _setup_variant(ds, model, seed0, wrapper,
+                                            kwargs)
+    if mdl is None:
+        raise ValueError("vmap grids do not support embedding-loop "
+                         "wrappers; use sequential variants")
+    trainer = VmapSeedTrainer(TrainerConfig(**trainer_kwargs))
+    results = trainer.run_grid(w, ds.graph, configs)
+    for res in results:
+        res.pop("_variables", None)
+        res.pop("_graph", None)
+    return results
+
+
 def raw_experiment(datasets, models, seeds=(1,), vmap_seeds: bool = False,
                    **kwargs) -> Dict[str, List[Dict]]:
     """Run the full variant grid; returns variant → list of per-seed results

@@ -65,8 +65,36 @@ def vmap_supported(wrapper, cfg: TrainerConfig) -> bool:
     )
 
 
+def _grid_optimizer(cfg: TrainerConfig):
+    """Optimizer whose learning_rate/weight_decay are STATE leaves
+    (optax.inject_hyperparams) — under vmap each config lane carries its
+    own values, so a hyperparameter grid trains in one program (the full
+    SURVEY §7 "vmap-over-configs" story, beyond seeds)."""
+    if cfg.lr_schedule:
+        raise ValueError(
+            "vmap_grid supports constant learning rates only (an lr "
+            "schedule closure cannot vary per vmapped lane) — drop "
+            "lr_schedule or use sequential variants")
+
+    def factory(learning_rate, weight_decay):
+        if cfg.optimizer == "adamw":
+            tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+        elif cfg.optimizer == "sgd":
+            tx = optax.sgd(learning_rate, momentum=0.9)
+        else:
+            tx = optax.chain(optax.add_decayed_weights(weight_decay),
+                             optax.adam(learning_rate))
+        if cfg.grad_clip:
+            tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+        return tx
+
+    return optax.inject_hyperparams(factory)(
+        learning_rate=cfg.lr, weight_decay=cfg.weight_decay)
+
+
 class VmapSeedTrainer(Trainer):
-    """Trainer whose :meth:`run_seeds` trains all seeds at once."""
+    """Trainer whose :meth:`run_seeds` trains all seeds at once and
+    :meth:`run_grid` whole (seed, lr, weight_decay) config grids."""
 
     def run_seeds(self, wrapper, graph, seeds: Sequence[int]) -> List[Dict]:
         if self.cfg.activation_compression:
@@ -79,7 +107,29 @@ class VmapSeedTrainer(Trainer):
                 actnn.set_compression(prev)
         return self._run_seeds(wrapper, graph, seeds)
 
-    def _run_seeds(self, wrapper, graph, seeds: Sequence[int]) -> List[Dict]:
+    def run_grid(self, wrapper, graph, configs: Sequence[Dict]) -> List[Dict]:
+        """Train one lane per config dict (keys ⊆ {seed, lr, weight_decay};
+        missing keys default to the TrainerConfig) — all lanes in ONE
+        vmapped program. Returns per-config result dicts in order."""
+        cfg = self.cfg
+        seeds = [int(c.get("seed", cfg.seed)) for c in configs]
+        lrs = np.asarray([float(c.get("lr", cfg.lr)) for c in configs],
+                         np.float32)
+        wds = np.asarray([float(c.get("weight_decay", cfg.weight_decay))
+                          for c in configs], np.float32)
+        unknown = {k for c in configs for k in c} - {"seed", "lr",
+                                                     "weight_decay"}
+        if unknown:
+            raise ValueError(
+                f"vmapped grids vary seed/lr/weight_decay only (got "
+                f"{sorted(unknown)}); model-shape hypers change the "
+                "program — run those variants sequentially")
+        return self._run_seeds(wrapper, graph, seeds,
+                               hyper_lr=jnp.asarray(lrs),
+                               hyper_wd=jnp.asarray(wds))
+
+    def _run_seeds(self, wrapper, graph, seeds: Sequence[int],
+                   hyper_lr=None, hyper_wd=None) -> List[Dict]:
         cfg = self.cfg
         if not vmap_supported(wrapper, cfg):
             raise ValueError(
@@ -113,8 +163,19 @@ class VmapSeedTrainer(Trainer):
                 init_rngs, graph)
         params = variables.get("params", {})
         model_state = {k: v for k, v in variables.items() if k != "params"}
-        tx = build_optimizer(cfg)
-        opt_state = jax.vmap(tx.init)(params)
+        if hyper_lr is not None:
+            tx = _grid_optimizer(cfg)
+
+            def init_opt(p, lr, wd):
+                st = tx.init(p)
+                return st._replace(hyperparams={
+                    **st.hyperparams, "learning_rate": lr,
+                    "weight_decay": wd})
+
+            opt_state = jax.vmap(init_opt)(params, hyper_lr, hyper_wd)
+        else:
+            tx = build_optimizer(cfg)
+            opt_state = jax.vmap(tx.init)(params)
 
         def _cast_bf16(tree):
             return jax.tree.map(

@@ -124,3 +124,46 @@ def test_activation_compression_residual_is_int8():
     # and without the flag there is no int8 anywhere
     jaxpr0 = jax.make_jaxpr(jax.grad(loss))(variables["params"])
     assert "int8" not in str(jaxpr0)
+
+
+# ---------------------------------------------------------------------------
+# vmapped CONFIG grids (seed × lr × weight_decay in one program)
+# ---------------------------------------------------------------------------
+
+def test_vmap_grid_matches_sequential():
+    """Each (seed, lr, weight_decay) lane of the vmapped grid equals the
+    sequential train() run with those hypers."""
+    from cogdl_tpu.experiments import train_grid_vmapped
+
+    configs = [
+        {"seed": 0, "lr": 1e-2, "weight_decay": 5e-4},
+        {"seed": 1, "lr": 3e-3, "weight_decay": 0.0},
+        {"seed": 0, "lr": 1e-1, "weight_decay": 1e-3},
+    ]
+    res_g = train_grid_vmapped("sbm", "gcn", configs, epochs=25, patience=10)
+    for c, rg in zip(configs, res_g):
+        rs = train("sbm", "gcn", epochs=25, patience=10, **c)
+        assert rg["best_epoch"] == rs["best_epoch"], c
+        assert abs(rg["test_acc"] - rs["test_acc"]) < 1e-6, c
+
+
+def test_vmap_grid_lanes_actually_differ():
+    """Different lrs produce different trajectories (the per-lane
+    hyperparams really take effect — not the shared default)."""
+    from cogdl_tpu.experiments import train_grid_vmapped
+
+    res = train_grid_vmapped(
+        "sbm", "gcn",
+        [{"seed": 0, "lr": 1e-2}, {"seed": 0, "lr": 1e-6}],
+        epochs=15, patience=100, eval_step=15)
+    # the 1e-6 lane has barely moved from init; the 1e-2 lane has learned
+    assert res[0]["test_acc"] > 0.9
+    assert res[1]["test_acc"] < res[0]["test_acc"] - 0.2
+
+
+def test_vmap_grid_rejects_shape_hypers():
+    from cogdl_tpu.experiments import train_grid_vmapped
+
+    with pytest.raises(ValueError, match="sequentially"):
+        train_grid_vmapped("sbm", "gcn",
+                           [{"seed": 0, "hidden_size": 64}], epochs=2)
