@@ -197,7 +197,38 @@ class AutoML:
             rng = np.random.default_rng(0)
             n_startup = min(max(4, self.n_trials // 4), self.n_trials)
             history: List = []
-            for t in range(self.n_trials):
+            start_t = 0
+            # vmapped startup (r5): when the space varies only optimizer
+            # hypers, ALL random-startup trials × seeds train as ONE
+            # vmapped program (trainer/vmap_seeds.run_grid) — the TPE
+            # refinement stays sequential (it conditions on history)
+            if set(self.space) <= {"lr", "weight_decay"}:
+                try:
+                    from .experiments import train_grid_vmapped
+
+                    startup = [_sample(self.space, rng)
+                               for _ in range(n_startup)]
+                    configs = [{**p, "seed": int(s)}
+                               for p in startup for s in self.seeds]
+                    res = train_grid_vmapped(self.dataset, self.model,
+                                             configs, **self.fixed)
+                    k = len(self.seeds)
+                    for i, p in enumerate(startup):
+                        rs = res[i * k:(i + 1) * k]
+                        vals = [r.get(self.metric, r.get("val_acc", 0.0))
+                                for r in rs]
+                        v = float(np.mean(vals))
+                        history.append((p, v))
+                        if v > self.best_value:
+                            self.best_value = v
+                            self.best_params = p
+                            self.best_results = rs
+                    start_t = n_startup
+                except ValueError:
+                    # wrapper/config not vmappable — sequential fallback
+                    start_t = 0
+                    history = []
+            for t in range(start_t, self.n_trials):
                 if t < n_startup:
                     params = _sample(self.space, rng)
                 else:

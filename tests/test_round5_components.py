@@ -167,3 +167,39 @@ def test_vmap_grid_rejects_shape_hypers():
     with pytest.raises(ValueError, match="sequentially"):
         train_grid_vmapped("sbm", "gcn",
                            [{"seed": 0, "hidden_size": 64}], epochs=2)
+
+
+def test_automl_vmapped_startup():
+    """When the search space varies only optimizer hypers, AutoML's
+    random-startup trials train as ONE vmapped grid — sequential train()
+    runs only for the TPE refinement trials."""
+    import cogdl_tpu.automl as automl_mod
+    import cogdl_tpu.experiments as exp_mod
+
+    calls = {"train": 0, "grid": 0}
+    orig_train, orig_grid = exp_mod.train, exp_mod.train_grid_vmapped
+
+    def count_train(*a, **k):
+        calls["train"] += 1
+        return orig_train(*a, **k)
+
+    def count_grid(*a, **k):
+        calls["grid"] += 1
+        return orig_grid(*a, **k)
+
+    exp_mod.train = count_train
+    exp_mod.train_grid_vmapped = count_grid
+    try:
+        out = automl_mod.AutoML(
+            "sbm", "gcn", seeds=[0, 1], n_trials=6, backend="builtin",
+            search_space={"lr": ("loguniform", 1e-3, 1e-1),
+                          "weight_decay": ("loguniform", 1e-6, 1e-3)},
+            epochs=15).run()
+    finally:
+        exp_mod.train = orig_train
+        exp_mod.train_grid_vmapped = orig_grid
+    assert calls["grid"] == 1                       # one batched startup
+    # 6 trials, 4 startup -> 2 TPE trials x 2 seeds sequential
+    assert calls["train"] == 2 * 2
+    assert out["best_value"] > 0.8
+    assert set(out["best_params"]) == {"lr", "weight_decay"}
