@@ -197,6 +197,16 @@ def maybe_gat_fused(graph, score_dst, score_src, h, a_src, a_dst=None,
     zf = jnp.zeros(0, jnp.float32)
     fw_col = extras["spmm_fw_pack"] if packed else extras["spmm_fw_col"]
     bw_col = extras["spmm_bw_pack"] if packed else extras["spmm_bw_col"]
+    bw_ct = extras["spmm_bw_ct"]
+    bw_bp = extras.get("spmm_bw_bp", zb)
+    if (packed and "spmm_bw2_pack" in extras and H * D + 2 * H <= 128):
+        # this layer's [dagg|dden|sd] rows fit one 128-lane tile — its
+        # dsrc pass runs on the WIDE-panel src-grouped layout (same slot
+        # density as the fw layout; selection is per layer)
+        bw_col = extras["spmm_bw2_pack"]
+        bw_ct = extras["spmm_bw2_ct"]
+        bw_bp = extras["spmm_bw2_bp"]
+        panel_rows_bw = panel_rows
     if packed and a_dst is None:
         raise ValueError(
             "blocked fused GAT recomputes the dst score half in-kernel — "
@@ -211,8 +221,8 @@ def maybe_gat_fused(graph, score_dst, score_src, h, a_src, a_dst=None,
         extras.get("spmm_fw_bp", zb),
         bw_col, extras.get("spmm_bw_row", zb),
         extras.get("spmm_bw_ones", zf),
-        extras["spmm_bw_ct"], extras.get("spmm_bw_orig", zb),
-        extras.get("spmm_bw_bp", zb))
+        bw_ct, extras.get("spmm_bw_orig", zb),
+        bw_bp)
     return out.reshape(-1, H, D)
 
 

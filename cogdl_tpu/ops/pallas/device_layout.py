@@ -396,6 +396,18 @@ def prepare_spmm_device(graph, symmetric: bool = False,
     if packed:
         extras["spmm_fw_pack"] = fwd["pack_k"]
         extras["spmm_bw_pack"] = bwd["pack_k"]   # aliased when symmetric
+        if panel_rows_bw != panel_rows:
+            # WIDE-panel src-grouped layout for narrow backward tables
+            # (r5): a GAT layer whose [dagg|dden|sd] table fits one
+            # 128-lane tile (HD + 2H ≤ 128, e.g. output layers) can run
+            # its dsrc pass on wide panels too — maybe_gat_fused selects
+            # per layer. For SYMMETRIC edge sets this layout is
+            # bit-identical to the fw build (3-key-sort determinism), so
+            # it ALIASES fwd: zero extra memory or build time.
+            bw2 = fwd if symmetric else build_dir(col, row, panel_rows)
+            extras["spmm_bw2_pack"] = bw2["pack_k"]
+            extras["spmm_bw2_ct"] = bw2["chunk_tile"]
+            extras["spmm_bw2_bp"] = bw2["block_panel"]
     elif with_orig:
         # 1-D (single-panel) fused-GAT layouts: per-direction orig + ones
         for pre, lay in (("fw", fwd), ("bw", bwd)):

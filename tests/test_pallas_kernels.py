@@ -955,3 +955,65 @@ def test_gat_blocked_per_direction_panels():
     # are panel-base-aware, so per-direction panels must still agree)
     out_d = t._fused(g, a_dst, a_src, h, attn_drop=0.35, seed=7)
     assert out_d.shape == out.shape
+
+
+def test_gat_blocked_wide_bw2_layout():
+    """Narrow-backward-table layers (HD + 2H ≤ 128) may run their dsrc
+    pass on the WIDE-panel src-grouped layout (spmm_bw2_*): for symmetric
+    edge sets it ALIASES the fw build (3-key-sort determinism), and the
+    passes produce identical results through it."""
+    from cogdl_tpu.data.graph import pad_to
+    from cogdl_tpu.ops.pallas.device_layout import prepare_spmm_device
+
+    t = TestGatFusedBlocked()
+    g = add_self_loops(sbm_graph(num_nodes=600, seed=5))
+    g = pad_to(g, ((g.n_pad + 511) // 512) * 512, g.e_pad)
+    g = prepare_spmm_device(g, symmetric=True, with_orig=True,
+                            panel_rows=1024, panel_rows_bw=512,
+                            block_chunks=2, r_tile=512)
+    ex = g.extras
+    assert "spmm_bw2_pack" in ex
+    assert ex["spmm_bw2_pack"] is ex["spmm_fw_pack"]   # symmetric aliasing
+    rng = np.random.default_rng(7)
+    h = jnp.asarray(rng.normal(size=(g.n_pad, t.H, t.D)).astype(np.float32))
+    a_src = jnp.asarray(rng.normal(size=(t.H, t.D)).astype(np.float32))
+    a_dst = jnp.asarray(rng.normal(size=(t.H, t.D)).astype(np.float32))
+
+    # run the passes the way maybe_gat_fused selects for a narrow layer:
+    # bw := bw2 (wide panels, same panel size as fw)
+    from cogdl_tpu.ops.pallas.segment_kernels import build_ar, gat_fused_p
+
+    zb = jnp.zeros(0, jnp.int32)
+    zf = jnp.zeros(0, jnp.float32)
+    ar = build_ar(a_src, t.H, t.D)
+    al = build_ar(a_dst, t.H, t.D)
+
+    def fused_bw2(hh):
+        # BOTH score halves derive from hh (the layer-level contract: the
+        # blocked kernels recompute them from h2, but the grads route
+        # through the sd/ss cotangents)
+        h3 = hh.reshape(-1, t.H, t.D)
+        out = gat_fused_p(
+            t.H, t.D, 0.2, 0.0, 1024, 1024, 512, False,
+            jnp.einsum("nhd,hd->nh", h3, a_dst),
+            jnp.einsum("nhd,hd->nh", h3, a_src),
+            hh, ar, al, jnp.uint32(0),
+            ex["spmm_fw_pack"], zb, zf, ex["spmm_fw_ct"], zb,
+            ex["spmm_fw_bp"],
+            ex["spmm_bw2_pack"], zb, zf, ex["spmm_bw2_ct"], zb,
+            ex["spmm_bw2_bp"])
+        return out
+
+    h2 = h.reshape(-1, t.H * t.D)
+    ref = t._ref_av(g, a_dst, a_src, h).reshape(-1, t.H * t.D)
+    out = fused_bw2(h2)
+    np.testing.assert_allclose(np.asarray(out)[: g.num_nodes],
+                               np.asarray(ref)[: g.num_nodes],
+                               rtol=1e-4, atol=1e-5)
+    w = jnp.asarray(rng.normal(size=h2.shape).astype(np.float32))
+    gf = jax.grad(lambda hh: jnp.sum(fused_bw2(hh) * w))(h2)
+    gr = jax.grad(lambda hh: jnp.sum(
+        t._ref_av(g, a_dst, a_src, hh.reshape(-1, t.H, t.D)
+                  ).reshape(-1, t.H * t.D) * w))(h2)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=2e-3, atol=2e-3)
