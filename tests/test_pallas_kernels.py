@@ -1017,3 +1017,51 @@ def test_gat_blocked_wide_bw2_layout():
                   ).reshape(-1, t.H * t.D) * w))(h2)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_dropout_vjp_fd_per_direction_and_bw2():
+    """Dropout-mask consistency on the MIXED r5 layouts: fwd/dsd run on the
+    wide-panel fw layout while dsrc runs on the wide bw2 (aliased) layout —
+    the coordinate-hashed masks must agree across DIFFERENT panel bases,
+    proven by the hand VJP matching central differences at a fixed seed."""
+    from cogdl_tpu.data.graph import pad_to
+    from cogdl_tpu.ops.pallas.device_layout import prepare_spmm_device
+    from cogdl_tpu.ops.pallas.segment_kernels import build_ar, gat_fused_p
+
+    t = TestGatFusedBlocked()
+    g = add_self_loops(sbm_graph(num_nodes=600, seed=5))
+    g = pad_to(g, ((g.n_pad + 511) // 512) * 512, g.e_pad)
+    g = prepare_spmm_device(g, symmetric=True, with_orig=True,
+                            panel_rows=1024, panel_rows_bw=512,
+                            block_chunks=2, r_tile=512)
+    ex = g.extras
+    rng = np.random.default_rng(23)
+    h = jnp.asarray(rng.normal(size=(g.n_pad, t.H * t.D)).astype(np.float32))
+    a_src = jnp.asarray(rng.normal(size=(t.H, t.D)).astype(np.float32))
+    a_dst = jnp.asarray(rng.normal(size=(t.H, t.D)).astype(np.float32))
+    ar = build_ar(a_src, t.H, t.D)
+    al = build_ar(a_dst, t.H, t.D)
+    zb = jnp.zeros(0, jnp.int32)
+    zf = jnp.zeros(0, jnp.float32)
+    w = jnp.asarray(rng.normal(size=h.shape).astype(np.float32))
+
+    def loss(hh):
+        h3 = hh.reshape(-1, t.H, t.D)
+        out = gat_fused_p(
+            t.H, t.D, 0.2, 0.4, 1024, 1024, 512, False,
+            jnp.einsum("nhd,hd->nh", h3, a_dst),
+            jnp.einsum("nhd,hd->nh", h3, a_src),
+            hh, ar, al, jnp.uint32(77),
+            ex["spmm_fw_pack"], zb, zf, ex["spmm_fw_ct"], zb,
+            ex["spmm_fw_bp"],
+            ex["spmm_bw2_pack"], zb, zf, ex["spmm_bw2_ct"], zb,
+            ex["spmm_bw2_bp"])
+        return jnp.sum(out * w)
+
+    grad = jax.grad(loss)(h)
+    for k in range(2):
+        v = jnp.asarray(rng.normal(size=h.shape).astype(np.float32))
+        eps = 1e-3
+        fd = (float(loss(h + eps * v)) - float(loss(h - eps * v))) / (2 * eps)
+        an = float(jnp.vdot(grad, v))
+        assert abs(fd - an) <= 2e-2 * max(abs(fd), abs(an), 1.0), (k, fd, an)
